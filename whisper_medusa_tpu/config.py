@@ -1,0 +1,258 @@
+"""Model / generation configuration for the TPU-native Whisper-Medusa framework.
+
+Parity notes
+------------
+Mirrors the reference configuration surface (reference:
+whisper_medusa/utils/config_and_args.py:17-62  ``MedusaConfig(WhisperConfig)`` and
+whisper_medusa/models/medusa_utils.py:14-18  ``MedusaGenerationConfig``), re-designed as
+frozen dataclasses so they can be closed over by ``jax.jit`` as static configuration.
+
+Unlike the reference (which inherits the whole HuggingFace config machinery), the TPU
+build keeps configs as plain immutable dataclasses: everything that affects traced
+shapes (layer counts, head counts, cache lengths, number of medusa heads) is static
+Python, everything that is data (weights) lives in the params pytree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+
+# Whisper vocabulary constants (multilingual v2 vocabulary).  These are
+# architectural constants of the public OpenAI Whisper tokenizer, mirrored from the
+# generation config the reference inherits from `openai/whisper-large-v2`.
+EOS_TOKEN_ID = 50257
+SOT_TOKEN_ID = 50258            # <|startoftranscript|> == decoder_start_token_id
+FIRST_LANGUAGE_TOKEN_ID = 50259  # <|en|>; language tokens are contiguous
+TASK_TRANSLATE_ID = 50358
+TASK_TRANSCRIBE_ID = 50359
+NO_TIMESTAMPS_ID = 50363
+TIMESTAMP_BEGIN_ID = 50364
+
+# Language code ordering of the multilingual Whisper tokenizer; language token id is
+# FIRST_LANGUAGE_TOKEN_ID + index in this tuple.  (Public constant from the Whisper
+# tokenizer; the reference resolves languages through HF's tokenizer instead.)
+WHISPER_LANGUAGES: Tuple[str, ...] = (
+    "en", "zh", "de", "es", "ru", "ko", "fr", "ja", "pt", "tr", "pl", "ca", "nl",
+    "ar", "sv", "it", "id", "hi", "fi", "vi", "he", "uk", "el", "ms", "cs", "ro",
+    "da", "hu", "ta", "no", "th", "ur", "hr", "bg", "lt", "la", "mi", "ml", "cy",
+    "sk", "te", "fa", "lv", "bn", "sr", "az", "sl", "kn", "et", "mk", "br", "eu",
+    "is", "hy", "ne", "mn", "bs", "kk", "sq", "sw", "gl", "mr", "pa", "si", "km",
+    "sn", "yo", "so", "af", "oc", "ka", "be", "tg", "sd", "gu", "am", "yi", "lo",
+    "uz", "fo", "ht", "ps", "tk", "nn", "mt", "sa", "lb", "my", "bo", "tl", "mg",
+    "as", "tt", "haw", "ln", "ha", "ba", "jw", "su",
+)
+
+
+def language_token_id(language: str) -> int:
+    """Map a language code (e.g. ``"en"``) to its Whisper token id."""
+    lang = language.lower().strip("<|>").replace("_", "-")
+    if lang not in WHISPER_LANGUAGES:
+        raise ValueError(f"Unsupported language: {language!r}")
+    return FIRST_LANGUAGE_TOKEN_ID + WHISPER_LANGUAGES.index(lang)
+
+
+@dataclass(frozen=True)
+class WhisperDims:
+    """Static architecture dimensions of a Whisper model.
+
+    Defaults are whisper-large-v2 (the reference's base model,
+    reference: whisper_medusa/utils/config_and_args.py:40).
+    """
+
+    vocab_size: int = 51865
+    num_mel_bins: int = 80
+    d_model: int = 1280
+    encoder_layers: int = 32
+    encoder_attention_heads: int = 20
+    decoder_layers: int = 32
+    decoder_attention_heads: int = 20
+    encoder_ffn_dim: int = 5120
+    decoder_ffn_dim: int = 5120
+    max_source_positions: int = 1500   # encoder output frames (3000 mel frames / 2)
+    max_target_positions: int = 448
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.decoder_attention_heads
+
+    @property
+    def num_frames(self) -> int:
+        """Mel-spectrogram frames per 30 s segment (conv stride 2 halves this)."""
+        return 2 * self.max_source_positions
+
+
+# Known Whisper model sizes, keyed by short name.
+WHISPER_PRESETS = {
+    "tiny": WhisperDims(d_model=384, encoder_layers=4, decoder_layers=4,
+                        encoder_attention_heads=6, decoder_attention_heads=6,
+                        encoder_ffn_dim=1536, decoder_ffn_dim=1536),
+    "base": WhisperDims(d_model=512, encoder_layers=6, decoder_layers=6,
+                        encoder_attention_heads=8, decoder_attention_heads=8,
+                        encoder_ffn_dim=2048, decoder_ffn_dim=2048),
+    "small": WhisperDims(d_model=768, encoder_layers=12, decoder_layers=12,
+                         encoder_attention_heads=12, decoder_attention_heads=12,
+                         encoder_ffn_dim=3072, decoder_ffn_dim=3072),
+    "medium": WhisperDims(d_model=1024, encoder_layers=24, decoder_layers=24,
+                          encoder_attention_heads=16, decoder_attention_heads=16,
+                          encoder_ffn_dim=4096, decoder_ffn_dim=4096),
+    "large": WhisperDims(),
+    "large-v2": WhisperDims(),
+    "large-v3": WhisperDims(num_mel_bins=128, vocab_size=51866),
+}
+
+
+# The default token-suppression list of the public whisper-large-v2 generation config.
+# The reference pulls this from the HF generation config at runtime
+# (reference: whisper_medusa/models/model.py:1177-1186); we ship it as a constant so the
+# framework works without network access, and override it from checkpoint metadata when
+# available.
+DEFAULT_SUPPRESS_TOKENS: Tuple[int, ...] = (
+    1, 2, 7, 8, 9, 10, 14, 25, 26, 27, 28, 29, 31, 58, 59, 60, 61, 62, 63, 90, 91,
+    92, 93, 359, 503, 522, 542, 873, 893, 902, 918, 922, 931, 1350, 1853, 1982, 2460,
+    2627, 3246, 3253, 3268, 3536, 3846, 3961, 4183, 4667, 6585, 6647, 7273, 9061,
+    9383, 10428, 10929, 11938, 12033, 12331, 12562, 13793, 14157, 14635, 15265, 15618,
+    16553, 16604, 18362, 18956, 20075, 21675, 22520, 26130, 26161, 26435, 28279,
+    29464, 31650, 32302, 32470, 36865, 42863, 47425, 49870, 50254, 50258, 50358,
+    50359, 50360, 50361, 50362,
+)
+DEFAULT_BEGIN_SUPPRESS_TOKENS: Tuple[int, ...] = (220, 50257)
+
+
+@dataclass(frozen=True)
+class MedusaConfig:
+    """Medusa speculative-decoding configuration.
+
+    Mirrors the reference ``MedusaConfig`` fields
+    (reference: whisper_medusa/utils/config_and_args.py:35-62) with the same defaults
+    the training CLI uses (reference: whisper_medusa/utils/utils.py — CLI default is
+    10 heads / 11 ones in ``medusa_choices``).
+    """
+
+    medusa_num_heads: int = 10
+    medusa_num_layers: int = 1
+    medusa_hidden_size: int = 1280
+    # Per-level branching factors, length == medusa_num_heads + 1; all-ones == chain.
+    # (reference: config_and_args.py:41, medusa_utils.py:305)
+    medusa_choices: Tuple[int, ...] = tuple([1] * 11)
+    medusa_heads_type: str = "base_head"  # "base_head" (Linear) | "medusa_block"
+    medusa_loss_on_original: bool = False
+    medusa_kl_loss: bool = False
+    medusa_kl_weight: float = 0.0
+    output_whisper_original: bool = False
+
+    def __post_init__(self):
+        if self.medusa_heads_type not in ("base_head", "medusa_block"):
+            raise ValueError(
+                f"medusa_heads_type {self.medusa_heads_type!r} is not supported, "
+                "select from ['base_head', 'medusa_block']"
+            )
+        if len(self.medusa_choices) != self.medusa_num_heads + 1:
+            raise ValueError(
+                f"medusa_choices must have medusa_num_heads+1={self.medusa_num_heads + 1} "
+                f"entries, got {len(self.medusa_choices)}"
+            )
+
+
+@dataclass(frozen=True)
+class GenerationConfig:
+    """Generation-time knobs.
+
+    Mirrors the live subset of the reference ``MedusaGenerationConfig``
+    (reference: whisper_medusa/models/medusa_utils.py:14-18 plus the HF fields the
+    decode loop consumes, model.py:404-835).
+    """
+
+    max_length: int = 448
+    eos_token_id: int = EOS_TOKEN_ID
+    pad_token_id: int = EOS_TOKEN_ID
+    decoder_start_token_id: int = SOT_TOKEN_ID
+    suppress_tokens: Optional[Tuple[int, ...]] = DEFAULT_SUPPRESS_TOKENS
+    begin_suppress_tokens: Optional[Tuple[int, ...]] = DEFAULT_BEGIN_SUPPRESS_TOKENS
+    # (regulation_start, regulation_factor); None disables.
+    # (reference: eval_whisper_medusa.py:53-65, README.md:116-117)
+    exponential_decay_length_penalty: Optional[Tuple[int, float]] = None
+    # Typical-acceptance hyperparameters (reference: medusa_utils.py:14-18).
+    posterior_threshold: float = 0.09
+    posterior_alpha: float = 0.3
+    temperature: float = 0.0
+    # Temperature-fallback ladder + thresholds (reference: model.py:1842-2013).
+    temperature_fallback: Tuple[float, ...] = (0.0,)
+    compression_ratio_threshold: Optional[float] = None
+    logprob_threshold: Optional[float] = None
+    no_speech_threshold: Optional[float] = None
+    return_timestamps: bool = False
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Top-level model configuration: Whisper dims + Medusa + dtype policy."""
+
+    dims: WhisperDims = field(default_factory=WhisperDims)
+    medusa: MedusaConfig = field(default_factory=MedusaConfig)
+    # Computation dtypes.  Params are stored in `param_dtype`; activations are cast to
+    # `compute_dtype`; softmax/layernorm/logits accumulate in float32 regardless.
+    param_dtype: str = "float32"
+    compute_dtype: str = "float32"
+    whisper_model_name: str = "openai/whisper-large-v2"
+
+    def replace(self, **kw) -> "ModelConfig":
+        return dataclasses.replace(self, **kw)
+
+    # ---- serialization ------------------------------------------------------
+    def to_dict(self) -> dict:
+        d = dataclasses.asdict(self)
+        return d
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "ModelConfig":
+        d = dict(d)
+        dims = WhisperDims(**d.pop("dims"))
+        med = d.pop("medusa")
+        med["medusa_choices"] = tuple(med["medusa_choices"])
+        medusa = MedusaConfig(**med)
+        return cls(dims=dims, medusa=medusa, **d)
+
+    def save(self, directory: str) -> None:
+        os.makedirs(directory, exist_ok=True)
+        with open(os.path.join(directory, "config.json"), "w") as f:
+            json.dump(self.to_dict(), f, indent=2)
+
+    @classmethod
+    def load(cls, directory: str) -> "ModelConfig":
+        with open(os.path.join(directory, "config.json")) as f:
+            return cls.from_dict(json.load(f))
+
+
+def tiny_test_config(
+    vocab_size: int = 256,
+    medusa_num_heads: int = 3,
+    medusa_heads_type: str = "base_head",
+    max_source_positions: int = 32,
+    max_target_positions: int = 64,
+) -> ModelConfig:
+    """A miniature config for fast unit tests (CPU-friendly shapes)."""
+    dims = WhisperDims(
+        vocab_size=vocab_size,
+        num_mel_bins=16,
+        d_model=32,
+        encoder_layers=2,
+        decoder_layers=2,
+        encoder_attention_heads=2,
+        decoder_attention_heads=2,
+        encoder_ffn_dim=64,
+        decoder_ffn_dim=64,
+        max_source_positions=max_source_positions,
+        max_target_positions=max_target_positions,
+    )
+    medusa = MedusaConfig(
+        medusa_num_heads=medusa_num_heads,
+        medusa_hidden_size=dims.d_model,
+        medusa_choices=tuple([1] * (medusa_num_heads + 1)),
+        medusa_heads_type=medusa_heads_type,
+    )
+    return ModelConfig(dims=dims, medusa=medusa)

@@ -1,0 +1,514 @@
+"""TPU-native Whisper backbone: pure-functional JAX encoder/decoder.
+
+Replaces the reference's dependency on HF ``WhisperForConditionalGeneration``
+(reference: whisper_medusa/models/model.py:46-131 wraps it;
+the actual torch compute lives in ``transformers.models.whisper.modeling_whisper``).
+
+Design (TPU-first, not a port):
+  * Params are plain pytrees (nested dicts of ``jnp`` arrays).  All transformer layers
+    are **stacked along a leading layer axis** and executed with ``lax.scan`` — one
+    compiled layer body instead of 32 unrolled ones (fast compiles, clean KV-cache
+    layout, and a natural axis for pipeline sharding).
+  * All shapes are static.  The decoder has two entry points:
+      - :func:`decode_train`  — full teacher-forced pass (training / scoring).
+      - :func:`decode_step`   — incremental pass over a fixed-size token chunk against
+        a pre-allocated KV cache, with **per-example write offsets** so a whole batch
+        can sit at different decode lengths (the reference is hard-limited to batch 1,
+        model.py:1451; here batching is native).
+  * The KV cache is a fixed-size slab updated with ``lax.dynamic_update_slice``
+    (replaces HF ``DynamicCache`` concat-per-step, reference model.py:378-402).
+  * Cross-attention K/V are computed once per utterance at cache init
+    (reference recomputes lazily inside HF's attention each step).
+  * Matmuls accumulate in float32 (``preferred_element_type``); layernorm/softmax run
+    in float32 regardless of the activation dtype (bf16 on TPU).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from whisper_medusa_tpu.config import WhisperDims
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+def sinusoidal_positions(length: int, channels: int) -> jnp.ndarray:
+    """Whisper's fixed sinusoidal encoder positional embedding."""
+    log_timescale_increment = math.log(10000.0) / (channels // 2 - 1)
+    inv_timescales = jnp.exp(
+        -log_timescale_increment * jnp.arange(channels // 2, dtype=jnp.float32)
+    )
+    scaled_time = (
+        jnp.arange(length, dtype=jnp.float32)[:, None] * inv_timescales[None, :]
+    )
+    return jnp.concatenate([jnp.sin(scaled_time), jnp.cos(scaled_time)], axis=1)
+
+
+def _dense_init(key, shape, std=0.02, dtype=jnp.float32):
+    return jax.random.normal(key, shape, dtype) * std
+
+
+def init_whisper_params(
+    rng: jax.Array, dims: WhisperDims, dtype=jnp.float32
+) -> Params:
+    """Randomly initialize a Whisper parameter pytree (HF-compatible structure)."""
+    d, ffn_e, ffn_d = dims.d_model, dims.encoder_ffn_dim, dims.decoder_ffn_dim
+    le, ld = dims.encoder_layers, dims.decoder_layers
+    keys = iter(jax.random.split(rng, 64))
+
+    def attn_block(nl, d_in=d):
+        return {
+            "q_w": _dense_init(next(keys), (nl, d_in, d), dtype=dtype),
+            "q_b": jnp.zeros((nl, d), dtype),
+            "k_w": _dense_init(next(keys), (nl, d_in, d), dtype=dtype),
+            "v_w": _dense_init(next(keys), (nl, d_in, d), dtype=dtype),
+            "v_b": jnp.zeros((nl, d), dtype),
+            "o_w": _dense_init(next(keys), (nl, d, d), dtype=dtype),
+            "o_b": jnp.zeros((nl, d), dtype),
+        }
+
+    def ln(nl):
+        return {"scale": jnp.ones((nl, d), dtype), "bias": jnp.zeros((nl, d), dtype)}
+
+    enc_layers = {
+        "self_ln": ln(le),
+        "self": attn_block(le),
+        "ffn_ln": ln(le),
+        "fc1_w": _dense_init(next(keys), (le, d, ffn_e), dtype=dtype),
+        "fc1_b": jnp.zeros((le, ffn_e), dtype),
+        "fc2_w": _dense_init(next(keys), (le, ffn_e, d), dtype=dtype),
+        "fc2_b": jnp.zeros((le, d), dtype),
+    }
+    dec_layers = {
+        "self_ln": ln(ld),
+        "self": attn_block(ld),
+        "cross_ln": ln(ld),
+        "cross": attn_block(ld),
+        "ffn_ln": ln(ld),
+        "fc1_w": _dense_init(next(keys), (ld, d, ffn_d), dtype=dtype),
+        "fc1_b": jnp.zeros((ld, ffn_d), dtype),
+        "fc2_w": _dense_init(next(keys), (ld, ffn_d, d), dtype=dtype),
+        "fc2_b": jnp.zeros((ld, d), dtype),
+    }
+    params = {
+        "encoder": {
+            "conv1_w": _dense_init(next(keys), (3, dims.num_mel_bins, d), dtype=dtype),
+            "conv1_b": jnp.zeros((d,), dtype),
+            "conv2_w": _dense_init(next(keys), (3, d, d), dtype=dtype),
+            "conv2_b": jnp.zeros((d,), dtype),
+            "pos_embed": sinusoidal_positions(dims.max_source_positions, d).astype(dtype),
+            "layers": enc_layers,
+            "ln_post": {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)},
+        },
+        "decoder": {
+            "embed_tokens": _dense_init(next(keys), (dims.vocab_size, d), dtype=dtype),
+            "pos_embed": _dense_init(next(keys), (dims.max_target_positions, d), dtype=dtype),
+            "layers": dec_layers,
+            "ln_post": {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)},
+        },
+    }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Primitive blocks
+# ---------------------------------------------------------------------------
+
+def layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
+    """LayerNorm with float32 statistics (bf16-safe)."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * lax.rsqrt(var + 1e-5)
+    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(dtype)
+
+
+def dense(x, w, b=None):
+    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """(..., T, D) -> (..., T, H, Dh)"""
+    return x.reshape(*x.shape[:-1], num_heads, x.shape[-1] // num_heads)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    """(..., T, H, Dh) -> (..., T, D)"""
+    return x.reshape(*x.shape[:-2], x.shape[-2] * x.shape[-1])
+
+
+def attention(
+    q: jnp.ndarray,      # (B, Tq, H, Dh), already scaled
+    k: jnp.ndarray,      # (B, Tk, H, Dh)
+    v: jnp.ndarray,      # (B, Tk, H, Dh)
+    mask: Optional[jnp.ndarray] = None,  # broadcastable to (B, H, Tq, Tk); True=keep
+) -> jnp.ndarray:
+    """Plain XLA attention with float32 softmax.  Returns (B, Tq, H, Dh)."""
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.float32(-1e30))
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(v.dtype)
+
+
+def self_attn_full(lp: Params, x: jnp.ndarray, num_heads: int,
+                   causal: bool) -> jnp.ndarray:
+    """Full-sequence self-attention (encoder, or teacher-forced decoder)."""
+    head_dim = x.shape[-1] // num_heads
+    q = _split_heads(dense(x, lp["q_w"], lp["q_b"]), num_heads) * (head_dim ** -0.5)
+    k = _split_heads(dense(x, lp["k_w"]), num_heads)
+    v = _split_heads(dense(x, lp["v_w"], lp["v_b"]), num_heads)
+    mask = None
+    if causal:
+        t = x.shape[-2]
+        mask = jnp.tril(jnp.ones((t, t), jnp.bool_))[None, None]
+    out = attention(q, k, v, mask)
+    return dense(_merge_heads(out), lp["o_w"], lp["o_b"])
+
+
+def cross_attn_full(lp: Params, x: jnp.ndarray, enc: jnp.ndarray,
+                    num_heads: int) -> jnp.ndarray:
+    head_dim = x.shape[-1] // num_heads
+    q = _split_heads(dense(x, lp["q_w"], lp["q_b"]), num_heads) * (head_dim ** -0.5)
+    k = _split_heads(dense(enc, lp["k_w"]), num_heads)
+    v = _split_heads(dense(enc, lp["v_w"], lp["v_b"]), num_heads)
+    out = attention(q, k, v)
+    return dense(_merge_heads(out), lp["o_w"], lp["o_b"])
+
+
+def ffn(lp_prefix: Params, x: jnp.ndarray) -> jnp.ndarray:
+    h = dense(x, lp_prefix["fc1_w"], lp_prefix["fc1_b"])
+    h = jax.nn.gelu(h, approximate=False)
+    return dense(h, lp_prefix["fc2_w"], lp_prefix["fc2_b"])
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+def encode(params: Params, dims: WhisperDims, mel: jnp.ndarray) -> jnp.ndarray:
+    """Whisper encoder: conv stem + transformer stack.
+
+    mel: (B, num_mel_bins, num_frames)  [HF layout]  ->  (B, max_source_positions, D)
+
+    Replaces the reference's HF ``WhisperEncoder`` call
+    (reference: whisper_medusa/models/model.py:113-129 -> HF modeling_whisper).
+    """
+    enc = params["encoder"]
+    x = jnp.swapaxes(mel, 1, 2).astype(enc["conv1_w"].dtype)  # (B, T, mel)
+    # Conv stem: k=3 pad=1 stride=1, then k=3 pad=1 stride=2, GELU after each.
+    dn = ("NWC", "WIO", "NWC")
+    x = lax.conv_general_dilated(x, enc["conv1_w"], (1,), [(1, 1)], dimension_numbers=dn)
+    x = jax.nn.gelu(x + enc["conv1_b"], approximate=False)
+    x = lax.conv_general_dilated(x, enc["conv2_w"], (2,), [(1, 1)], dimension_numbers=dn)
+    x = jax.nn.gelu(x + enc["conv2_b"], approximate=False)
+    x = x + enc["pos_embed"][None, : x.shape[1]]
+
+    nh = dims.encoder_attention_heads
+
+    def layer_fn(h, lp):
+        h = h + self_attn_full(lp["self"], layer_norm(h, lp["self_ln"]["scale"], lp["self_ln"]["bias"]), nh, causal=False)
+        h = h + ffn(lp, layer_norm(h, lp["ffn_ln"]["scale"], lp["ffn_ln"]["bias"]))
+        return h, None
+
+    x, _ = lax.scan(layer_fn, x, enc["layers"])
+    x = layer_norm(x, enc["ln_post"]["scale"], enc["ln_post"]["bias"])
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Decoder — teacher-forced (training / scoring)
+# ---------------------------------------------------------------------------
+
+class DecoderOutput(NamedTuple):
+    hidden: jnp.ndarray                 # (B, T, D) after final layer norm
+    penultimate: Optional[jnp.ndarray]  # (B, T, D) input to the last decoder layer
+    pre_norm: jnp.ndarray               # (B, T, D) before final layer norm
+    block_hidden: Optional[jnp.ndarray] = None  # (B, T, D) medusa-block layer output
+
+
+def decode_train(
+    params: Params,
+    dims: WhisperDims,
+    tokens: jnp.ndarray,            # (B, T) int32
+    enc_out: jnp.ndarray,           # (B, S, D)
+    collect_penultimate: bool = False,
+) -> DecoderOutput:
+    """Teacher-forced decoder pass over a full token sequence.
+
+    ``collect_penultimate`` exposes the hidden state entering the last decoder layer,
+    needed by the frozen-teacher KL path (reference: model.py:2031-2076 reruns a frozen
+    copy of the last decoder layer on ``decoder_hidden_states[-2]``).
+    """
+    dec = params["decoder"]
+    nh = dims.decoder_attention_heads
+    t = tokens.shape[1]
+    x = dec["embed_tokens"][tokens] + dec["pos_embed"][None, :t]
+
+    def layer_fn(h, lp):
+        h_in = h
+        h = h + self_attn_full(lp["self"], layer_norm(h, lp["self_ln"]["scale"], lp["self_ln"]["bias"]), nh, causal=True)
+        h = h + cross_attn_full(lp["cross"], layer_norm(h, lp["cross_ln"]["scale"], lp["cross_ln"]["bias"]), enc_out, nh)
+        h = h + ffn(lp, layer_norm(h, lp["ffn_ln"]["scale"], lp["ffn_ln"]["bias"]))
+        return h, h_in if collect_penultimate else None
+
+    x, layer_inputs = lax.scan(layer_fn, x, dec["layers"])
+    pre_norm = x
+    hidden = layer_norm(x, dec["ln_post"]["scale"], dec["ln_post"]["bias"])
+    penultimate = None
+    if collect_penultimate:
+        penultimate = layer_inputs[-1]  # input to last layer == output of layer L-1
+    return DecoderOutput(hidden=hidden, penultimate=penultimate, pre_norm=pre_norm)
+
+
+def project_logits(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
+    """Vocab projection through the tied embedding matrix, float32 accumulation.
+
+    The reference hits HF ``proj_out`` (tied to the token embedding) per head
+    (model.py:1277); here the projection is a single MXU-friendly matmul and callers
+    batch heads into the leading dims.
+    """
+    w = params["decoder"]["embed_tokens"]
+    return jnp.dot(hidden, w.T, preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Decoder — incremental with static KV cache
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class KVCache:
+    """Pre-allocated decoder cache.
+
+    self_k/self_v: (L, B, max_len, H, Dh) — written incrementally at per-example
+    offsets.  cross_k/cross_v: (L, B, S, H, Dh) — computed once at init.
+
+    Replaces HF ``EncoderDecoderCache``/legacy 4-tuples and the per-step concat
+    "cache surgery" of the reference (model.py:378-402) with fixed-slot writes.
+    """
+
+    self_k: jnp.ndarray
+    self_v: jnp.ndarray
+    cross_k: jnp.ndarray
+    cross_v: jnp.ndarray
+
+    @property
+    def max_len(self) -> int:
+        return self.self_k.shape[2]
+
+
+def init_cache(
+    params: Params,
+    dims: WhisperDims,
+    enc_out: jnp.ndarray,   # (B, S, D)
+    max_len: int,
+    extra_layers: int = 0,  # extra cache slots (e.g. the medusa block layer)
+) -> KVCache:
+    """Allocate the self-attn cache and precompute cross-attn K/V for all layers."""
+    b, s, d = enc_out.shape
+    nh = dims.decoder_attention_heads
+    hd = d // nh
+    nl = dims.decoder_layers + extra_layers
+    dtype = enc_out.dtype
+
+    layers = params["decoder"]["layers"]
+
+    def cross_kv(lp_cross):
+        k = _split_heads(dense(enc_out, lp_cross["k_w"]), nh)
+        v = _split_heads(dense(enc_out, lp_cross["v_w"], lp_cross["v_b"]), nh)
+        return k, v
+
+    cross_k, cross_v = jax.vmap(cross_kv)(layers["cross"])  # (L, B, S, H, Dh)
+    if extra_layers:
+        pad = [(0, extra_layers)] + [(0, 0)] * 4
+        cross_k = jnp.pad(cross_k, pad)
+        cross_v = jnp.pad(cross_v, pad)
+    return KVCache(
+        self_k=jnp.zeros((nl, b, max_len, nh, hd), dtype),
+        self_v=jnp.zeros((nl, b, max_len, nh, hd), dtype),
+        cross_k=cross_k,
+        cross_v=cross_v,
+    )
+
+
+def set_block_cross_kv(cache: KVCache, block_params: Params,
+                       enc_out: jnp.ndarray, num_heads: int) -> KVCache:
+    """Fill the last cache layer's cross K/V from the medusa-block layer params."""
+    k = _split_heads(dense(enc_out, block_params["cross"]["k_w"]), num_heads)
+    v = _split_heads(dense(enc_out, block_params["cross"]["v_w"],
+                           block_params["cross"]["v_b"]), num_heads)
+    return dataclasses.replace(
+        cache,
+        cross_k=cache.cross_k.at[-1].set(k),
+        cross_v=cache.cross_v.at[-1].set(v),
+    )
+
+
+def _write_cache_chunk(buf: jnp.ndarray, new: jnp.ndarray,
+                       offsets: jnp.ndarray) -> jnp.ndarray:
+    """Write (B, T, H, Dh) `new` into (B, max_len, H, Dh) `buf` at per-example offsets."""
+    def write_one(buf_b, new_b, off_b):
+        return lax.dynamic_update_slice(buf_b, new_b, (off_b, 0, 0))
+    return jax.vmap(write_one)(buf, new, offsets)
+
+
+def decoder_layer_step(
+    lp: Params,
+    h: jnp.ndarray,            # (B, T, D) current hidden
+    k_buf: jnp.ndarray,        # (B, max_len, H, Dh) cache slab for this layer
+    v_buf: jnp.ndarray,
+    cross_k: jnp.ndarray,      # (B, S, H, Dh)
+    cross_v: jnp.ndarray,
+    offsets: jnp.ndarray,      # (B,) int32 — first cache slot for this chunk
+    self_mask: jnp.ndarray,    # (B, 1, T, max_len) bool
+    num_heads: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One decoder layer over a chunk of T new tokens with cache update.
+
+    Returns (new_hidden, new_k_buf, new_v_buf).
+    """
+    head_dim = h.shape[-1] // num_heads
+    # Self attention.
+    sx = layer_norm(h, lp["self_ln"]["scale"], lp["self_ln"]["bias"])
+    q = _split_heads(dense(sx, lp["self"]["q_w"], lp["self"]["q_b"]), num_heads)
+    q = q * (head_dim ** -0.5)
+    k = _split_heads(dense(sx, lp["self"]["k_w"]), num_heads)
+    v = _split_heads(dense(sx, lp["self"]["v_w"], lp["self"]["v_b"]), num_heads)
+    k_buf = _write_cache_chunk(k_buf, k, offsets)
+    v_buf = _write_cache_chunk(v_buf, v, offsets)
+    attn_out = attention(q, k_buf, v_buf, self_mask)
+    h = h + dense(_merge_heads(attn_out), lp["self"]["o_w"], lp["self"]["o_b"])
+    # Cross attention (K/V precomputed).
+    cx = layer_norm(h, lp["cross_ln"]["scale"], lp["cross_ln"]["bias"])
+    cq = _split_heads(dense(cx, lp["cross"]["q_w"], lp["cross"]["q_b"]), num_heads)
+    cq = cq * (head_dim ** -0.5)
+    cross_out = attention(cq, cross_k, cross_v)
+    h = h + dense(_merge_heads(cross_out), lp["cross"]["o_w"], lp["cross"]["o_b"])
+    # FFN.
+    h = h + ffn(lp, layer_norm(h, lp["ffn_ln"]["scale"], lp["ffn_ln"]["bias"]))
+    return h, k_buf, v_buf
+
+
+def make_step_mask(
+    offsets: jnp.ndarray,        # (B,)
+    chunk_len: int,
+    max_len: int,
+    chunk_mask: Optional[jnp.ndarray] = None,  # (T, T) bool; None -> causal chain
+) -> jnp.ndarray:
+    """Build the (B, 1, T, max_len) self-attention mask for a decode chunk.
+
+    A key slot j is visible to query i of example b iff:
+      * j < offsets[b]                       (committed history), or
+      * j - offsets[b] in [0, T) and chunk_mask[i, j - offsets[b]]
+        (intra-chunk tree/causal structure).
+    Slots at/after offsets[b]+T are stale scratch and always masked.
+    """
+    if chunk_mask is None:
+        chunk_mask = jnp.tril(jnp.ones((chunk_len, chunk_len), jnp.bool_))
+    key_pos = lax.broadcasted_iota(jnp.int32, (1, 1, 1, max_len), 3)
+    off = offsets[:, None, None, None]
+    hist = key_pos < off
+    rel = key_pos - off                                    # (B,1,1,max_len)
+    in_chunk = (rel >= 0) & (rel < chunk_len)
+    rel_c = jnp.clip(rel, 0, chunk_len - 1)
+    # chunk_mask lookup: (T, T)[query, rel]  — broadcast query dim.
+    q_idx = lax.broadcasted_iota(jnp.int32, (1, 1, chunk_len, 1), 2)
+    intra = chunk_mask[q_idx, rel_c] & in_chunk
+    return hist | intra
+
+
+def decode_step(
+    params: Params,
+    dims: WhisperDims,
+    tokens: jnp.ndarray,          # (B, T) int32 chunk of new tokens
+    cache: KVCache,
+    offsets: jnp.ndarray,         # (B,) int32 current committed length per example
+    rel_positions: Optional[jnp.ndarray] = None,  # (T,) tree position ids; None=iota
+    chunk_mask: Optional[jnp.ndarray] = None,     # (T, T) ancestor mask; None=causal
+    block_params: Optional[Params] = None,        # medusa block layer (uses last cache slot)
+) -> Tuple[DecoderOutput, KVCache]:
+    """Incremental decoder pass over T new tokens.
+
+    This one function subsumes the reference's per-step forward *and* tree
+    verification forward (reference: model.py:639-648 and medusa_utils.py:461-523):
+    the chain/tree structure is expressed through ``rel_positions``/``chunk_mask``.
+    """
+    dec = params["decoder"]
+    nh = dims.decoder_attention_heads
+    b, t = tokens.shape
+
+    if rel_positions is None:
+        rel_positions = jnp.arange(t, dtype=jnp.int32)
+    abs_pos = offsets[:, None] + rel_positions[None, :]             # (B, T)
+    abs_pos = jnp.clip(abs_pos, 0, dims.max_target_positions - 1)
+    x = dec["embed_tokens"][tokens] + dec["pos_embed"][abs_pos]
+
+    self_mask = make_step_mask(offsets, t, cache.max_len, chunk_mask)
+
+    nl = dims.decoder_layers
+
+    def layer_fn(h, xs):
+        lp, k_buf, v_buf, ck, cv = xs
+        h, k_buf, v_buf = decoder_layer_step(
+            lp, h, k_buf, v_buf, ck, cv, offsets, self_mask, nh
+        )
+        return h, (k_buf, v_buf)
+
+    xs = (
+        dec["layers"],
+        cache.self_k[:nl], cache.self_v[:nl],
+        cache.cross_k[:nl], cache.cross_v[:nl],
+    )
+    x, (new_k, new_v) = lax.scan(layer_fn, x, xs)
+    pre_norm = x
+    hidden = layer_norm(x, dec["ln_post"]["scale"], dec["ln_post"]["bias"])
+
+    if cache.self_k.shape[0] > nl:
+        self_k = cache.self_k.at[:nl].set(new_k)
+        self_v = cache.self_v.at[:nl].set(new_v)
+    else:
+        self_k, self_v = new_k, new_v
+    new_cache = dataclasses.replace(cache, self_k=self_k, self_v=self_v)
+
+    block_hidden = None
+    if block_params is not None:
+        # Medusa-block extra decoder layer operating on the post-norm hidden state,
+        # with its own cache slot (reference: model.py:1349-1417).
+        bh, bk, bv = decoder_layer_step(
+            block_params, hidden,
+            new_cache.self_k[-1], new_cache.self_v[-1],
+            new_cache.cross_k[-1], new_cache.cross_v[-1],
+            offsets, self_mask, nh,
+        )
+        new_cache = dataclasses.replace(
+            new_cache,
+            self_k=new_cache.self_k.at[-1].set(bk),
+            self_v=new_cache.self_v.at[-1].set(bv),
+        )
+        block_hidden = bh
+
+    out = DecoderOutput(hidden=hidden, penultimate=None, pre_norm=pre_norm,
+                        block_hidden=block_hidden)
+    return out, new_cache
