@@ -1,0 +1,341 @@
+"""Fused on-device speculative (Medusa) decoding — one ``lax.while_loop``.
+
+This replaces the reference's Python-driven hot loop
+(reference: whisper_medusa/models/model.py:404-835 ``_medusa_greedy_search`` +
+medusa_utils.py:424-671) with a single fixed-shape loop that never syncs to the host.
+
+Key structural improvement over the reference (same emitted tokens, fewer FLOPs):
+the reference runs **two** decoder forwards per iteration — (1) base+draft forward on
+newly accepted tokens (model.py:639-648), then (2) a tree-verification forward
+(medusa_utils.py:461-523).  But forward (1) recomputes hidden states the verification
+pass already produced.  Here each iteration runs **one** decoder forward over the
+candidate tree; the Medusa heads are applied to the hidden state of the *accepted*
+node of that same forward, which yields the drafts (and the base/bonus token) for the
+next iteration for free.  Per-iteration commits are ``accept_length + 1`` tokens
+(draft prefix + bonus), so at zero acceptance it degrades exactly to vanilla
+one-token-per-forward decoding, and at full acceptance it emits K+1 tokens per forward
+(vs per *two* forwards in the reference).
+
+Token-parity guarantees (tested):
+  * Greedy Medusa decode == greedy vanilla decode, token for token, because the
+    acceptance rule only admits tokens equal to the argmax of the processed
+    verification logits (reference invariant, medusa_utils.py:546-560), and the
+    bonus/base token *is* that argmax.
+  * Logits processors are applied per-position (see decoding/processors.py) so the
+    invariant holds even with position-dependent processors active.
+
+Cache handling: tree-node K/V are written directly into the cache slots
+``[cur_len-1, cur_len-1+num_nodes)``.  For chain choices (the reference default) the
+accepted prefix is already contiguous — commit is free.  For branching trees the
+accepted path's slots are compacted with a gather (replacing the reference's per-step
+host-side concat surgery, model.py:378-402).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from whisper_medusa_tpu.config import GenerationConfig, WhisperDims
+from whisper_medusa_tpu.decoding.buffers import MedusaBuffers
+from whisper_medusa_tpu.decoding.processors import ProcessorConfig, apply_processors
+from whisper_medusa_tpu.models import medusa as medusa_mod
+from whisper_medusa_tpu.models import whisper
+from whisper_medusa_tpu.models.whisper import KVCache
+
+Params = Dict[str, Any]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SpecState:
+    tokens: jnp.ndarray    # (B, buf_len) committed tokens incl. the pending root
+    cur_len: jnp.ndarray   # (B,) committed length incl. pending root
+    finished: jnp.ndarray  # (B,) bool
+    cache: KVCache
+    chunk: jnp.ndarray     # (B, num_nodes) next candidate tree tokens (node 0 = root)
+    steps: jnp.ndarray     # () int32 — loop iterations executed
+    accepted: jnp.ndarray  # (B,) int32 — total accepted draft tokens (speedup metric)
+
+
+class SpecResult(NamedTuple):
+    tokens: jnp.ndarray    # (B, max_length) padded, EOS-backfilled
+    lengths: jnp.ndarray   # (B,) committed lengths (clipped to max_length)
+    steps: jnp.ndarray     # () decoder iterations (prefill excluded)
+    accepted: jnp.ndarray  # (B,) accepted draft tokens
+
+
+def _head_slice(medusa_params: Params, lo: int, hi: Optional[int]) -> Params:
+    h = medusa_params["heads"]
+    return {"heads": {"w": h["w"][lo:hi], "b": h["b"][lo:hi]}}
+
+
+def _base_logits_fn(variant: str, params: Params,
+                    medusa_params: Optional[Params]):
+    """Per-variant base (verification) logits from decoder hidden states.
+
+    ``base_head`` (Linear): logits = proj(head0(hidden)) — head 0 is the learned
+    re-projection acting as the base head (reference: model.py:1274-1284).
+    ``medusa_block`` / vanilla: logits = proj(hidden) (reference: model.py:1287-1288).
+    """
+    if variant == "base_head":
+        head0 = _head_slice(medusa_params, 0, 1)
+
+        def fn(hidden):
+            h0 = medusa_mod.apply_heads(head0, hidden)[0]
+            return whisper.project_logits(params, h0)
+    else:
+        def fn(hidden):
+            return whisper.project_logits(params, hidden)
+    return fn
+
+
+def _compact_tree_cache(cache: KVCache, offsets: jnp.ndarray,
+                        path_nodes: jnp.ndarray) -> KVCache:
+    """Gather the accepted path's K/V slots into contiguous positions.
+
+    offsets: (B,) chunk base slot; path_nodes: (B, Lv) node indices of the best path.
+    Replaces reference cache surgery (model.py:378-402) with on-device slot copies.
+    """
+    lv = path_nodes.shape[1]
+
+    def fix(buf):  # (L, B, S, H, Dh)
+        def per_example(buf_b, off_b, nodes_b):  # (L, S, H, Dh)
+            src = jnp.take(buf_b, off_b + nodes_b, axis=1)  # (L, Lv, H, Dh)
+            return lax.dynamic_update_slice(buf_b, src, (0, off_b, 0, 0))
+        return jax.vmap(per_example, in_axes=(1, 0, 0), out_axes=1)(
+            buf, offsets, path_nodes)
+
+    return dataclasses.replace(
+        cache, self_k=fix(cache.self_k), self_v=fix(cache.self_v))
+
+
+def _greedy_accept(chunk, proc_argmax, retrieve):
+    """Greedy longest-prefix-match acceptance (reference: medusa_utils.py:546-560)."""
+    ptok = chunk[:, retrieve]                       # (B, P, Lv)
+    pnxt = proc_argmax[:, retrieve]                 # (B, P, Lv)
+    match = (ptok[:, :, 1:] == pnxt[:, :, :-1]).astype(jnp.int32)
+    acc_len = jnp.cumprod(match, axis=-1).sum(-1)   # (B, P)
+    best = jnp.argmax(acc_len, axis=-1)             # ties -> first (matches torch)
+    accept = jnp.max(acc_len, axis=-1)
+    return best.astype(jnp.int32), accept.astype(jnp.int32), ptok, pnxt
+
+
+def _typical_accept(chunk, proc_logits, retrieve, temperature,
+                    posterior_threshold, posterior_alpha):
+    """Typical-acceptance rule (reference: medusa_utils.py:561-588).
+
+    Uses processed verification logits; tie-break among max-accept paths by
+    accumulated log-likelihood.
+    """
+    ptok = chunk[:, retrieve]                       # (B, P, Lv)
+    # Log-probs at each path node (all but the leaf predict the next path token).
+    plog = proc_logits[
+        jnp.arange(chunk.shape[0])[:, None, None], retrieve[None, :, :-1]
+    ]                                               # (B, P, Lv-1, V)
+    probs = jax.nn.softmax(plog / temperature, axis=-1)
+    cand_prob = jnp.take_along_axis(
+        probs, ptok[:, :, 1:, None], axis=-1)[..., 0]           # (B, P, Lv-1)
+    entropy = -jnp.sum(probs * jnp.log(probs + 1e-5), axis=-1)  # (B, P, Lv-1)
+    threshold = jnp.minimum(
+        jnp.float32(posterior_threshold),
+        jnp.exp(-entropy) * jnp.float32(posterior_alpha),
+    )
+    mask = (cand_prob > threshold).astype(jnp.int32)
+    acc_len = jnp.cumprod(mask, axis=-1).sum(-1)                # (B, P)
+    max_acc = jnp.max(acc_len, axis=-1, keepdims=True)
+    idx = jnp.arange(cand_prob.shape[-1])
+    likelihood = jnp.sum(
+        jnp.where(idx[None, None] < acc_len[..., None],
+                  jnp.log(cand_prob + 1e-30), 0.0),
+        axis=-1,
+    )
+    score = jnp.where(acc_len == max_acc, likelihood, -jnp.inf)
+    best = jnp.argmax(score, axis=-1)
+    accept = max_acc[:, 0]
+    # argmax over processed logits still drives the bonus token (greedy base).
+    proc_argmax = jnp.argmax(proc_logits, axis=-1).astype(jnp.int32)
+    pnxt = proc_argmax[:, retrieve]
+    return best.astype(jnp.int32), accept.astype(jnp.int32), ptok, pnxt
+
+
+def speculative_generate(
+    params: Params,
+    medusa_params: Optional[Params],
+    dims: WhisperDims,
+    buffers: MedusaBuffers,
+    pcfg: ProcessorConfig,
+    gen: GenerationConfig,
+    enc_out: jnp.ndarray,       # (B, S, D)
+    prompt: jnp.ndarray,        # (B, T0) int32 init tokens (same for all examples)
+    variant: str = "vanilla",   # "vanilla" | "base_head" | "medusa_block"
+) -> SpecResult:
+    """Run the fused speculative decode loop.  Pure function; jit/pjit-able.
+
+    With ``variant="vanilla"`` (or no medusa params / single-node buffers) this *is*
+    the vanilla greedy loop: one token per forward through the identical code path —
+    the speedup baseline (SURVEY §7 step 2).
+    """
+    b, t0 = prompt.shape
+    eos = gen.eos_token_id
+    pad = gen.pad_token_id
+    max_length = gen.max_length
+    num_heads = buffers.num_levels - 1
+    n_nodes = buffers.num_nodes
+    lv = buffers.num_levels
+    greedy = gen.temperature == 0.0
+
+    tree_idx = jnp.asarray(buffers.tree_indices)
+    pos_ids = jnp.asarray(buffers.position_ids)
+    retrieve = jnp.asarray(buffers.retrieve_indices)
+    chunk_mask = jnp.asarray(buffers.attn_mask) if not buffers.is_chain else None
+
+    block = medusa_params.get("block") if (
+        medusa_params is not None and variant == "medusa_block") else None
+    base_fn = _base_logits_fn(variant, params, medusa_params)
+
+    # Draft heads: linear variant -> heads 1..K (head 0 is the base);
+    # block variant -> all heads, applied to the block layer output.
+    if num_heads > 0:
+        if variant == "base_head":
+            draft_params = _head_slice(medusa_params, 1, None)
+        elif variant == "medusa_block":
+            draft_params = _head_slice(medusa_params, 0, None)
+        else:
+            raise ValueError(f"variant {variant!r} has no draft heads")
+    else:
+        draft_params = None
+
+    buf_len = max_length + lv + 1
+    cache_len = max_length + n_nodes + 1
+
+    def drafts_to_chunk(root, hidden_acc, new_len):
+        """Build the next candidate tree from head logits at the accepted position."""
+        if draft_params is None:
+            return root[:, None]
+        head_out = medusa_mod.apply_heads(draft_params, hidden_acc)  # (K, B, D)
+        head_logits = whisper.project_logits(params, head_out)       # (K, B, V)
+        head_logits = jnp.swapaxes(head_logits, 0, 1)                # (B, K, V)
+        draft_pos = new_len[:, None] + jnp.arange(1, num_heads + 1)[None, :]
+        dproc = apply_processors(head_logits, draft_pos, pcfg)
+        flat = [root[:, None]]
+        for l in range(1, lv):
+            k = buffers.choices[l]
+            _, top = lax.top_k(dproc[:, l - 1], k)
+            flat.append(top.astype(jnp.int32))
+        flat = jnp.concatenate(flat, axis=1)       # (B, sum(choices))
+        return flat[:, tree_idx]                   # (B, num_nodes)
+
+    # ---------------- prefill ----------------
+    cache = whisper.init_cache(
+        params, dims, enc_out, cache_len,
+        extra_layers=1 if block is not None else 0)
+    if block is not None:
+        cache = whisper.set_block_cross_kv(
+            cache, block, enc_out, dims.decoder_attention_heads)
+    out, cache = whisper.decode_step(
+        params, dims, prompt, cache, jnp.zeros((b,), jnp.int32),
+        block_params=block)
+    h_last = out.hidden[:, -1]                                   # (B, D)
+    base = base_fn(h_last)                                       # (B, V) f32
+    proc = apply_processors(base, jnp.full((b,), t0, jnp.int32), pcfg)
+    root0 = jnp.argmax(proc, axis=-1).astype(jnp.int32)
+
+    tokens = jnp.full((b, buf_len), pad, jnp.int32)
+    tokens = lax.dynamic_update_slice(tokens, prompt, (0, 0))
+    tokens = tokens.at[:, t0].set(root0)
+    cur_len = jnp.full((b,), t0 + 1, jnp.int32)
+    finished = (root0 == eos) | (cur_len + num_heads >= max_length)
+
+    h_draft = out.block_hidden[:, -1] if block is not None else h_last
+    chunk0 = drafts_to_chunk(root0, h_draft, cur_len)
+
+    state = SpecState(
+        tokens=tokens, cur_len=cur_len, finished=finished, cache=cache,
+        chunk=chunk0, steps=jnp.int32(0), accepted=jnp.zeros((b,), jnp.int32),
+    )
+
+    # ---------------- loop ----------------
+    def cond(s: SpecState):
+        return jnp.any(~s.finished)
+
+    def body(s: SpecState) -> SpecState:
+        offsets = s.cur_len - 1
+        out, cache = whisper.decode_step(
+            params, dims, s.chunk, s.cache, offsets,
+            rel_positions=pos_ids, chunk_mask=chunk_mask, block_params=block)
+        hidden = out.hidden                                   # (B, N, D)
+        base = base_fn(hidden)                                # (B, N, V)
+        pred_pos = s.cur_len[:, None] + pos_ids[None, :]
+        proc = apply_processors(base, pred_pos, pcfg)
+
+        if greedy:
+            nxt = jnp.argmax(proc, axis=-1).astype(jnp.int32)
+            best, accept, ptok, pnxt = _greedy_accept(s.chunk, nxt, retrieve)
+        else:
+            best, accept, ptok, pnxt = _typical_accept(
+                s.chunk, proc, retrieve, gen.temperature,
+                gen.posterior_threshold, gen.posterior_alpha)
+
+        take_best = lambda a: jnp.take_along_axis(
+            a, best[:, None, None], axis=1)[:, 0]            # (B, Lv)
+        best_tok = take_best(ptok)
+        best_nxt = take_best(pnxt)
+        best_nodes = jnp.take(retrieve, best, axis=0)        # (B, Lv)
+        bonus = jnp.take_along_axis(best_nxt, accept[:, None], axis=1)[:, 0]
+
+        # Committed window: accepted drafts then the bonus token, padded out.
+        idx = jnp.arange(lv)[None, :]
+        shifted = jnp.concatenate(
+            [best_tok[:, 1:], jnp.zeros((b, 1), jnp.int32)], axis=1)
+        window = jnp.where(
+            idx < accept[:, None], shifted,
+            jnp.where(idx == accept[:, None], bonus[:, None], pad))
+
+        write = jax.vmap(
+            lambda buf, w, off: lax.dynamic_update_slice(buf, w, (off,)))(
+            s.tokens, window, s.cur_len)
+        tokens = jnp.where(s.finished[:, None], s.tokens, write)
+
+        ncommit = jnp.where(s.finished, 0, accept + 1)
+        new_len = s.cur_len + ncommit
+        eos_hit = jnp.any((window == eos) & (idx <= accept[:, None]), axis=-1)
+        finished = s.finished | eos_hit | (new_len + num_heads >= max_length)
+
+        if not buffers.is_chain:
+            cache = _compact_tree_cache(cache, offsets, best_nodes)
+
+        # Drafts for the next iteration from the accepted node's hidden state.
+        acc_node = jnp.take_along_axis(best_nodes, accept[:, None], axis=1)[:, 0]
+        hsrc = out.block_hidden if block is not None else hidden
+        h_acc = jnp.take_along_axis(
+            hsrc, acc_node[:, None, None], axis=1)[:, 0]     # (B, D)
+        chunk = drafts_to_chunk(bonus, h_acc, new_len)
+
+        return SpecState(
+            tokens=tokens, cur_len=new_len, finished=finished, cache=cache,
+            chunk=chunk, steps=s.steps + 1,
+            accepted=s.accepted + jnp.where(s.finished, 0, accept),
+        )
+
+    state = lax.while_loop(cond, body, state)
+
+    # ---------------- finalize ----------------
+    tokens = state.tokens[:, :max_length]
+    pos = jnp.arange(max_length)[None, :]
+    lengths = jnp.minimum(state.cur_len, max_length)
+    tokens = jnp.where(pos < lengths[:, None], tokens, pad)
+    # EOS backfill: everything after the first EOS becomes EOS
+    # (reference: model.py:798-810).
+    is_eos = tokens == eos
+    has_eos = jnp.any(is_eos, axis=-1)
+    first = jnp.argmax(is_eos, axis=-1)
+    tokens = jnp.where((has_eos[:, None]) & (pos > first[:, None]), eos, tokens)
+    return SpecResult(tokens=tokens, lengths=lengths,
+                      steps=state.steps, accepted=state.accepted)
