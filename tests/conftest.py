@@ -1,8 +1,13 @@
-"""Test configuration: force a virtual 8-device CPU mesh before JAX initializes.
+"""Test configuration: force a *local* virtual 8-device CPU mesh.
 
 Multi-device sharding tests run without TPU hardware via
 ``--xla_force_host_platform_device_count`` (SURVEY §4 — the reference has no tests at
 all; this harness is the framework's own test strategy).
+
+Note: this environment ships a sitecustomize that force-registers a remote-TPU
+("axon") PJRT plugin regardless of ``JAX_PLATFORMS``; ``jax.config.update`` after
+import is the reliable way to pin tests to the in-process CPU backend (device
+transfers through the remote tunnel are orders of magnitude slower).
 """
 
 import os
@@ -14,3 +19,7 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

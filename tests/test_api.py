@@ -1,0 +1,76 @@
+"""Public API tests: from_random / generate / save / load round-trips.
+
+Covers the reference surface of WhisperMedusaModel.from_pretrained/.generate
+(reference: whisper_medusa/models/model.py:213-291, 1419-1451, README.md:102-141)
+including batched generation (the reference asserts batch 1 — we don't)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from whisper_medusa_tpu.config import tiny_test_config
+from whisper_medusa_tpu.models.api import WhisperMedusaModel
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = tiny_test_config(vocab_size=51865, medusa_num_heads=3)
+    return WhisperMedusaModel.from_random(cfg, seed=0)
+
+
+def _feats(cfg, b=2, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.normal(
+        size=(b, cfg.dims.num_mel_bins, cfg.dims.num_frames)).astype(np.float32)
+
+
+def test_generate_batched(tiny_model):
+    out = tiny_model.generate(_feats(tiny_model.config), language="en",
+                              max_length=24)
+    assert out.sequences.shape[0] == 2
+    # Prompt is [sot, lang, task, notimestamps].
+    assert (out.sequences[:, 0] == 50258).all()
+    assert (out.sequences[:, 1] == 50259).all()
+    assert (out.sequences[:, 2] == 50359).all()
+    assert out.steps > 0
+
+
+def test_generate_language_detection(tiny_model):
+    out = tiny_model.generate(_feats(tiny_model.config), language=None,
+                              max_length=16)
+    assert out.detected_language is not None
+    assert len(out.detected_language) == 2
+
+
+def test_disable_medusa_matches_medusa_tokens(tiny_model):
+    """disable_medusa (reference forward kwarg, model.py:1241) -> vanilla loop;
+    for the block variant the base model is identical so tokens must agree.
+    For base_head the base is head0 so vanilla-whisper differs by design."""
+    cfg = tiny_test_config(vocab_size=51865, medusa_num_heads=3,
+                           medusa_heads_type="medusa_block")
+    model = WhisperMedusaModel.from_random(cfg, seed=1)
+    f = _feats(cfg, seed=1)
+    a = model.generate(f, language="en", max_length=24)
+    b = model.generate(f, language="en", max_length=24, disable_medusa=True)
+    for i in range(2):
+        n = int(min(a.lengths[i], b.lengths[i]))
+        np.testing.assert_array_equal(a.sequences[i, :n], b.sequences[i, :n])
+
+
+def test_save_load_roundtrip(tiny_model, tmp_path):
+    path = str(tmp_path / "ckpt")
+    tiny_model.save_pretrained(path)
+    loaded = WhisperMedusaModel.from_pretrained(path)
+    f = _feats(tiny_model.config, seed=3)
+    a = tiny_model.generate(f, language="en", max_length=16)
+    b = loaded.generate(f, language="en", max_length=16)
+    np.testing.assert_array_equal(a.sequences, b.sequences)
+
+
+def test_unsupported_surfaces_raise(tiny_model):
+    f = _feats(tiny_model.config)
+    with pytest.raises(NotImplementedError):
+        tiny_model.generate(f, language="en", return_timestamps=True)
+    with pytest.raises(NotImplementedError):
+        tiny_model.generate(f, language="en", num_beams=2)

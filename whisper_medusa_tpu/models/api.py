@@ -1,0 +1,369 @@
+"""Public model API: ``WhisperMedusaModel`` — load, generate, save.
+
+Mirrors the reference's user-facing surface (reference: whisper_medusa/models/
+model.py:213-291 ``WhisperMedusaModel.from_pretrained`` / ``.generate`` — usage shown
+in README.md:102-141) on top of the TPU-native engine:
+
+  * ``from_pretrained`` loads either this framework's own checkpoints
+    (config.json + params.safetensors) or a reference torch checkpoint directory
+    (converted on the fly).
+  * ``generate`` performs the audio-level orchestration of reference
+    model.py:1419-1840: 30 s shortform framing, language detection / language+task
+    init tokens, logits-processor setup, temperature-fallback ladder, EOS padding —
+    but batched (the reference asserts batch size 1, model.py:1451) and with the whole
+    decode loop jitted on device.
+  * Longform (>30 s) raises ``NotImplementedError`` exactly like the reference
+    (model.py:1214, 1840).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import zlib
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whisper_medusa_tpu.config import (
+    EOS_TOKEN_ID,
+    NO_TIMESTAMPS_ID,
+    SOT_TOKEN_ID,
+    TASK_TRANSCRIBE_ID,
+    TASK_TRANSLATE_ID,
+    FIRST_LANGUAGE_TOKEN_ID,
+    WHISPER_LANGUAGES,
+    GenerationConfig,
+    ModelConfig,
+    language_token_id,
+)
+from whisper_medusa_tpu.decoding.buffers import MedusaBuffers, generate_medusa_buffers
+from whisper_medusa_tpu.decoding.processors import ProcessorConfig
+from whisper_medusa_tpu.decoding.speculative import SpecResult, speculative_generate
+from whisper_medusa_tpu.models import convert, medusa as medusa_mod, whisper
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass
+class GenerateOutput:
+    sequences: np.ndarray          # (B, <=max_length) int32, EOS backfilled
+    lengths: np.ndarray            # (B,)
+    steps: int                     # decoder loop iterations (last fallback round)
+    accepted: np.ndarray           # (B,) accepted draft tokens
+    mean_accept_length: float      # accepted drafts per step — *the* speedup metric
+    detected_language: Optional[List[str]] = None
+
+
+class WhisperMedusaModel:
+    """Functional-core / thin-OO-shell model wrapper."""
+
+    def __init__(self, config: ModelConfig, params: Params):
+        self.config = config
+        self.params = params            # {"whisper": ..., "medusa": ...}
+        self._jit_cache: Dict[Any, Any] = {}
+
+    # ------------------------------------------------------------------ loading
+    @classmethod
+    def from_pretrained(cls, path: str, dtype: Optional[str] = None) -> "WhisperMedusaModel":
+        """Load from a framework checkpoint dir or a reference torch checkpoint dir."""
+        if os.path.isfile(os.path.join(path, "config.json")):
+            with open(os.path.join(path, "config.json")) as f:
+                raw = json.load(f)
+        else:
+            raise FileNotFoundError(f"no config.json under {path}")
+        if "dims" in raw:  # our format
+            config = ModelConfig.from_dict(raw)
+            if dtype:
+                config = config.replace(param_dtype=dtype)
+            jdt = jnp.dtype(config.param_dtype)
+            from safetensors.numpy import load_file
+
+            flat = load_file(os.path.join(path, "params.safetensors"))
+            params = _unflatten(flat, jdt)
+            return cls(config, params)
+        # Reference/HF MedusaConfig format (reference: config_and_args.py:17-62).
+        config = _config_from_hf_dict(raw)
+        if dtype:
+            config = config.replace(param_dtype=dtype)
+        sd = convert.load_state_dict(path)
+        params = convert.from_medusa_checkpoint(
+            sd, config, jnp.dtype(config.param_dtype))
+        return cls(config, params)
+
+    @classmethod
+    def from_random(cls, config: ModelConfig, seed: int = 0) -> "WhisperMedusaModel":
+        """Fresh model: random Whisper + identity-init Medusa heads
+        (reference: get_model(), model.py:2079-2097, when no checkpoint exists)."""
+        r1, r2 = jax.random.split(jax.random.PRNGKey(seed))
+        dt = jnp.dtype(config.param_dtype)
+        wp = whisper.init_whisper_params(r1, config.dims, dt)
+        mp = medusa_mod.init_medusa_params(r2, config.dims, config.medusa, wp, dt)
+        return cls(config, {"whisper": wp, "medusa": mp})
+
+    def save_pretrained(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        self.config.save(path)
+        from safetensors.numpy import save_file
+
+        save_file(_flatten(self.params), os.path.join(path, "params.safetensors"))
+
+    # ----------------------------------------------------------------- encoding
+    def encode(self, input_features: jnp.ndarray) -> jnp.ndarray:
+        fn = self._cached(
+            "encode",
+            lambda: jax.jit(partial(whisper.encode, dims=self.config.dims)),
+        )
+        dt = jnp.dtype(self.config.compute_dtype)
+        return fn(self.params["whisper"], mel=input_features.astype(dt))
+
+    def detect_language(self, enc_out: jnp.ndarray) -> np.ndarray:
+        """Single decoder step from <|sot|>, restricted to language tokens
+        (HF ``detect_language`` semantics, used by reference generate via
+        ``_retrieve_init_tokens``)."""
+        fn = self._cached("detect_lang", lambda: jax.jit(
+            partial(_detect_language, dims=self.config.dims)))
+        return np.asarray(fn(self.params["whisper"], enc_out))
+
+    # ----------------------------------------------------------------- generate
+    def generate(
+        self,
+        input_features: Union[np.ndarray, jnp.ndarray],
+        language: Optional[Union[str, Sequence[str]]] = None,
+        task: str = "transcribe",
+        max_length: Optional[int] = None,
+        medusa_choices: Optional[Sequence[int]] = None,
+        disable_medusa: bool = False,
+        exponential_decay_length_penalty: Optional[Tuple[int, float]] = None,
+        temperature: Union[float, Sequence[float]] = 0.0,
+        compression_ratio_threshold: Optional[float] = None,
+        logprob_threshold: Optional[float] = None,
+        suppress_tokens: Optional[Sequence[int]] = "default",
+        begin_suppress_tokens: Optional[Sequence[int]] = "default",
+        return_timestamps: bool = False,
+        num_beams: int = 1,
+    ) -> GenerateOutput:
+        """Transcribe a batch of 30 s mel segments.
+
+        Mirrors reference ``generate`` kwargs that are live
+        (language / exponential_decay_length_penalty: README.md:116-137); the
+        reference's NotImplementedError surfaces are preserved: timestamps
+        (model.py:1171-1175), beam search (model.py:1153-1156), longform
+        (model.py:1214).
+        """
+        if return_timestamps:
+            raise NotImplementedError(
+                "return_timestamps is not supported with medusa for now")
+        if num_beams != 1:
+            raise NotImplementedError("Only greedy-style decoding is supported")
+        cfg = self.config
+        feats = jnp.asarray(input_features)
+        if feats.ndim == 2:
+            feats = feats[None]
+        b, n_mels, n_frames = feats.shape
+        if n_mels != cfg.dims.num_mel_bins:
+            raise ValueError(f"expected {cfg.dims.num_mel_bins} mel bins, got {n_mels}")
+        if n_frames > cfg.dims.num_frames:
+            raise NotImplementedError("Longform generation is not supported yet")
+        if n_frames < cfg.dims.num_frames:
+            feats = jnp.pad(feats, ((0, 0), (0, 0),
+                                    (0, cfg.dims.num_frames - n_frames)))
+
+        enc_out = self.encode(feats)
+
+        # --- init tokens: [<|sot|>, <|lang|>, <|task|>, <|notimestamps|>] ---
+        detected = None
+        if language is None:
+            lang_ids = self.detect_language(enc_out)
+            detected = [
+                WHISPER_LANGUAGES[i - FIRST_LANGUAGE_TOKEN_ID] for i in lang_ids
+            ]
+        elif isinstance(language, str):
+            lang_ids = np.full((b,), language_token_id(language), np.int64)
+        else:
+            if len(language) != b:
+                raise ValueError("per-example language list length != batch size")
+            lang_ids = np.array([language_token_id(l) for l in language])
+        task_id = TASK_TRANSCRIBE_ID if task == "transcribe" else TASK_TRANSLATE_ID
+        prompt = np.stack([
+            np.full((b,), SOT_TOKEN_ID),
+            lang_ids,
+            np.full((b,), task_id),
+            np.full((b,), NO_TIMESTAMPS_ID),
+        ], axis=1).astype(np.int32)
+
+        # --- configs ---
+        max_length = max_length or cfg.dims.max_target_positions
+        sup = tuple(suppress_tokens) if suppress_tokens not in (None, "default") else (
+            GenerationConfig().suppress_tokens if suppress_tokens == "default" else None)
+        bsup = tuple(begin_suppress_tokens) if begin_suppress_tokens not in (None, "default") else (
+            GenerationConfig().begin_suppress_tokens if begin_suppress_tokens == "default" else None)
+        pcfg = ProcessorConfig(
+            vocab_size=cfg.dims.vocab_size,
+            suppress_tokens=sup,
+            begin_suppress_tokens=bsup,
+            begin_index=prompt.shape[1],
+            exponential_decay_length_penalty=(
+                tuple(exponential_decay_length_penalty)
+                if exponential_decay_length_penalty else None),
+            eos_token_id=EOS_TOKEN_ID,
+        )
+        if disable_medusa:
+            choices: Tuple[int, ...] = (1,)
+            variant = "vanilla"
+        else:
+            choices = tuple(medusa_choices or cfg.medusa.medusa_choices)
+            variant = cfg.medusa.medusa_heads_type
+
+        temps = (temperature,) if isinstance(temperature, (int, float)) else tuple(temperature)
+
+        result = None
+        keep = np.zeros((b,), bool)
+        final_tokens = None
+        for t_i, temp in enumerate(temps):
+            gen = GenerationConfig(
+                max_length=max_length,
+                temperature=float(temp),
+                suppress_tokens=sup,
+                begin_suppress_tokens=bsup,
+            )
+            result = self._run_decode(choices, variant, pcfg, gen, enc_out,
+                                      jnp.asarray(prompt))
+            toks = np.asarray(result.tokens)
+            if final_tokens is None:
+                final_tokens = toks.copy()
+                lengths = np.asarray(result.lengths).copy()
+            else:
+                final_tokens[~keep] = toks[~keep]
+                lengths[~keep] = np.asarray(result.lengths)[~keep]
+            ok = ~_needs_fallback(
+                toks, np.asarray(result.lengths), prompt.shape[1],
+                compression_ratio_threshold)
+            keep |= ok
+            if keep.all() or t_i == len(temps) - 1:
+                break
+
+        mean_acc = float(np.asarray(result.accepted).sum()) / max(int(result.steps), 1)
+        return GenerateOutput(
+            sequences=final_tokens,
+            lengths=lengths,
+            steps=int(result.steps),
+            accepted=np.asarray(result.accepted),
+            mean_accept_length=mean_acc,
+            detected_language=detected,
+        )
+
+    # ------------------------------------------------------------------ helpers
+    def _run_decode(self, choices, variant, pcfg, gen, enc_out, prompt) -> SpecResult:
+        key = ("decode", choices, variant, pcfg, gen, enc_out.shape, prompt.shape)
+        if key not in self._jit_cache:
+            buffers = generate_medusa_buffers(choices)
+            medusa_params = None if variant == "vanilla" else self.params["medusa"]
+            fn = jax.jit(partial(
+                speculative_generate,
+                dims=self.config.dims, buffers=buffers, pcfg=pcfg, gen=gen,
+                variant=variant,
+            ))
+            self._jit_cache[key] = (fn, medusa_params)
+        fn, medusa_params = self._jit_cache[key]
+        return fn(self.params["whisper"], medusa_params,
+                  enc_out=enc_out, prompt=prompt)
+
+    def _cached(self, key, build):
+        if key not in self._jit_cache:
+            self._jit_cache[key] = build()
+        return self._jit_cache[key]
+
+
+# ---------------------------------------------------------------------------
+
+
+def _detect_language(params, enc_out, dims):
+    b = enc_out.shape[0]
+    sot = jnp.full((b, 1), SOT_TOKEN_ID, jnp.int32)
+    out = whisper.decode_train(params, dims, sot, enc_out)
+    logits = whisper.project_logits(params, out.hidden[:, -1])
+    lang_lo = FIRST_LANGUAGE_TOKEN_ID
+    lang_hi = FIRST_LANGUAGE_TOKEN_ID + len(WHISPER_LANGUAGES)
+    mask = (jnp.arange(logits.shape[-1]) >= lang_lo) & (
+        jnp.arange(logits.shape[-1]) < lang_hi)
+    logits = jnp.where(mask, logits, -jnp.inf)
+    return jnp.argmax(logits, axis=-1)
+
+
+def _needs_fallback(tokens, lengths, prompt_len, compression_ratio_threshold):
+    """Quality gate for the temperature ladder (reference: model.py:1929-1969
+    delegating to HF ``_need_fallback``; compression-ratio criterion)."""
+    b = tokens.shape[0]
+    bad = np.zeros((b,), bool)
+    if compression_ratio_threshold is None:
+        return bad
+    for i in range(b):
+        seq = tokens[i, prompt_len: lengths[i]].astype(np.int32).tobytes()
+        if len(seq) == 0:
+            continue
+        ratio = len(seq) / max(len(zlib.compress(seq)), 1)
+        bad[i] = ratio > compression_ratio_threshold
+    return bad
+
+
+def _config_from_hf_dict(raw: dict) -> ModelConfig:
+    """Build a ModelConfig from a reference/HF MedusaConfig json dict."""
+    from whisper_medusa_tpu.config import MedusaConfig, WhisperDims
+
+    dims = WhisperDims(
+        vocab_size=raw.get("vocab_size", 51865),
+        num_mel_bins=raw.get("num_mel_bins", 80),
+        d_model=raw.get("d_model", 1280),
+        encoder_layers=raw.get("encoder_layers", 32),
+        encoder_attention_heads=raw.get("encoder_attention_heads", 20),
+        decoder_layers=raw.get("decoder_layers", 32),
+        decoder_attention_heads=raw.get("decoder_attention_heads", 20),
+        encoder_ffn_dim=raw.get("encoder_ffn_dim", 5120),
+        decoder_ffn_dim=raw.get("decoder_ffn_dim", 5120),
+        max_source_positions=raw.get("max_source_positions", 1500),
+        max_target_positions=raw.get("max_target_positions", 448),
+    )
+    n_heads = raw.get("medusa_num_heads", 10)
+    medusa = MedusaConfig(
+        medusa_num_heads=n_heads,
+        medusa_num_layers=raw.get("medusa_num_layers", 1),
+        medusa_hidden_size=raw.get("medusa_hidden_size", dims.d_model),
+        medusa_choices=tuple(raw.get("medusa_choices", [1] * (n_heads + 1))),
+        medusa_heads_type=raw.get("medusa_heads_type", "base_head"),
+        medusa_loss_on_original=raw.get("medusa_loss_on_original", False),
+        medusa_kl_loss=raw.get("medusa_kl_loss", False),
+        medusa_kl_weight=raw.get("medusa_kl_weight", 0.0),
+        output_whisper_original=raw.get("output_whisper_original", False),
+    )
+    return ModelConfig(dims=dims, medusa=medusa,
+                       whisper_model_name=raw.get("whisper_model_name",
+                                                  "openai/whisper-large-v2"))
+
+
+def _flatten(tree: Params, prefix: str = "") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    for k, v in tree.items():
+        key = f"{prefix}{k}" if not prefix else f"{prefix}/{k}"
+        if isinstance(v, dict):
+            out.update(_flatten(v, key))
+        else:
+            # Copy: np views of JAX buffers can alias (identical constants are
+            # deduplicated by the runtime) which corrupts safetensors serialization.
+            out[key] = np.array(v, copy=True)
+    return out
+
+
+def _unflatten(flat: Dict[str, np.ndarray], dtype) -> Params:
+    tree: Params = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(v, dtype)
+    return tree
