@@ -65,6 +65,13 @@ def init_medusa_params(
         last = jax.tree.map(lambda a: a[-1].astype(dtype),
                             whisper_params["decoder"]["layers"])
         params["block"] = last
+    if medusa.output_whisper_original:
+        # Frozen copy of the last decoder layer for KL-teacher replay
+        # (reference: model.py:2018-2029).
+        if whisper_params is None:
+            raise ValueError("output_whisper_original init requires whisper params")
+        params["teacher_layer"] = jax.tree.map(
+            lambda a: a[-1].astype(dtype), whisper_params["decoder"]["layers"])
     return params
 
 

@@ -207,6 +207,22 @@ def ffn(lp_prefix: Params, x: jnp.ndarray) -> jnp.ndarray:
 # Encoder
 # ---------------------------------------------------------------------------
 
+def decoder_layer_full(lp: Params, x: jnp.ndarray, enc_out: jnp.ndarray,
+                       num_heads: int) -> jnp.ndarray:
+    """One full-sequence decoder layer (causal self + cross + ffn).
+
+    Used for the medusa-block extra layer and the frozen-teacher replay layer in
+    teacher-forced training (reference: model.py:1382-1393, 2062-2073)."""
+    h = x + self_attn_full(
+        lp["self"], layer_norm(x, lp["self_ln"]["scale"], lp["self_ln"]["bias"]),
+        num_heads, causal=True)
+    h = h + cross_attn_full(
+        lp["cross"], layer_norm(h, lp["cross_ln"]["scale"], lp["cross_ln"]["bias"]),
+        enc_out, num_heads)
+    h = h + ffn(lp, layer_norm(h, lp["ffn_ln"]["scale"], lp["ffn_ln"]["bias"]))
+    return h
+
+
 def encode(params: Params, dims: WhisperDims, mel: jnp.ndarray) -> jnp.ndarray:
     """Whisper encoder: conv stem + transformer stack.
 

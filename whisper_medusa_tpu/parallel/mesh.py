@@ -1,0 +1,146 @@
+"""Device-mesh parallelism: DP + TP shardings over ICI via GSPMD.
+
+The reference has no parallelism of its own — DP/ZeRO arrive via HF accelerate and
+NCCL (SURVEY §2.3; reference: medusa_trainer_cls.py:142-156, model.py:947-951).
+The TPU-native replacement: a ``jax.sharding.Mesh`` with axes ``("data", "model")``;
+parameters/activations carry ``NamedSharding`` annotations and XLA's SPMD partitioner
+inserts the collectives (all-gather/psum/reduce-scatter) over ICI.  There is no
+"synced_gpus" problem to patch around: every device runs the same fixed-shape
+``lax.while_loop`` program.
+
+Sharding rules (whisper-large is the target):
+  * batch axis of activations/features  -> "data"
+  * attention head projections (q/k/v out-dim, o in-dim)  -> "model"
+  * FFN hidden dim (fc1 out, fc2 in)  -> "model"
+  * token embedding / vocab projection rows  -> "model"  (the 51865-row matrix is
+    the single biggest weight; sharding it also shards the logits matmul)
+  * everything small (layernorms, convs, positional embeddings, medusa heads)
+    replicated.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+Params = Dict[str, Any]
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    dp: Optional[int] = None,
+    tp: Optional[int] = None,
+    devices=None,
+) -> Mesh:
+    """Build a (data, model) mesh.  Defaults: tp = largest divisor of n <= 4."""
+    devices = devices if devices is not None else jax.devices()
+    n = n_devices or len(devices)
+    devices = devices[:n]
+    if dp is None and tp is None:
+        tp = 1
+        for cand in (8, 4, 2):
+            if n % cand == 0:
+                tp = cand
+                break
+        dp = n // tp
+    elif dp is None:
+        dp = n // tp
+    elif tp is None:
+        tp = n // dp
+    if dp * tp != n:
+        raise ValueError(f"dp*tp={dp * tp} != n_devices={n}")
+    dev_array = np.asarray(devices).reshape(dp, tp)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def _attn_spec(prefix: str) -> Dict[str, P]:
+    # q/k/v project d -> d(heads): shard the head (output) dim; o projects back:
+    # shard the input dim.  Stacked layer axis stays unsharded.
+    return {
+        "q_w": P(None, None, MODEL_AXIS),
+        "q_b": P(None, MODEL_AXIS),
+        "k_w": P(None, None, MODEL_AXIS),
+        "v_w": P(None, None, MODEL_AXIS),
+        "v_b": P(None, MODEL_AXIS),
+        "o_w": P(None, MODEL_AXIS, None),
+        "o_b": P(None, None),
+    }
+
+
+def _layer_specs() -> Dict[str, Any]:
+    reps2 = {"scale": P(None, None), "bias": P(None, None)}
+    return {
+        "self_ln": reps2,
+        "self": _attn_spec("self"),
+        "cross_ln": reps2,
+        "cross": _attn_spec("cross"),
+        "ffn_ln": reps2,
+        "fc1_w": P(None, None, MODEL_AXIS),
+        "fc1_b": P(None, MODEL_AXIS),
+        "fc2_w": P(None, MODEL_AXIS, None),
+        "fc2_b": P(None, None),
+    }
+
+
+def whisper_param_specs(params: Params) -> Params:
+    """PartitionSpec pytree matching a whisper params pytree."""
+    enc_layers = {k: v for k, v in _layer_specs().items()
+                  if k not in ("cross", "cross_ln")}
+    specs = {
+        "encoder": {
+            "conv1_w": P(), "conv1_b": P(),
+            "conv2_w": P(), "conv2_b": P(),
+            "pos_embed": P(),
+            "layers": enc_layers,
+            "ln_post": {"scale": P(), "bias": P()},
+        },
+        "decoder": {
+            "embed_tokens": P(MODEL_AXIS, None),
+            "pos_embed": P(),
+            "layers": _layer_specs(),
+            "ln_post": {"scale": P(), "bias": P()},
+        },
+    }
+    return specs
+
+
+def medusa_param_specs(medusa_params: Params) -> Params:
+    specs: Params = {"heads": {"w": P(), "b": P()}}
+    if "block" in medusa_params:
+        block = dict(_layer_specs())
+        block = jax.tree.map(
+            lambda p: P(*p[1:]) if isinstance(p, P) else p, block,
+            is_leaf=lambda x: isinstance(x, P))
+        specs["block"] = block
+    if "teacher_layer" in medusa_params:
+        specs["teacher_layer"] = specs.get("block") or jax.tree.map(
+            lambda p: P(*p[1:]) if isinstance(p, P) else p, dict(_layer_specs()),
+            is_leaf=lambda x: isinstance(x, P))
+    return specs
+
+
+def model_param_specs(params: Params) -> Params:
+    specs: Params = {"whisper": whisper_param_specs(params["whisper"])}
+    if "medusa" in params:
+        specs["medusa"] = medusa_param_specs(params["medusa"])
+    return specs
+
+
+def shard_params(params: Params, mesh: Mesh) -> Params:
+    """Place a params pytree onto the mesh with the standard TP shardings."""
+    specs = model_param_specs(params) if "whisper" in params else \
+        whisper_param_specs(params)
+    return jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), params, specs,
+        is_leaf=lambda x: not isinstance(x, dict))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading batch axis over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))

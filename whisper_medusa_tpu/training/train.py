@@ -1,0 +1,240 @@
+"""Teacher-forced Medusa training: forward, freeze policies, train step.
+
+Replaces the reference training path (reference: whisper_medusa/models/model.py:1223-
+1347 forward-with-labels, model.py:133-177 freeze policies, utils/medusa_trainer_cls.py
+``MedusaTrainer``) with a pure JAX loss function + optax, pjit-able over a device mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from whisper_medusa_tpu.config import ModelConfig
+from whisper_medusa_tpu.models import medusa as medusa_mod
+from whisper_medusa_tpu.models import whisper
+from whisper_medusa_tpu.training import losses as losses_mod
+
+Params = Dict[str, Any]
+
+FREEZE_POLICIES = ("whisper", "all_but_last")
+
+
+def shift_tokens_right(labels: jnp.ndarray, pad_token_id: int,
+                       decoder_start_token_id: int) -> jnp.ndarray:
+    """labels -> decoder_input_ids (HF semantics used by reference medusa_forward,
+    model.py:107-111): prepend start token, drop last, -100 -> pad."""
+    shifted = jnp.concatenate(
+        [jnp.full((labels.shape[0], 1), decoder_start_token_id, labels.dtype),
+         labels[:, :-1]], axis=1)
+    return jnp.where(shifted == losses_mod.IGNORE_INDEX, pad_token_id, shifted)
+
+
+class TrainForwardOut(NamedTuple):
+    loss: jnp.ndarray
+    per_head_ce: jnp.ndarray
+    per_head_kl: Optional[jnp.ndarray]
+    valid_heads: jnp.ndarray
+    stack_logits: jnp.ndarray     # (H+1, B, T, V) — always includes base at 0
+
+
+def medusa_train_forward(
+    params: Params,               # {"whisper": ..., "medusa": ...}
+    config: ModelConfig,
+    input_features: jnp.ndarray,  # (B, n_mels, frames)
+    labels: jnp.ndarray,          # (B, T) with -100 padding
+    decoder_input_ids: Optional[jnp.ndarray] = None,
+) -> TrainForwardOut:
+    """Full teacher-forced forward with stacked head logits + loss.
+
+    Mirrors reference ``WhisperMedusaModel.forward`` with labels
+    (model.py:1223-1347): base+heads logits stacked, per-head shifted CE, optional
+    KL vs detached base logits or the frozen-teacher replay logits
+    (``output_whisper_original``, model.py:2031-2076).
+    """
+    dims = config.dims
+    med = config.medusa
+    wp, mp = params["whisper"], params["medusa"]
+
+    if decoder_input_ids is None:
+        decoder_input_ids = shift_tokens_right(
+            labels, pad_token_id=50257, decoder_start_token_id=50258)
+
+    enc_out = whisper.encode(wp, dims, input_features)
+    need_teacher = med.output_whisper_original
+    dec = whisper.decode_train(wp, dims, decoder_input_ids, enc_out,
+                               collect_penultimate=need_teacher)
+    nh = dims.decoder_attention_heads
+
+    if med.medusa_heads_type == "base_head":
+        head_out = medusa_mod.apply_heads(mp, dec.hidden)   # (H+1, B, T, D)
+        stack = whisper.project_logits(wp, head_out)        # (H+1, B, T, V) f32
+        base_logits = stack[0]
+    else:
+        base_logits = whisper.project_logits(wp, dec.hidden)
+        block_out = whisper.decoder_layer_full(mp["block"], dec.hidden, enc_out, nh)
+        head_out = medusa_mod.apply_heads(mp, block_out)    # (H, B, T, D)
+        head_logits = whisper.project_logits(wp, head_out)
+        stack = jnp.concatenate([base_logits[None], head_logits], axis=0)
+
+    # CE (reference model.py:1303-1331).
+    ce_input = stack if med.medusa_loss_on_original else stack[1:]
+    per_head_ce, valid = losses_mod.medusa_cross_entropy(
+        ce_input, labels, med.medusa_loss_on_original)
+
+    per_head_kl = None
+    loss = jnp.sum(jnp.where(valid, per_head_ce, 0.0)) / jnp.maximum(
+        jnp.sum(valid), 1)
+    if med.medusa_kl_loss:
+        if need_teacher:
+            # Frozen replay of the (possibly fine-tuned) last decoder layer's
+            # *original* weights on the penultimate hidden state
+            # (reference: model.py:2031-2076).
+            teacher_h = whisper.decoder_layer_full(
+                mp["teacher_layer"], dec.penultimate, enc_out, nh)
+            teacher_h = whisper.layer_norm(
+                teacher_h, wp["decoder"]["ln_post"]["scale"],
+                wp["decoder"]["ln_post"]["bias"])
+            teacher_logits = whisper.project_logits(wp, teacher_h)
+        else:
+            teacher_logits = base_logits
+        per_head_kl = losses_mod.medusa_kl(
+            ce_input, jax.lax.stop_gradient(teacher_logits),
+            med.medusa_kl_weight, med.medusa_loss_on_original)
+        loss = loss + jnp.mean(per_head_kl)
+
+    return TrainForwardOut(loss=loss, per_head_ce=per_head_ce,
+                           per_head_kl=per_head_kl, valid_heads=valid,
+                           stack_logits=stack)
+
+
+# ---------------------------------------------------------------------------
+# Freeze policies (reference: model.py:49-52, 133-177, 2015-2016)
+# ---------------------------------------------------------------------------
+
+def trainable_mask(params: Params, policy: Optional[str]) -> Params:
+    """Multiplicative gradient mask implementing the reference freeze policies.
+
+      * ``"whisper"``       — freeze the whole backbone; train heads (+block).
+      * ``"all_but_last"``  — additionally train the *last* decoder layer
+                              (expressed as a per-layer 0/1 vector on the stacked
+                              layer axis — no per-layer module split needed).
+      * ``None``            — train everything.
+    The frozen-teacher replay layer is always frozen (model.py:2028-2029).
+    """
+    if policy is not None and policy not in FREEZE_POLICIES:
+        raise ValueError(
+            f"parts_to_freeze {policy!r} is not supported, select from "
+            f"{list(FREEZE_POLICIES)}")
+
+    def ones(tree):
+        return jax.tree.map(lambda a: jnp.float32(1.0), tree)
+
+    def zeros(tree):
+        return jax.tree.map(lambda a: jnp.float32(0.0), tree)
+
+    mask: Params = {"whisper": ones(params["whisper"]),
+                    "medusa": ones(params["medusa"])}
+    if "teacher_layer" in params["medusa"]:
+        mask["medusa"]["teacher_layer"] = zeros(params["medusa"]["teacher_layer"])
+    if policy is None:
+        return mask
+
+    mask["whisper"] = zeros(params["whisper"])
+    if policy == "all_but_last":
+        dec_layers = params["whisper"]["decoder"]["layers"]
+
+        def last_layer_only(a):
+            n_layers = a.shape[0]
+            m = jnp.zeros((n_layers,) + (1,) * (a.ndim - 1), jnp.float32)
+            return m.at[-1].set(1.0)
+
+        mask["whisper"]["decoder"]["layers"] = jax.tree.map(
+            last_layer_only, dec_layers)
+    return mask
+
+
+def apply_mask(grads: Params, mask: Params) -> Params:
+    return jax.tree.map(lambda g, m: g * m.astype(g.dtype), grads, mask)
+
+
+# ---------------------------------------------------------------------------
+# Optimizer + train step
+# ---------------------------------------------------------------------------
+
+def make_optimizer(
+    name: str = "adafactor",
+    lr: float = 1e-4,
+    warmup_steps: int = 100,
+    total_steps: int = 10000,
+    schedule: str = "linear",
+    gradient_accumulation_steps: int = 1,
+) -> optax.GradientTransformation:
+    """Optimizer matching the reference's Seq2SeqTrainingArguments surface
+    (reference: config_and_args.py:65-95 — adafactor default, warmup, linear lr)."""
+    if schedule == "linear":
+        sched = optax.join_schedules(
+            [optax.linear_schedule(0.0, lr, warmup_steps),
+             optax.linear_schedule(lr, 0.0, max(total_steps - warmup_steps, 1))],
+            [warmup_steps])
+    elif schedule == "constant":
+        sched = optax.join_schedules(
+            [optax.linear_schedule(0.0, lr, warmup_steps),
+             optax.constant_schedule(lr)], [warmup_steps])
+    else:
+        raise ValueError(f"unknown lr schedule {schedule!r}")
+    if name == "adafactor":
+        opt = optax.adafactor(learning_rate=sched)
+    elif name == "adamw":
+        opt = optax.adamw(learning_rate=sched, weight_decay=0.0)
+    else:
+        raise ValueError(f"unknown optimizer {name!r}")
+    if gradient_accumulation_steps > 1:
+        opt = optax.MultiSteps(opt, gradient_accumulation_steps)
+    return opt
+
+
+class TrainState(NamedTuple):
+    params: Params
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_train_step(config: ModelConfig, optimizer: optax.GradientTransformation,
+                    freeze_policy: Optional[str]):
+    """Build the jittable train step.  The gradient mask is computed once from the
+    param structure and closed over (static)."""
+
+    def train_step(state: TrainState, input_features, labels):
+        mask = trainable_mask(state.params, freeze_policy)
+
+        def loss_fn(p):
+            out = medusa_train_forward(p, config, input_features, labels)
+            return out.loss, out
+
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        grads = apply_mask(grads, mask)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, "per_head_ce": out.per_head_ce,
+                   "valid_heads": out.valid_heads}
+        if out.per_head_kl is not None:
+            metrics["per_head_kl"] = out.per_head_kl
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step
+
+
+def init_train_state(params: Params, optimizer) -> TrainState:
+    return TrainState(params=params, opt_state=optimizer.init(params),
+                      step=jnp.int32(0))
+
+
+def eval_loss(config: ModelConfig, params: Params, input_features, labels):
+    out = medusa_train_forward(params, config, input_features, labels)
+    return out.loss, out.per_head_ce
