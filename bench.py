@@ -1,0 +1,127 @@
+"""Benchmark: Medusa speculative decode vs vanilla greedy decode on real TPU.
+
+Prints ONE JSON line:
+  {"metric": "decode_speedup_vs_vanilla_greedy", "value": S, "unit": "x",
+   "vs_baseline": S / 1.49}
+
+Baseline: the reference's published Medusa-Linear speedup on LibriSpeech test-clean
+is 1.49x over vanilla Whisper greedy (BASELINE.md; reference README.md:34-35).
+
+Setup mirrors the reference's headline configuration structurally: whisper-large-v2
+dimensions, 10 Medusa heads (chain choices = 11 ones), batch 1, greedy decoding,
+bf16 params.  Weights are random and heads are identity-initialized (no trained
+checkpoint is reachable from this environment — zero egress), so the measured mean
+accept length reflects the identity-head draft behavior on the model's own greedy
+trajectory; both paths are full end-to-end decodes through the same engine.
+EOS is suppressed so both loops run to the length cap (fixed work).
+
+Secondary diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    from whisper_medusa_tpu.config import (EOS_TOKEN_ID, GenerationConfig,
+                                           ModelConfig)
+    from whisper_medusa_tpu.decoding.buffers import generate_medusa_buffers
+    from whisper_medusa_tpu.decoding.processors import ProcessorConfig
+    from whisper_medusa_tpu.decoding.speculative import speculative_generate
+    from whisper_medusa_tpu.models import medusa as medusa_mod
+    from whisper_medusa_tpu.models import whisper
+    from whisper_medusa_tpu.ops import mel as mel_mod
+    from whisper_medusa_tpu.ops.mel_pallas import log_mel_spectrogram_pallas
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({dev.platform})")
+    on_tpu = dev.platform == "tpu"
+
+    config = ModelConfig(param_dtype="bfloat16", compute_dtype="bfloat16")
+    dims = config.dims
+    r1, r2 = jax.random.split(jax.random.PRNGKey(0))
+    t0 = time.perf_counter()
+    wp = whisper.init_whisper_params(r1, dims, jnp.bfloat16)
+    mp = medusa_mod.init_medusa_params(r2, dims, config.medusa, wp, jnp.bfloat16)
+    jax.block_until_ready((wp, mp))
+    log(f"param init: {time.perf_counter() - t0:.1f}s")
+
+    # ---- audio frontend (pallas kernel) ----
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(0.1 * rng.normal(size=(1, mel_mod.N_SAMPLES)), jnp.float32)
+    feats = log_mel_spectrogram_pallas(wav).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(10):
+        feats = log_mel_spectrogram_pallas(wav).block_until_ready()
+    log(f"mel frontend (pallas): {(time.perf_counter() - t0) / 10 * 1e3:.2f} ms")
+
+    # ---- encoder ----
+    enc_fn = jax.jit(lambda p, m: whisper.encode(p, dims, m))
+    feats = feats.astype(jnp.bfloat16)
+    enc = enc_fn(wp, feats).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(5):
+        enc = enc_fn(wp, feats).block_until_ready()
+    log(f"encoder: {(time.perf_counter() - t0) / 5 * 1e3:.1f} ms")
+
+    # ---- decode loops ----
+    prompt = jnp.asarray([[50258, 50259, 50359, 50363]], jnp.int32)
+    max_length = 260                       # 256 generated tokens from prompt 4
+    pcfg = ProcessorConfig(
+        vocab_size=dims.vocab_size,
+        suppress_tokens=(EOS_TOKEN_ID,),   # fixed-length run: never stop on EOS
+        begin_suppress_tokens=None,
+        begin_index=prompt.shape[1],
+        eos_token_id=EOS_TOKEN_ID,
+    )
+    gen = GenerationConfig(max_length=max_length)
+
+    def timed(buffers, variant, medusa_params, label, iters=5):
+        fn = jax.jit(lambda w, m, e, p: speculative_generate(
+            w, m, dims, buffers, pcfg, gen, e, p, variant=variant))
+        res = fn(wp, medusa_params, enc, prompt)
+        jax.block_until_ready(res.tokens)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            res = fn(wp, medusa_params, enc, prompt)
+            jax.block_until_ready(res.tokens)
+        dt = (time.perf_counter() - t0) / iters
+        new_tokens = int(res.lengths[0]) - prompt.shape[1]
+        steps = int(res.steps)
+        log(f"{label}: {dt * 1e3:.1f} ms, {new_tokens} tokens, {steps} steps, "
+            f"{new_tokens / dt:.1f} tok/s, "
+            f"accept/step={int(res.accepted.sum()) / max(steps, 1):.2f}")
+        return new_tokens / dt, dt, new_tokens, steps
+
+    van_tps, *_ = timed(generate_medusa_buffers([1]), "vanilla", None, "vanilla greedy")
+    med_tps, _, _, med_steps = timed(
+        generate_medusa_buffers(config.medusa.medusa_choices), "base_head", mp,
+        "medusa-linear (10 heads)")
+
+    speedup = med_tps / van_tps
+    log(f"speedup: {speedup:.3f}x  (vanilla {van_tps:.1f} tok/s, "
+        f"medusa {med_tps:.1f} tok/s)")
+    if not on_tpu:
+        log("WARNING: not on TPU — numbers are not meaningful")
+
+    print(json.dumps({
+        "metric": "decode_speedup_vs_vanilla_greedy",
+        "value": round(speedup, 4),
+        "unit": "x",
+        "vs_baseline": round(speedup / 1.49, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

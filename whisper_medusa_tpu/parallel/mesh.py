@@ -43,11 +43,14 @@ def make_mesh(
     n = n_devices or len(devices)
     devices = devices[:n]
     if dp is None and tp is None:
-        tp = 1
-        for cand in (8, 4, 2):
-            if n % cand == 0:
-                tp = cand
-                break
+        # Prefer a 2D mesh (both axes active) so DP collectives and TP sharding
+        # are both exercised: n=8 -> (2,4), n=4 -> (2,2), n=2 -> (1,2).
+        if n % 8 == 0:
+            tp = 4
+        elif n % 2 == 0:
+            tp = 2
+        else:
+            tp = 1
         dp = n // tp
     elif dp is None:
         dp = n // tp
