@@ -33,6 +33,14 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def fetch(x):
+    """Force completion by fetching one element to the host.
+
+    ``block_until_ready`` is a no-op through this environment's remote-TPU tunnel,
+    so timing must round-trip a value."""
+    return np.asarray(jax.tree.leaves(x)[0].ravel()[0])
+
+
 def main():
     from whisper_medusa_tpu.config import (EOS_TOKEN_ID, GenerationConfig,
                                            ModelConfig)
@@ -60,20 +68,26 @@ def main():
     # ---- audio frontend (pallas kernel) ----
     rng = np.random.default_rng(0)
     wav = jnp.asarray(0.1 * rng.normal(size=(1, mel_mod.N_SAMPLES)), jnp.float32)
-    feats = log_mel_spectrogram_pallas(wav).block_until_ready()
+    feats = log_mel_spectrogram_pallas(wav)
+    fetch(feats)
+    rtt0 = time.perf_counter(); fetch(feats); rtt = time.perf_counter() - rtt0
+    log(f"tunnel fetch RTT: {rtt * 1e3:.1f} ms")
     t0 = time.perf_counter()
     for _ in range(10):
-        feats = log_mel_spectrogram_pallas(wav).block_until_ready()
-    log(f"mel frontend (pallas): {(time.perf_counter() - t0) / 10 * 1e3:.2f} ms")
+        feats = log_mel_spectrogram_pallas(wav)
+    fetch(feats)
+    log(f"mel frontend (pallas): {(time.perf_counter() - t0) / 10 * 1e3:.2f} ms/call (10 calls incl. 1 fetch)")
 
     # ---- encoder ----
     enc_fn = jax.jit(lambda p, m: whisper.encode(p, dims, m))
     feats = feats.astype(jnp.bfloat16)
-    enc = enc_fn(wp, feats).block_until_ready()
+    enc = enc_fn(wp, feats)
+    fetch(enc)
     t0 = time.perf_counter()
     for _ in range(5):
-        enc = enc_fn(wp, feats).block_until_ready()
-    log(f"encoder: {(time.perf_counter() - t0) / 5 * 1e3:.1f} ms")
+        enc = enc_fn(wp, feats)
+    fetch(enc)
+    log(f"encoder: {(time.perf_counter() - t0) / 5 * 1e3:.1f} ms/call (5 calls incl. 1 fetch)")
 
     # ---- decode loops ----
     prompt = jnp.asarray([[50258, 50259, 50359, 50363]], jnp.int32)
@@ -91,11 +105,11 @@ def main():
         fn = jax.jit(lambda w, m, e, p: speculative_generate(
             w, m, dims, buffers, pcfg, gen, e, p, variant=variant))
         res = fn(wp, medusa_params, enc, prompt)
-        jax.block_until_ready(res.tokens)
+        fetch(res.tokens)
         t0 = time.perf_counter()
         for _ in range(iters):
             res = fn(wp, medusa_params, enc, prompt)
-            jax.block_until_ready(res.tokens)
+            fetch(res.tokens)
         dt = (time.perf_counter() - t0) / iters
         new_tokens = int(res.lengths[0]) - prompt.shape[1]
         steps = int(res.steps)

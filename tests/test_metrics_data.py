@@ -141,3 +141,25 @@ def test_trainer_loop_with_checkpoint_resume(tmp_path):
     tr2 = MedusaTrainer(cfg, params, args, batch_iter(), eval_iter_fn=batch_iter)
     assert tr2.restore_checkpoint()
     assert int(tr2.state.step) == 4
+
+
+def test_native_audio_matches_python(tmp_path):
+    """C++ decoder/resampler vs stdlib/scipy path."""
+    from whisper_medusa_tpu.data import native
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    p = tmp_path / "n.wav"
+    _write_wav(p, sr=22050, secs=0.7)
+    nat, sr_n = native.load_wav(str(p))
+    ref, sr_p = ds_mod._load_wav_py(str(p))
+    assert sr_n == sr_p == 22050
+    np.testing.assert_allclose(nat, ref, atol=1e-6)
+
+    got = native.resample(nat, 22050, 16000)
+    want = ds_mod.resample(ref, 22050, 16000)
+    assert abs(len(got) - len(want)) <= 2
+    n = min(len(got), len(want))
+    # Different windowed-sinc implementations; compare energy + coarse waveform.
+    err = np.abs(got[200:n-200] - want[200:n-200]).mean()
+    assert err < 0.02, err

@@ -33,7 +33,23 @@ IGNORE_INDEX = -100
 
 
 def load_wav(path: str) -> tuple[np.ndarray, int]:
-    """Read a PCM WAV file to float32 mono (stdlib; no torchaudio/libsox)."""
+    """Read a PCM WAV file to float32 mono.
+
+    Uses the native C++ decoder (data/native.py -> native/audio_io.cpp) when the
+    toolchain is available — the role torchaudio's libsox plays for the reference —
+    with a stdlib fallback."""
+    from whisper_medusa_tpu.data import native
+
+    if native.available():
+        try:
+            return native.load_wav(path)
+        except Exception:
+            pass
+    return _load_wav_py(path)
+
+
+def _load_wav_py(path: str) -> tuple[np.ndarray, int]:
+    """Stdlib WAV decode fallback."""
     with wave.open(path, "rb") as w:
         sr = w.getframerate()
         n = w.getnframes()

@@ -1,0 +1,69 @@
+"""Profiling / tracing helpers (SURVEY §5: the reference has none — not even
+timers for its headline speedup metric; reference eval measures WER only,
+eval_whisper_medusa.py).
+
+Provides: jax.profiler trace capture, simple wall-clock stage timers, and a
+decode-throughput report used by bench.py and the eval CLI.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import time
+from dataclasses import dataclass, field
+from typing import Dict, Iterator, Optional
+
+import jax
+
+
+@contextlib.contextmanager
+def trace(log_dir: str) -> Iterator[None]:
+    """Capture an XLA/TPU profiler trace viewable in TensorBoard/Perfetto."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+@dataclass
+class StageTimer:
+    """Accumulating wall-clock stage timer with block_until_ready semantics."""
+
+    totals: Dict[str, float] = field(default_factory=dict)
+    counts: Dict[str, int] = field(default_factory=dict)
+
+    @contextlib.contextmanager
+    def stage(self, name: str, sync=None) -> Iterator[None]:
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            if sync is not None:
+                jax.block_until_ready(sync)
+            self.totals[name] = self.totals.get(name, 0.0) + time.perf_counter() - t0
+            self.counts[name] = self.counts.get(name, 0) + 1
+
+    def report(self) -> Dict[str, Dict[str, float]]:
+        return {
+            k: {"total_s": self.totals[k], "count": self.counts[k],
+                "mean_ms": 1e3 * self.totals[k] / max(self.counts[k], 1)}
+            for k in self.totals
+        }
+
+    def dump(self) -> str:
+        return json.dumps(self.report(), indent=2)
+
+
+def decode_report(new_tokens: int, steps: int, accepted: int,
+                  wall_s: float) -> Dict[str, float]:
+    """Throughput + acceptance stats — mean accept length is *the* speedup driver
+    (collected but never surfaced by the reference, model.py:633,705)."""
+    return {
+        "tokens_per_second": new_tokens / max(wall_s, 1e-9),
+        "tokens_per_step": new_tokens / max(steps, 1),
+        "mean_accept_length": accepted / max(steps, 1),
+        "decoder_steps": steps,
+        "wall_clock_s": wall_s,
+    }
