@@ -101,9 +101,10 @@ def main():
     )
     gen = GenerationConfig(max_length=max_length)
 
-    def timed(buffers, variant, medusa_params, label, iters=5):
+    def timed(buffers, variant, medusa_params, label, iters=5, corruption=0.0):
         fn = jax.jit(lambda w, m, e, p: speculative_generate(
-            w, m, dims, buffers, pcfg, gen, e, p, variant=variant))
+            w, m, dims, buffers, pcfg, gen, e, p, variant=variant,
+            draft_corruption=corruption))
         res = fn(wp, medusa_params, enc, prompt)
         fetch(res.tokens)
         t0 = time.perf_counter()
@@ -113,24 +114,40 @@ def main():
         dt = (time.perf_counter() - t0) / iters
         new_tokens = int(res.lengths[0]) - prompt.shape[1]
         steps = int(res.steps)
+        accept = int(res.accepted.sum()) / max(steps, 1)
         log(f"{label}: {dt * 1e3:.1f} ms, {new_tokens} tokens, {steps} steps, "
-            f"{new_tokens / dt:.1f} tok/s, "
-            f"accept/step={int(res.accepted.sum()) / max(steps, 1):.2f}")
-        return new_tokens / dt, dt, new_tokens, steps
+            f"{new_tokens / dt:.1f} tok/s, accept/step={accept:.2f}")
+        return new_tokens / dt, accept
 
-    van_tps, *_ = timed(generate_medusa_buffers([1]), "vanilla", None, "vanilla greedy")
-    med_tps, _, _, med_steps = timed(
-        generate_medusa_buffers(config.medusa.medusa_choices), "base_head", mp,
-        "medusa-linear (10 heads)")
+    medusa_buffers = generate_medusa_buffers(config.medusa.medusa_choices)
+    van_tps, _ = timed(generate_medusa_buffers([1]), "vanilla", None,
+                       "vanilla greedy")
 
-    speedup = med_tps / van_tps
-    log(f"speedup: {speedup:.3f}x  (vanilla {van_tps:.1f} tok/s, "
-        f"medusa {med_tps:.1f} tok/s)")
+    # Speedup-vs-accept-rate curve: draft corruption pins the acceptance rate
+    # (output-invariant — see decoding/speculative.py).  The headline is the point
+    # closest to 2.0 accepted drafts/step, the operating point implied by the
+    # reference's published 1.49x (its loop commits E[accept]+1(+1) tokens per two
+    # forwards; 1.49x at ~equal per-forward cost implies E[accept] ~= 2).
+    curve = []
+    for corr in (0.0, 0.3, 0.5, 0.8, 1.0):
+        tps, accept = timed(medusa_buffers, "base_head", mp,
+                            f"medusa-10-heads corruption={corr}",
+                            corruption=corr)
+        curve.append((corr, accept, tps, tps / van_tps))
+    log("curve (corruption, accept/step, tok/s, speedup): "
+        + ", ".join(f"({c:.1f}, {a:.2f}, {t:.0f}, {s:.2f}x)"
+                    for c, a, t, s in curve))
+
+    headline = min(curve, key=lambda r: abs(r[1] - 2.0))
+    speedup = headline[3]
+    log(f"headline: speedup {speedup:.3f}x at accept/step={headline[1]:.2f} "
+        f"(vanilla {van_tps:.1f} tok/s); best-case "
+        f"{curve[0][3]:.2f}x at accept/step={curve[0][1]:.2f}")
     if not on_tpu:
         log("WARNING: not on TPU — numbers are not meaningful")
 
     print(json.dumps({
-        "metric": "decode_speedup_vs_vanilla_greedy",
+        "metric": "decode_speedup_vs_vanilla_greedy_at_accept2",
         "value": round(speedup, 4),
         "unit": "x",
         "vs_baseline": round(speedup / 1.49, 4),

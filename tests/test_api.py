@@ -74,3 +74,16 @@ def test_unsupported_surfaces_raise(tiny_model):
         tiny_model.generate(f, language="en", return_timestamps=True)
     with pytest.raises(NotImplementedError):
         tiny_model.generate(f, language="en", num_beams=2)
+
+
+def test_logprob_threshold_fallback_scoring(tiny_model):
+    """avg-logprob scoring pass + fallback gate (reference _need_fallback path)."""
+    f = _feats(tiny_model.config, seed=5)
+    out = tiny_model.generate(f, language="en", max_length=20,
+                              temperature=(0.0, 0.5),
+                              logprob_threshold=-1e9)  # never triggers
+    assert out.sequences.shape[0] == 2
+    out2 = tiny_model.generate(f, language="en", max_length=20,
+                               temperature=(0.0, 0.5),
+                               logprob_threshold=1e9)  # always triggers -> ladder
+    assert out2.sequences.shape[0] == 2

@@ -224,3 +224,34 @@ def test_acceptance_matches_reference_rule(temperature):
         assert int(accept[0]) == ra, f"accept mismatch trial {trial}"
         if ra > 0:
             assert int(best[0]) == rb, f"best mismatch trial {trial}"
+
+
+@pytest.mark.parametrize("corruption", [0.4, 1.0])
+def test_output_invariant_under_draft_corruption(corruption):
+    """Corrupting drafts changes throughput, never tokens — the acceptance rule
+    guarantees it (and this pins the bench.py accept-rate knob as sound)."""
+    cfg, params, medusa_params = make_model("base_head", perturb_heads=0.0)
+    gen = gen_cfg()
+    rng = np.random.default_rng(7)
+    mel = jnp.asarray(
+        rng.normal(size=(2, cfg.dims.num_mel_bins, 2 * cfg.dims.max_source_positions)),
+        jnp.float32)
+    enc = whisper.encode(params, cfg.dims, mel)
+    prompt = jnp.asarray(np.tile(rng.integers(6, cfg.dims.vocab_size, (1, 3)), (2, 1)),
+                         jnp.int32)
+    pcfg = pcfg_for(cfg, 3)
+    buffers = generate_medusa_buffers(cfg.medusa.medusa_choices)
+
+    clean = speculative_generate(params, medusa_params, cfg.dims, buffers, pcfg,
+                                 gen, enc, prompt, variant="base_head")
+    noisy = speculative_generate(params, medusa_params, cfg.dims, buffers, pcfg,
+                                 gen, enc, prompt, variant="base_head",
+                                 draft_corruption=corruption)
+    lc, ln = np.asarray(clean.lengths), np.asarray(noisy.lengths)
+    for i in range(2):
+        n = int(min(lc[i], ln[i]))
+        np.testing.assert_array_equal(
+            np.asarray(clean.tokens)[i, :n], np.asarray(noisy.tokens)[i, :n])
+    if corruption == 1.0:
+        assert int(noisy.accepted.sum()) == 0
+    assert int(noisy.steps) >= int(clean.steps)

@@ -175,12 +175,20 @@ def speculative_generate(
     enc_out: jnp.ndarray,       # (B, S, D)
     prompt: jnp.ndarray,        # (B, T0) int32 init tokens (same for all examples)
     variant: str = "vanilla",   # "vanilla" | "base_head" | "medusa_block"
+    draft_corruption: float = 0.0,
 ) -> SpecResult:
     """Run the fused speculative decode loop.  Pure function; jit/pjit-able.
 
     With ``variant="vanilla"`` (or no medusa params / single-node buffers) this *is*
     the vanilla greedy loop: one token per forward through the identical code path —
     the speedup baseline (SURVEY §7 step 2).
+
+    ``draft_corruption``: probability of randomly corrupting each draft token —
+    a benchmarking/robustness knob that pins the acceptance rate without touching
+    model quality.  The emitted tokens are provably IDENTICAL for any value (the
+    acceptance rule rejects wrong drafts); only throughput changes.  Used by
+    bench.py to report speedups at controlled accept rates, and by tests to prove
+    output-invariance under arbitrary draft quality.
     """
     b, t0 = prompt.shape
     eos = gen.eos_token_id
@@ -215,7 +223,9 @@ def speculative_generate(
     buf_len = max_length + lv + 1
     cache_len = max_length + n_nodes + 1
 
-    def drafts_to_chunk(root, hidden_acc, new_len):
+    corrupt_key = jax.random.PRNGKey(0x5eed)
+
+    def drafts_to_chunk(root, hidden_acc, new_len, step):
         """Build the next candidate tree from head logits at the accepted position."""
         if draft_params is None:
             return root[:, None]
@@ -230,6 +240,13 @@ def speculative_generate(
             _, top = lax.top_k(dproc[:, l - 1], k)
             flat.append(top.astype(jnp.int32))
         flat = jnp.concatenate(flat, axis=1)       # (B, sum(choices))
+        if draft_corruption > 0.0:
+            drafts = flat[:, 1:]
+            u = jax.random.uniform(jax.random.fold_in(corrupt_key, step),
+                                   drafts.shape)
+            vocab = dims.vocab_size
+            drafts = jnp.where(u < draft_corruption, (drafts + 1) % vocab, drafts)
+            flat = jnp.concatenate([flat[:, :1], drafts], axis=1)
         return flat[:, tree_idx]                   # (B, num_nodes)
 
     # ---------------- prefill ----------------
@@ -254,7 +271,7 @@ def speculative_generate(
     finished = (root0 == eos) | (cur_len + num_heads >= max_length)
 
     h_draft = out.block_hidden[:, -1] if block is not None else h_last
-    chunk0 = drafts_to_chunk(root0, h_draft, cur_len)
+    chunk0 = drafts_to_chunk(root0, h_draft, cur_len, jnp.int32(0))
 
     state = SpecState(
         tokens=tokens, cur_len=cur_len, finished=finished, cache=cache,
@@ -316,7 +333,7 @@ def speculative_generate(
         hsrc = out.block_hidden if block is not None else hidden
         h_acc = jnp.take_along_axis(
             hsrc, acc_node[:, None, None], axis=1)[:, 0]     # (B, D)
-        chunk = drafts_to_chunk(bonus, h_acc, new_len)
+        chunk = drafts_to_chunk(bonus, h_acc, new_len, s.steps + 1)
 
         return SpecState(
             tokens=tokens, cur_len=new_len, finished=finished, cache=cache,

@@ -240,9 +240,13 @@ class WhisperMedusaModel:
             else:
                 final_tokens[~keep] = toks[~keep]
                 lengths[~keep] = np.asarray(result.lengths)[~keep]
+            avg_lp = None
+            if logprob_threshold is not None:
+                avg_lp = self.score_sequences(
+                    enc_out, toks, np.asarray(result.lengths), prompt.shape[1])
             ok = ~_needs_fallback(
                 toks, np.asarray(result.lengths), prompt.shape[1],
-                compression_ratio_threshold)
+                compression_ratio_threshold, avg_lp, logprob_threshold)
             keep |= ok
             if keep.all() or t_i == len(temps) - 1:
                 break
@@ -256,6 +260,19 @@ class WhisperMedusaModel:
             mean_accept_length=mean_acc,
             detected_language=detected,
         )
+
+    def score_sequences(self, enc_out: jnp.ndarray, sequences: np.ndarray,
+                        lengths: np.ndarray, prompt_len: int) -> np.ndarray:
+        """Average per-token log-probability of the generated tokens.
+
+        Drives the ``logprob_threshold`` fallback criterion (reference delegates to
+        HF ``_need_fallback``/``_retrieve_avg_logprobs``, model.py:1961-1969) via a
+        single teacher-forced scoring pass."""
+        fn = self._cached("score", lambda: jax.jit(
+            partial(_avg_logprobs, dims=self.config.dims)))
+        return np.asarray(fn(self.params["whisper"], enc_out,
+                             jnp.asarray(sequences), jnp.asarray(lengths),
+                             prompt_len))
 
     # ------------------------------------------------------------------ helpers
     def _run_decode(self, choices, variant, pcfg, gen, enc_out, prompt) -> SpecResult:
@@ -295,19 +312,39 @@ def _detect_language(params, enc_out, dims):
     return jnp.argmax(logits, axis=-1)
 
 
-def _needs_fallback(tokens, lengths, prompt_len, compression_ratio_threshold):
+def _avg_logprobs(params, enc_out, sequences, lengths, prompt_len, dims):
+    """Teacher-forced mean log-prob of generated tokens (positions >= prompt_len,
+    < length)."""
+    from whisper_medusa_tpu.models import whisper as _w
+
+    dec_in = sequences[:, :-1]
+    out = _w.decode_train(params, dims, dec_in, enc_out)
+    logits = _w.project_logits(params, out.hidden)          # (B, L-1, V) f32
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    tgt = sequences[:, 1:]
+    tok_lp = jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    pos = jnp.arange(tgt.shape[1])[None, :]
+    mask = (pos >= prompt_len - 1) & (pos < (lengths - 1)[:, None])
+    total = jnp.sum(jnp.where(mask, tok_lp, 0.0), axis=-1)
+    count = jnp.maximum(jnp.sum(mask, axis=-1), 1)
+    return total / count
+
+
+def _needs_fallback(tokens, lengths, prompt_len, compression_ratio_threshold,
+                    avg_logprobs=None, logprob_threshold=None):
     """Quality gate for the temperature ladder (reference: model.py:1929-1969
-    delegating to HF ``_need_fallback``; compression-ratio criterion)."""
+    delegating to HF ``_need_fallback``; compression-ratio + avg-logprob criteria)."""
     b = tokens.shape[0]
     bad = np.zeros((b,), bool)
-    if compression_ratio_threshold is None:
-        return bad
-    for i in range(b):
-        seq = tokens[i, prompt_len: lengths[i]].astype(np.int32).tobytes()
-        if len(seq) == 0:
-            continue
-        ratio = len(seq) / max(len(zlib.compress(seq)), 1)
-        bad[i] = ratio > compression_ratio_threshold
+    if compression_ratio_threshold is not None:
+        for i in range(b):
+            seq = tokens[i, prompt_len: lengths[i]].astype(np.int32).tobytes()
+            if len(seq) == 0:
+                continue
+            ratio = len(seq) / max(len(zlib.compress(seq)), 1)
+            bad[i] |= ratio > compression_ratio_threshold
+    if logprob_threshold is not None and avg_logprobs is not None:
+        bad |= np.asarray(avg_logprobs) < logprob_threshold
     return bad
 
 

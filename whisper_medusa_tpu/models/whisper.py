@@ -172,6 +172,21 @@ def attention(
     return out.astype(v.dtype)
 
 
+def _full_attention(q, k, v, causal: bool) -> jnp.ndarray:
+    """Full-sequence attention: Pallas flash kernel on TPU for long sequences,
+    plain XLA attention otherwise (see ops/attention.py)."""
+    from whisper_medusa_tpu.ops.attention import flash_mha
+
+    out = flash_mha(q, k, v, causal=causal)
+    if out is not None:
+        return out
+    mask = None
+    if causal:
+        t = q.shape[-3]
+        mask = jnp.tril(jnp.ones((t, t), jnp.bool_))[None, None]
+    return attention(q, k, v, mask)
+
+
 def self_attn_full(lp: Params, x: jnp.ndarray, num_heads: int,
                    causal: bool) -> jnp.ndarray:
     """Full-sequence self-attention (encoder, or teacher-forced decoder)."""
@@ -179,11 +194,7 @@ def self_attn_full(lp: Params, x: jnp.ndarray, num_heads: int,
     q = _split_heads(dense(x, lp["q_w"], lp["q_b"]), num_heads) * (head_dim ** -0.5)
     k = _split_heads(dense(x, lp["k_w"]), num_heads)
     v = _split_heads(dense(x, lp["v_w"], lp["v_b"]), num_heads)
-    mask = None
-    if causal:
-        t = x.shape[-2]
-        mask = jnp.tril(jnp.ones((t, t), jnp.bool_))[None, None]
-    out = attention(q, k, v, mask)
+    out = _full_attention(q, k, v, causal)
     return dense(_merge_heads(out), lp["o_w"], lp["o_b"])
 
 
@@ -193,7 +204,7 @@ def cross_attn_full(lp: Params, x: jnp.ndarray, enc: jnp.ndarray,
     q = _split_heads(dense(x, lp["q_w"], lp["q_b"]), num_heads) * (head_dim ** -0.5)
     k = _split_heads(dense(enc, lp["k_w"]), num_heads)
     v = _split_heads(dense(enc, lp["v_w"], lp["v_b"]), num_heads)
-    out = attention(q, k, v)
+    out = _full_attention(q, k, v, causal=False)
     return dense(_merge_heads(out), lp["o_w"], lp["o_b"])
 
 

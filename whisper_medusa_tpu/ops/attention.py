@@ -1,0 +1,77 @@
+"""Attention dispatch: Pallas TPU flash attention for full-sequence paths.
+
+XLA's default lowering of plain softmax attention materializes the (H, S, S)
+probability tensor in HBM — for the Whisper encoder (S=1500, 20 heads, 32 layers)
+that's ~23 GB of round-trip traffic per utterance and dominates encoder latency.
+The tiled flash kernel keeps the working set in VMEM.
+
+Uses the stock JAX Pallas TPU flash-attention op (jax.experimental.pallas.ops) with
+sequence padding + segment-id masking to handle Whisper's non-tile-aligned lengths
+(1500).  Falls back to plain XLA attention off-TPU and for short sequences where
+the kernel overhead isn't worth it.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_FLASH_MIN_SEQ = 512
+_TILE = 128
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def _pad_to(x: jnp.ndarray, axis: int, target: int) -> jnp.ndarray:
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, target - x.shape[axis])
+    return jnp.pad(x, pad)
+
+
+def flash_mha(
+    q: jnp.ndarray,   # (B, Tq, H, Dh) — pre-scaled
+    k: jnp.ndarray,   # (B, Tk, H, Dh)
+    v: jnp.ndarray,
+    causal: bool = False,
+) -> Optional[jnp.ndarray]:
+    """Tiled flash attention.  Returns None when the plain path should be used."""
+    if not _on_tpu():
+        return None
+    b, tq, h, dh = q.shape
+    tk = k.shape[1]
+    if max(tq, tk) < _FLASH_MIN_SEQ:
+        return None
+    if causal and tq != tk:
+        return None
+
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds, flash_attention)
+
+    tq_p = -(-tq // _TILE) * _TILE
+    tk_p = -(-tk // _TILE) * _TILE
+    dtype = q.dtype
+
+    # Layout: kernel expects (B, H, S, Dh).
+    qt = _pad_to(jnp.swapaxes(q, 1, 2), 2, tq_p)
+    kt = _pad_to(jnp.swapaxes(k, 1, 2), 2, tk_p)
+    vt = _pad_to(jnp.swapaxes(v, 1, 2), 2, tk_p)
+
+    seg = None
+    if tq_p != tq or tk_p != tk:
+        # Padding rows get segment id 1 (real data 0) so they never mix.
+        q_seg = (jnp.arange(tq_p) >= tq).astype(jnp.int32)[None].repeat(b, 0)
+        kv_seg = (jnp.arange(tk_p) >= tk).astype(jnp.int32)[None].repeat(b, 0)
+        seg = SegmentIds(q=q_seg, kv=kv_seg)
+
+    out = flash_attention(qt, kt, vt, segment_ids=seg, causal=causal,
+                          sm_scale=1.0)
+    out = jnp.swapaxes(out, 1, 2)[:, :tq]
+    return out.astype(dtype)

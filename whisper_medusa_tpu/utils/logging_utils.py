@@ -29,3 +29,24 @@ def count_parameters(params) -> int:
     import jax
 
     return sum(int(np.prod(a.shape)) for a in jax.tree.leaves(params))
+
+
+def make_wandb_logger(project: str, run_name: str = None, config: dict = None,
+                      resume_id: str = None):
+    """Optional Weights & Biases hook (reference: utils.py:331-351).  Returns a
+    ``log_fn(scalars, step)`` for MedusaTrainer, or None when wandb is absent."""
+    try:
+        import wandb
+    except ImportError:
+        logging.getLogger("whisper_medusa_tpu").warning(
+            "wandb not installed; metrics go to the standard logger")
+        return None
+    kwargs = {}
+    if resume_id:
+        kwargs.update(resume="must", id=resume_id)
+    run = wandb.init(project=project, name=run_name, config=config, **kwargs)
+
+    def log_fn(scalars, step):
+        run.log(scalars, step=step)
+
+    return log_fn
