@@ -101,15 +101,22 @@ def main():
     )
     gen = GenerationConfig(max_length=max_length)
 
-    def timed(buffers, variant, medusa_params, label, iters=5, corruption=0.0):
-        fn = jax.jit(lambda w, m, e, p: speculative_generate(
-            w, m, dims, buffers, pcfg, gen, e, p, variant=variant,
-            draft_corruption=corruption))
-        res = fn(wp, medusa_params, enc, prompt)
+    jits = {}
+
+    def timed(buffers, variant, medusa_params, label, iters=5, corruption=None):
+        # draft_corruption is a *traced* scalar: one compile serves the whole sweep.
+        key = (id(buffers), variant)
+        if key not in jits:
+            jits[key] = jax.jit(lambda w, m, e, p, c: speculative_generate(
+                w, m, dims, buffers, pcfg, gen, e, p, variant=variant,
+                draft_corruption=c))
+        fn = jits[key]
+        c = jnp.float32(corruption if corruption is not None else 0.0)
+        res = fn(wp, medusa_params, enc, prompt, c)
         fetch(res.tokens)
         t0 = time.perf_counter()
         for _ in range(iters):
-            res = fn(wp, medusa_params, enc, prompt)
+            res = fn(wp, medusa_params, enc, prompt, c)
             fetch(res.tokens)
         dt = (time.perf_counter() - t0) / iters
         new_tokens = int(res.lengths[0]) - prompt.shape[1]

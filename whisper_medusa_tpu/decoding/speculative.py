@@ -175,7 +175,7 @@ def speculative_generate(
     enc_out: jnp.ndarray,       # (B, S, D)
     prompt: jnp.ndarray,        # (B, T0) int32 init tokens (same for all examples)
     variant: str = "vanilla",   # "vanilla" | "base_head" | "medusa_block"
-    draft_corruption: float = 0.0,
+    draft_corruption: Optional[jnp.ndarray] = None,  # traced scalar in [0, 1]
 ) -> SpecResult:
     """Run the fused speculative decode loop.  Pure function; jit/pjit-able.
 
@@ -240,7 +240,7 @@ def speculative_generate(
             _, top = lax.top_k(dproc[:, l - 1], k)
             flat.append(top.astype(jnp.int32))
         flat = jnp.concatenate(flat, axis=1)       # (B, sum(choices))
-        if draft_corruption > 0.0:
+        if draft_corruption is not None:
             drafts = flat[:, 1:]
             u = jax.random.uniform(jax.random.fold_in(corrupt_key, step),
                                    drafts.shape)

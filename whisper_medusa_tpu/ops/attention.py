@@ -14,6 +14,7 @@ the kernel overhead isn't worth it.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -21,6 +22,11 @@ import jax.numpy as jnp
 
 _FLASH_MIN_SEQ = 512
 _TILE = 128
+
+# Measured on v5e: the stock kernel at head_dim=64 currently *loses* to XLA's
+# lowering for Whisper's shapes (63 ms vs 36 ms encoder), so it is opt-in until a
+# head-packed custom kernel lands.  Enable with WM_FLASH_ATTENTION=1.
+_ENABLED = os.environ.get("WM_FLASH_ATTENTION", "0") == "1"
 
 
 def _on_tpu() -> bool:
@@ -43,7 +49,7 @@ def flash_mha(
     causal: bool = False,
 ) -> Optional[jnp.ndarray]:
     """Tiled flash attention.  Returns None when the plain path should be used."""
-    if not _on_tpu():
+    if not _ENABLED or not _on_tpu():
         return None
     b, tq, h, dh = q.shape
     tk = k.shape[1]
