@@ -71,9 +71,39 @@ def test_save_load_roundtrip(tiny_model, tmp_path):
 def test_unsupported_surfaces_raise(tiny_model):
     f = _feats(tiny_model.config)
     with pytest.raises(NotImplementedError):
-        tiny_model.generate(f, language="en", return_timestamps=True)
-    with pytest.raises(NotImplementedError):
         tiny_model.generate(f, language="en", num_beams=2)
+
+
+def test_timestamp_generation(tiny_model):
+    """return_timestamps works (beyond the reference, which raises): outputs obey
+    the Whisper timestamp grammar and segments are extracted."""
+    f = _feats(tiny_model.config, seed=9)
+    out = tiny_model.generate(f, language="en", max_length=32,
+                              return_timestamps=True)
+    TS = 50364
+    for i in range(out.sequences.shape[0]):
+        seq = out.sequences[i, 3: out.lengths[i]]  # after [sot, lang, task]
+        seq = [t for t in seq.tolist() if t != 50257]
+        assert 50363 not in seq  # notimestamps suppressed
+        ts = [t for t in seq if t >= TS]
+        assert ts == sorted(ts), "timestamps must be non-decreasing"
+        if seq:
+            assert seq[0] >= TS, "first generated token must be a timestamp"
+    assert out.segments is not None and len(out.segments) == 2
+
+
+def test_timestamp_medusa_vanilla_parity(tiny_model):
+    """Token parity must survive timestamp rules (history-dependent processors)."""
+    cfg = tiny_test_config(vocab_size=51865, medusa_num_heads=3,
+                           medusa_heads_type="medusa_block")
+    model = WhisperMedusaModel.from_random(cfg, seed=3)
+    f = _feats(cfg, seed=3)
+    a = model.generate(f, language="en", max_length=28, return_timestamps=True)
+    b = model.generate(f, language="en", max_length=28, return_timestamps=True,
+                       disable_medusa=True)
+    for i in range(2):
+        n = int(min(a.lengths[i], b.lengths[i]))
+        np.testing.assert_array_equal(a.sequences[i, :n], b.sequences[i, :n])
 
 
 def test_logprob_threshold_fallback_scoring(tiny_model):
@@ -87,3 +117,15 @@ def test_logprob_threshold_fallback_scoring(tiny_model):
                                temperature=(0.0, 0.5),
                                logprob_threshold=1e9)  # always triggers -> ladder
     assert out2.sequences.shape[0] == 2
+
+
+def test_prompt_ids_conditioning(tiny_model):
+    """Prompt conditioning prepends context tokens (reference model.py:1794-1801)."""
+    f = _feats(tiny_model.config, seed=6)
+    out = tiny_model.generate(f, language="en", max_length=24,
+                              prompt_ids=[50361, 1000, 1001])
+    assert (out.sequences[:, 0] == 50361).all()
+    assert (out.sequences[:, 3] == 50258).all()  # sot after the prompt
+    with pytest.raises(ValueError):
+        tiny_model.generate(f, language="en", max_length=6,
+                            prompt_ids=list(range(50361, 50361 + 1)) * 8)

@@ -26,6 +26,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -44,8 +45,12 @@ class ProcessorConfig:
     # caller to an absolute position: regulation_start + prompt_len (HF semantics).
     exponential_decay_length_penalty: Optional[Tuple[int, float]] = None
     eos_token_id: int = 0
-    # If >= 0, force this token at every position >= begin_index - 1?  Not used;
-    # placeholder for future forced-token support.
+    # Timestamp rules (working implementation of what the reference ships only as
+    # dead code + NotImplementedError, medusa_utils.py:21-302, model.py:1171-1175).
+    timestamp_rules: bool = False
+    timestamp_begin: int = 50364          # <|0.00|>
+    no_timestamps_id: int = 50363
+    max_initial_timestamp_index: Optional[int] = 50  # == 1.0s default in whisper
 
     def suppress_mask(self) -> Optional[np.ndarray]:
         if not self.suppress_tokens:
@@ -95,4 +100,75 @@ def apply_processors(
         new_eos = jnp.where(active, eos + penalty, eos)
         logits = logits.at[..., cfg.eos_token_id].set(new_eos)
 
+    return logits
+
+
+def apply_timestamp_rules(
+    logits: jnp.ndarray,      # (..., V) float32 (already base-processed)
+    pred_pos: jnp.ndarray,    # (...,) absolute index of the predicted token
+    last_tok: jnp.ndarray,    # (...,) token immediately preceding the prediction
+    penult_tok: jnp.ndarray,  # (...,) token two back
+    max_ts: jnp.ndarray,      # (...,) highest timestamp token emitted so far (or 0)
+    cfg: ProcessorConfig,
+) -> jnp.ndarray:
+    """Whisper timestamp decoding rules, fully vectorized.
+
+    Semantics follow OpenAI/HF ``WhisperTimeStampLogitsProcessor``:
+      * ``<|notimestamps|>`` is always suppressed;
+      * timestamps come in pairs: after a single timestamp the next token must not
+        be a timestamp->text transition violation — i.e. if the last token is a
+        timestamp and the one before is not, only text/EOS may NOT follow (a second
+        timestamp or EOS is required); if both are timestamps, a timestamp cannot
+        follow;
+      * timestamps are non-decreasing: tokens in [timestamp_begin, max_ts(+1)) are
+        suppressed;
+      * at the first generated position only timestamps up to
+        ``max_initial_timestamp_index`` are allowed;
+      * if the total probability of all timestamp tokens exceeds the most likely
+        text token, a timestamp is forced.
+
+    History (last/penult/max_ts) is supplied per position so the speculative
+    verification pass can evaluate the rules mid-chain exactly as a step-by-step
+    loop would — preserving the medusa==vanilla token-parity invariant.
+    """
+    v = logits.shape[-1]
+    ts_begin = cfg.timestamp_begin
+    vocab_ids = jnp.arange(v)
+    is_ts_region = vocab_ids >= ts_begin
+
+    logits = logits.at[..., cfg.no_timestamps_id].set(NEG_INF)
+
+    gen_len = pred_pos - cfg.begin_index       # sampled tokens so far
+    last_is_ts = (last_tok >= ts_begin) & (gen_len >= 1)
+    penult_is_ts = (gen_len < 2) | (penult_tok >= ts_begin)
+
+    # Pairing rules.
+    suppress_ts = last_is_ts & penult_is_ts           # must emit text next
+    suppress_text = last_is_ts & ~penult_is_ts        # must emit timestamp/EOS
+    text_mask = (vocab_ids < cfg.eos_token_id)
+    logits = jnp.where(
+        (suppress_ts[..., None] & is_ts_region)
+        | (suppress_text[..., None] & text_mask),
+        NEG_INF, logits)
+
+    # Monotonicity: suppress timestamps strictly below the running max (and below
+    # max+1 when the last emitted token closed a pair).
+    floor = jnp.where(last_is_ts & ~penult_is_ts, max_ts, max_ts + 1)
+    floor = jnp.where(max_ts > 0, floor, ts_begin)    # no timestamps yet -> free
+    mono = is_ts_region & (vocab_ids < floor[..., None])
+    logits = jnp.where(mono, NEG_INF, logits)
+
+    # Initial-timestamp cap at the first generated position.
+    if cfg.max_initial_timestamp_index is not None:
+        cap = ts_begin + cfg.max_initial_timestamp_index
+        at_begin = (pred_pos == cfg.begin_index)[..., None]
+        logits = jnp.where(at_begin & (vocab_ids > cap), NEG_INF, logits)
+
+    # Sum-probability rule: force a timestamp when the timestamp mass dominates.
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    ts_logprob = jax.nn.logsumexp(
+        jnp.where(is_ts_region, logprobs, NEG_INF), axis=-1)
+    max_text = jnp.max(jnp.where(is_ts_region, NEG_INF, logprobs), axis=-1)
+    force_ts = ts_logprob > max_text
+    logits = jnp.where(force_ts[..., None] & ~is_ts_region, NEG_INF, logits)
     return logits

@@ -44,7 +44,9 @@ from jax import lax
 
 from whisper_medusa_tpu.config import GenerationConfig, WhisperDims
 from whisper_medusa_tpu.decoding.buffers import MedusaBuffers
-from whisper_medusa_tpu.decoding.processors import ProcessorConfig, apply_processors
+from whisper_medusa_tpu.decoding.processors import (ProcessorConfig,
+                                                    apply_processors,
+                                                    apply_timestamp_rules)
 from whisper_medusa_tpu.models import medusa as medusa_mod
 from whisper_medusa_tpu.models import whisper
 from whisper_medusa_tpu.models.whisper import KVCache
@@ -62,6 +64,8 @@ class SpecState:
     chunk: jnp.ndarray     # (B, num_nodes) next candidate tree tokens (node 0 = root)
     steps: jnp.ndarray     # () int32 — loop iterations executed
     accepted: jnp.ndarray  # (B,) int32 — total accepted draft tokens (speedup metric)
+    prev2: jnp.ndarray     # (B,) token preceding the pending root (timestamp rules)
+    max_ts: jnp.ndarray    # (B,) running max emitted timestamp token (0 = none)
 
 
 class SpecResult(NamedTuple):
@@ -259,9 +263,23 @@ def speculative_generate(
     out, cache = whisper.decode_step(
         params, dims, prompt, cache, jnp.zeros((b,), jnp.int32),
         block_params=block)
+    use_ts = pcfg.timestamp_rules
+    if use_ts and not buffers.is_chain:
+        raise NotImplementedError(
+            "timestamp rules require chain medusa_choices (history is "
+            "path-dependent; branching trees not supported with timestamps)")
+
+    def ts_val(tok):
+        return jnp.where(tok >= pcfg.timestamp_begin, tok, 0)
+
     h_last = out.hidden[:, -1]                                   # (B, D)
     base = base_fn(h_last)                                       # (B, V) f32
     proc = apply_processors(base, jnp.full((b,), t0, jnp.int32), pcfg)
+    if use_ts:
+        proc = apply_timestamp_rules(
+            proc, jnp.full((b,), t0, jnp.int32),
+            prompt[:, -1], prompt[:, -2] if t0 >= 2 else prompt[:, -1],
+            jnp.zeros((b,), jnp.int32), pcfg)
     root0 = jnp.argmax(proc, axis=-1).astype(jnp.int32)
 
     tokens = jnp.full((b, buf_len), pad, jnp.int32)
@@ -276,6 +294,7 @@ def speculative_generate(
     state = SpecState(
         tokens=tokens, cur_len=cur_len, finished=finished, cache=cache,
         chunk=chunk0, steps=jnp.int32(0), accepted=jnp.zeros((b,), jnp.int32),
+        prev2=prompt[:, -1], max_ts=ts_val(root0),
     )
 
     # ---------------- loop ----------------
@@ -291,6 +310,16 @@ def speculative_generate(
         base = base_fn(hidden)                                # (B, N, V)
         pred_pos = s.cur_len[:, None] + pos_ids[None, :]
         proc = apply_processors(base, pred_pos, pcfg)
+        if use_ts:
+            # Chain-node history: node l's last token is chunk[l], its predecessor
+            # chunk[l-1] (prev2 for the root), and the running max timestamp folds
+            # the chain prefix into the committed-state max.
+            penult_nodes = jnp.concatenate(
+                [s.prev2[:, None], s.chunk[:, :-1]], axis=1)
+            node_max_ts = jnp.maximum(
+                s.max_ts[:, None], lax.cummax(ts_val(s.chunk), axis=1))
+            proc = apply_timestamp_rules(
+                proc, pred_pos, s.chunk, penult_nodes, node_max_ts, pcfg)
 
         if greedy:
             nxt = jnp.argmax(proc, axis=-1).astype(jnp.int32)
@@ -335,10 +364,20 @@ def speculative_generate(
             hsrc, acc_node[:, None, None], axis=1)[:, 0]     # (B, D)
         chunk = drafts_to_chunk(bonus, h_acc, new_len, s.steps + 1)
 
+        # Timestamp-rule history update: the pending root is now `bonus`; the token
+        # before it is best_tok[accept] — the last accepted draft, or the old root
+        # when accept == 0.
+        prev2_new = jnp.take_along_axis(best_tok, accept[:, None], axis=1)[:, 0]
+        win_ts = jnp.where(idx <= accept[:, None], ts_val(window), 0)
+        max_ts_new = jnp.maximum(s.max_ts, jnp.max(win_ts, axis=-1))
+        prev2_out = jnp.where(s.finished, s.prev2, prev2_new)
+        max_ts_out = jnp.where(s.finished, s.max_ts, max_ts_new)
+
         return SpecState(
             tokens=tokens, cur_len=new_len, finished=finished, cache=cache,
             chunk=chunk, steps=s.steps + 1,
             accepted=s.accepted + jnp.where(s.finished, 0, accept),
+            prev2=prev2_out, max_ts=max_ts_out,
         )
 
     state = lax.while_loop(cond, body, state)

@@ -57,6 +57,7 @@ class GenerateOutput:
     accepted: np.ndarray           # (B,) accepted draft tokens
     mean_accept_length: float      # accepted drafts per step — *the* speedup metric
     detected_language: Optional[List[str]] = None
+    segments: Optional[List[List[dict]]] = None  # per-example timestamped segments
 
 
 class WhisperMedusaModel:
@@ -146,18 +147,20 @@ class WhisperMedusaModel:
         begin_suppress_tokens: Optional[Sequence[int]] = "default",
         return_timestamps: bool = False,
         num_beams: int = 1,
+        prompt_ids: Optional[Sequence[int]] = None,
+        max_initial_timestamp_index: Optional[int] = 50,
+        time_precision: float = 0.02,
     ) -> GenerateOutput:
         """Transcribe a batch of 30 s mel segments.
 
         Mirrors reference ``generate`` kwargs that are live
-        (language / exponential_decay_length_penalty: README.md:116-137); the
-        reference's NotImplementedError surfaces are preserved: timestamps
-        (model.py:1171-1175), beam search (model.py:1153-1156), longform
-        (model.py:1214).
+        (language / exponential_decay_length_penalty: README.md:116-137).
+        Beyond the reference: ``return_timestamps=True`` works (the reference
+        raises NotImplementedError, model.py:1171-1175, and ships the timestamp
+        processors only as dead code) — the speculative loop evaluates the Whisper
+        timestamp rules mid-chain with full history.  Beam search and longform
+        still raise like the reference (model.py:1153-1156, 1214).
         """
-        if return_timestamps:
-            raise NotImplementedError(
-                "return_timestamps is not supported with medusa for now")
         if num_beams != 1:
             raise NotImplementedError("Only greedy-style decoding is supported")
         cfg = self.config
@@ -189,15 +192,22 @@ class WhisperMedusaModel:
                 raise ValueError("per-example language list length != batch size")
             lang_ids = np.array([language_token_id(l) for l in language])
         task_id = TASK_TRANSCRIBE_ID if task == "transcribe" else TASK_TRANSLATE_ID
-        prompt = np.stack([
-            np.full((b,), SOT_TOKEN_ID),
-            lang_ids,
-            np.full((b,), task_id),
-            np.full((b,), NO_TIMESTAMPS_ID),
-        ], axis=1).astype(np.int32)
+        cols = [np.full((b,), SOT_TOKEN_ID), lang_ids, np.full((b,), task_id)]
+        if not return_timestamps:
+            cols.append(np.full((b,), NO_TIMESTAMPS_ID))
+        prompt = np.stack(cols, axis=1).astype(np.int32)
+        if prompt_ids is not None:
+            # Prompt conditioning: prepend the previous-context tokens before the
+            # init tokens (reference shortform path, model.py:1794-1801).
+            pids = np.asarray(prompt_ids, np.int32).reshape(1, -1)
+            prompt = np.concatenate([np.tile(pids, (b, 1)), prompt], axis=1)
 
         # --- configs ---
         max_length = max_length or cfg.dims.max_target_positions
+        if prompt.shape[1] >= max_length:
+            raise ValueError(
+                f"prompt length {prompt.shape[1]} exceeds max_length {max_length} "
+                f"(reference raises the analogous error, model.py:1803-1815)")
         sup = tuple(suppress_tokens) if suppress_tokens not in (None, "default") else (
             GenerationConfig().suppress_tokens if suppress_tokens == "default" else None)
         bsup = tuple(begin_suppress_tokens) if begin_suppress_tokens not in (None, "default") else (
@@ -211,6 +221,8 @@ class WhisperMedusaModel:
                 tuple(exponential_decay_length_penalty)
                 if exponential_decay_length_penalty else None),
             eos_token_id=EOS_TOKEN_ID,
+            timestamp_rules=return_timestamps,
+            max_initial_timestamp_index=max_initial_timestamp_index,
         )
         if disable_medusa:
             choices: Tuple[int, ...] = (1,)
@@ -252,6 +264,13 @@ class WhisperMedusaModel:
                 break
 
         mean_acc = float(np.asarray(result.accepted).sum()) / max(int(result.steps), 1)
+        segments = None
+        if return_timestamps:
+            segments = [
+                _extract_segments(final_tokens[i], int(lengths[i]),
+                                  prompt.shape[1], time_precision)
+                for i in range(final_tokens.shape[0])
+            ]
         return GenerateOutput(
             sequences=final_tokens,
             lengths=lengths,
@@ -259,6 +278,7 @@ class WhisperMedusaModel:
             accepted=np.asarray(result.accepted),
             mean_accept_length=mean_acc,
             detected_language=detected,
+            segments=segments,
         )
 
     def score_sequences(self, enc_out: jnp.ndarray, sequences: np.ndarray,
@@ -328,6 +348,42 @@ def _avg_logprobs(params, enc_out, sequences, lengths, prompt_len, dims):
     total = jnp.sum(jnp.where(mask, tok_lp, 0.0), axis=-1)
     count = jnp.maximum(jnp.sum(mask, axis=-1), 1)
     return total / count
+
+
+def _extract_segments(tokens: np.ndarray, length: int, prompt_len: int,
+                      time_precision: float = 0.02) -> List[dict]:
+    """Split a timestamped token sequence into segments.
+
+    Equivalent of the reference's `_retrieve_segment` role (delegated to HF,
+    model.py:1683-1700): consecutive timestamp pairs bracket text spans."""
+    from whisper_medusa_tpu.config import TIMESTAMP_BEGIN_ID
+
+    seq = tokens[prompt_len:length]
+    segments: List[dict] = []
+    start_ts = None
+    text: List[int] = []
+    for tok in seq.tolist():
+        if tok >= TIMESTAMP_BEGIN_ID:
+            if start_ts is None:
+                start_ts = tok
+            else:
+                segments.append({
+                    "start": (start_ts - TIMESTAMP_BEGIN_ID) * time_precision,
+                    "end": (tok - TIMESTAMP_BEGIN_ID) * time_precision,
+                    "tokens": text,
+                })
+                start_ts, text = None, []
+        elif tok == EOS_TOKEN_ID:
+            break
+        else:
+            text.append(tok)
+    if start_ts is not None and text:
+        segments.append({
+            "start": (start_ts - TIMESTAMP_BEGIN_ID) * time_precision,
+            "end": None,
+            "tokens": text,
+        })
+    return segments
 
 
 def _needs_fallback(tokens, lengths, prompt_len, compression_ratio_threshold,
