@@ -229,19 +229,17 @@ def speculative_generate(
 
     corrupt_key = jax.random.PRNGKey(0x5eed)
 
-    def drafts_to_chunk(root, hidden_acc, new_len, step):
-        """Build the next candidate tree from head logits at the accepted position."""
-        if draft_params is None:
-            return root[:, None]
-        head_out = medusa_mod.apply_heads(draft_params, hidden_acc)  # (K, B, D)
-        head_logits = whisper.project_logits(params, head_out)       # (K, B, V)
-        head_logits = jnp.swapaxes(head_logits, 0, 1)                # (B, K, V)
+    def chunk_from_draft_logits(root, head_logits, new_len, step):
+        """Select per-level candidates from head logits (B, K, V) -> chunk tokens."""
         draft_pos = new_len[:, None] + jnp.arange(1, num_heads + 1)[None, :]
         dproc = apply_processors(head_logits, draft_pos, pcfg)
         flat = [root[:, None]]
         for l in range(1, lv):
             k = buffers.choices[l]
-            _, top = lax.top_k(dproc[:, l - 1], k)
+            if k == 1:
+                top = jnp.argmax(dproc[:, l - 1], axis=-1)[:, None]
+            else:
+                _, top = lax.top_k(dproc[:, l - 1], k)
             flat.append(top.astype(jnp.int32))
         flat = jnp.concatenate(flat, axis=1)       # (B, sum(choices))
         if draft_corruption is not None:
@@ -252,6 +250,33 @@ def speculative_generate(
             drafts = jnp.where(u < draft_corruption, (drafts + 1) % vocab, drafts)
             flat = jnp.concatenate([flat[:, :1], drafts], axis=1)
         return flat[:, tree_idx]                   # (B, num_nodes)
+
+    def drafts_to_chunk(root, hidden_acc, new_len, step):
+        """Prefill drafting: heads on a single position's hidden state."""
+        if draft_params is None:
+            return root[:, None]
+        head_out = medusa_mod.apply_heads(draft_params, hidden_acc)  # (K, B, D)
+        head_logits = whisper.project_logits(params, head_out)       # (K, B, V)
+        return chunk_from_draft_logits(
+            root, jnp.swapaxes(head_logits, 0, 1), new_len, step)
+
+    def fused_verify_and_draft_logits(hidden, block_hidden):
+        """One batched vocab projection for verification base logits AND all-node
+        draft-head logits — a single read of the tied embedding per iteration.
+
+        Returns (base (B,N,V), draft_all (K,B,N,V) or None)."""
+        if draft_params is None:
+            return base_fn(hidden), None
+        hsrc = block_hidden if block is not None else hidden
+        heads_out = medusa_mod.apply_heads(draft_params, hsrc)    # (K, B, N, D)
+        if variant == "base_head":
+            head0 = _head_slice(medusa_params, 0, 1)
+            verif_in = medusa_mod.apply_heads(head0, hidden)      # (1, B, N, D)
+        else:
+            verif_in = hidden[None]
+        stacked = jnp.concatenate([verif_in, heads_out], axis=0)  # (K+1, B, N, D)
+        logits = whisper.project_logits(params, stacked)          # (K+1, B, N, V)
+        return logits[0], logits[1:]
 
     # ---------------- prefill ----------------
     cache = whisper.init_cache(
@@ -307,7 +332,7 @@ def speculative_generate(
             params, dims, s.chunk, s.cache, offsets,
             rel_positions=pos_ids, chunk_mask=chunk_mask, block_params=block)
         hidden = out.hidden                                   # (B, N, D)
-        base = base_fn(hidden)                                # (B, N, V)
+        base, draft_all = fused_verify_and_draft_logits(hidden, out.block_hidden)
         pred_pos = s.cur_len[:, None] + pos_ids[None, :]
         proc = apply_processors(base, pred_pos, pcfg)
         if use_ts:
@@ -357,12 +382,16 @@ def speculative_generate(
         if not buffers.is_chain:
             cache = _compact_tree_cache(cache, offsets, best_nodes)
 
-        # Drafts for the next iteration from the accepted node's hidden state.
-        acc_node = jnp.take_along_axis(best_nodes, accept[:, None], axis=1)[:, 0]
-        hsrc = out.block_hidden if block is not None else hidden
-        h_acc = jnp.take_along_axis(
-            hsrc, acc_node[:, None, None], axis=1)[:, 0]     # (B, D)
-        chunk = drafts_to_chunk(bonus, h_acc, new_len, s.steps + 1)
+        # Drafts for the next iteration: gather the accepted node's pre-computed
+        # head logits (no extra matmuls — they came out of the fused projection).
+        if draft_all is not None:
+            acc_node = jnp.take_along_axis(best_nodes, accept[:, None], axis=1)[:, 0]
+            dsel = jnp.take_along_axis(
+                jnp.swapaxes(draft_all, 0, 1),               # (B, K, N, V)
+                acc_node[:, None, None, None], axis=2)[:, :, 0]   # (B, K, V)
+            chunk = chunk_from_draft_logits(bonus, dsel, new_len, s.steps + 1)
+        else:
+            chunk = bonus[:, None]
 
         # Timestamp-rule history update: the pending root is now `bonus`; the token
         # before it is best_tok[accept] — the last accepted draft, or the old root
