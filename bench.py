@@ -28,6 +28,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent compilation cache: repeat bench runs skip the (multi-minute) XLA
+# compiles of the decode loops.
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+except Exception:
+    pass
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)

@@ -129,3 +129,32 @@ def test_prompt_ids_conditioning(tiny_model):
     with pytest.raises(ValueError):
         tiny_model.generate(f, language="en", max_length=6,
                             prompt_ids=list(range(50361, 50361 + 1)) * 8)
+
+
+def test_longform_generation(tiny_model):
+    """>30s inputs run through the seek loop (reference raises, model.py:1214)."""
+    from whisper_medusa_tpu.ops.mel import log_mel_spectrogram_np
+
+    rng = np.random.default_rng(11)
+    # 75s of audio -> 7500 mel frames -> at least 3 windows.
+    wav = (0.1 * rng.normal(size=(1, 16000 * 75))).astype(np.float32)
+    feats = log_mel_spectrogram_np(wav, n_mels=tiny_model.config.dims.num_mel_bins)
+    assert feats.shape[-1] == 7500
+    out = tiny_model.generate(feats, language="en", max_length=20)
+    assert out.sequences.shape[0] == 1
+    assert (out.sequences[0, : out.lengths[0]] < 50364).all()  # ts stripped
+    out_ts = tiny_model.generate(feats, language="en", max_length=20,
+                                 return_timestamps=True)
+    assert out_ts.segments is not None
+
+
+def test_no_speech_detection(tiny_model):
+    """no_speech_threshold marks silent segments (reference raises,
+    model.py:1201-1205)."""
+    f = _feats(tiny_model.config, seed=13)
+    out = tiny_model.generate(f, language="en", max_length=16)
+    assert out.no_speech_probs is not None and out.no_speech_probs.shape == (2,)
+    # threshold 0 -> everything silent -> sequences truncated to the prompt
+    out2 = tiny_model.generate(f, language="en", max_length=16,
+                               no_speech_threshold=0.0)
+    assert (out2.lengths == 4).all()

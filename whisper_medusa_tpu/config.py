@@ -30,6 +30,7 @@ SOT_TOKEN_ID = 50258            # <|startoftranscript|> == decoder_start_token_i
 FIRST_LANGUAGE_TOKEN_ID = 50259  # <|en|>; language tokens are contiguous
 TASK_TRANSLATE_ID = 50358
 TASK_TRANSCRIBE_ID = 50359
+NO_SPEECH_ID = 50362
 NO_TIMESTAMPS_ID = 50363
 TIMESTAMP_BEGIN_ID = 50364
 

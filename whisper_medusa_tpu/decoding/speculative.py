@@ -73,6 +73,9 @@ class SpecResult(NamedTuple):
     lengths: jnp.ndarray   # (B,) committed lengths (clipped to max_length)
     steps: jnp.ndarray     # () decoder iterations (prefill excluded)
     accepted: jnp.ndarray  # (B,) accepted draft tokens
+    # Unprocessed base logits at the first generated position — drives no-speech
+    # detection (softmax prob of <|nospeech|>; HF computes this at begin_index).
+    first_logits: jnp.ndarray = None  # (B, V) float32
 
 
 def _head_slice(medusa_params: Params, lo: int, hi: Optional[int]) -> Params:
@@ -423,4 +426,5 @@ def speculative_generate(
     first = jnp.argmax(is_eos, axis=-1)
     tokens = jnp.where((has_eos[:, None]) & (pos > first[:, None]), eos, tokens)
     return SpecResult(tokens=tokens, lengths=lengths,
-                      steps=state.steps, accepted=state.accepted)
+                      steps=state.steps, accepted=state.accepted,
+                      first_logits=base)

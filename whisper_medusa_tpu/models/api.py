@@ -12,8 +12,8 @@ in README.md:102-141) on top of the TPU-native engine:
     init tokens, logits-processor setup, temperature-fallback ladder, EOS padding —
     but batched (the reference asserts batch size 1, model.py:1451) and with the whole
     decode loop jitted on device.
-  * Longform (>30 s) raises ``NotImplementedError`` exactly like the reference
-    (model.py:1214, 1840).
+  * Longform (>30 s) works via a sequential timestamp-advancing seek loop —
+    beyond the reference, which raises (model.py:1214, 1840).
 """
 
 from __future__ import annotations
@@ -35,6 +35,8 @@ from whisper_medusa_tpu.config import (
     SOT_TOKEN_ID,
     TASK_TRANSCRIBE_ID,
     TASK_TRANSLATE_ID,
+    NO_SPEECH_ID,
+    TIMESTAMP_BEGIN_ID,
     FIRST_LANGUAGE_TOKEN_ID,
     WHISPER_LANGUAGES,
     GenerationConfig,
@@ -58,6 +60,7 @@ class GenerateOutput:
     mean_accept_length: float      # accepted drafts per step — *the* speedup metric
     detected_language: Optional[List[str]] = None
     segments: Optional[List[List[dict]]] = None  # per-example timestamped segments
+    no_speech_probs: Optional[np.ndarray] = None  # (B,) prob of <|nospeech|>
 
 
 class WhisperMedusaModel:
@@ -143,6 +146,7 @@ class WhisperMedusaModel:
         temperature: Union[float, Sequence[float]] = 0.0,
         compression_ratio_threshold: Optional[float] = None,
         logprob_threshold: Optional[float] = None,
+        no_speech_threshold: Optional[float] = None,
         suppress_tokens: Optional[Sequence[int]] = "default",
         begin_suppress_tokens: Optional[Sequence[int]] = "default",
         return_timestamps: bool = False,
@@ -158,8 +162,9 @@ class WhisperMedusaModel:
         Beyond the reference: ``return_timestamps=True`` works (the reference
         raises NotImplementedError, model.py:1171-1175, and ships the timestamp
         processors only as dead code) — the speculative loop evaluates the Whisper
-        timestamp rules mid-chain with full history.  Beam search and longform
-        still raise like the reference (model.py:1153-1156, 1214).
+        timestamp rules mid-chain with full history.  Longform (>30 s) inputs run
+        through a seek loop (also NotImplementedError in the reference).  Beam
+        search still raises like the reference (model.py:1153-1156).
         """
         if num_beams != 1:
             raise NotImplementedError("Only greedy-style decoding is supported")
@@ -171,7 +176,17 @@ class WhisperMedusaModel:
         if n_mels != cfg.dims.num_mel_bins:
             raise ValueError(f"expected {cfg.dims.num_mel_bins} mel bins, got {n_mels}")
         if n_frames > cfg.dims.num_frames:
-            raise NotImplementedError("Longform generation is not supported yet")
+            # Longform: sequential 30 s seek loop with timestamp-based advancement
+            # (the reference raises NotImplementedError here, model.py:1214, 1840).
+            return self._generate_longform(
+                feats, language=language, task=task, max_length=max_length,
+                medusa_choices=medusa_choices, disable_medusa=disable_medusa,
+                exponential_decay_length_penalty=exponential_decay_length_penalty,
+                temperature=temperature,
+                compression_ratio_threshold=compression_ratio_threshold,
+                logprob_threshold=logprob_threshold,
+                return_timestamps=return_timestamps,
+                time_precision=time_precision)
         if n_frames < cfg.dims.num_frames:
             feats = jnp.pad(feats, ((0, 0), (0, 0),
                                     (0, cfg.dims.num_frames - n_frames)))
@@ -264,6 +279,25 @@ class WhisperMedusaModel:
                 break
 
         mean_acc = float(np.asarray(result.accepted).sum()) / max(int(result.steps), 1)
+        # No-speech detection (the reference raises NotImplementedError here,
+        # model.py:1201-1205): prob of <|nospeech|> at the first decode position;
+        # a segment counts as silence when it exceeds the threshold and the average
+        # logprob is below logprob_threshold (HF semantics).
+        no_speech_probs = None
+        if result.first_logits is not None:
+            fl = np.asarray(result.first_logits, np.float32)
+            p = np.exp(fl - fl.max(-1, keepdims=True))
+            p /= p.sum(-1, keepdims=True)
+            no_speech_probs = p[:, NO_SPEECH_ID]
+        if no_speech_threshold is not None and no_speech_probs is not None:
+            silent = no_speech_probs > no_speech_threshold
+            if logprob_threshold is not None:
+                avg_lp = self.score_sequences(
+                    enc_out, final_tokens, lengths, prompt.shape[1])
+                silent &= np.asarray(avg_lp) < logprob_threshold
+            for i in np.where(silent)[0]:
+                final_tokens[i, prompt.shape[1]:] = GenerationConfig().pad_token_id
+                lengths[i] = prompt.shape[1]
         segments = None
         if return_timestamps:
             segments = [
@@ -279,6 +313,87 @@ class WhisperMedusaModel:
             mean_accept_length=mean_acc,
             detected_language=detected,
             segments=segments,
+            no_speech_probs=no_speech_probs,
+        )
+
+    def _generate_longform(
+        self, feats, *, language, task, max_length, medusa_choices,
+        disable_medusa, exponential_decay_length_penalty, temperature,
+        compression_ratio_threshold, logprob_threshold, return_timestamps,
+        time_precision,
+    ) -> GenerateOutput:
+        """Sequential seek loop over 30 s windows (reference scaffolding:
+        model.py:1591-1703, unreachable there for >30 s inputs).
+
+        Each window is decoded *with* timestamp rules so the seek pointer can
+        advance to the end of the last complete segment (mel frame = 10 ms,
+        timestamp unit = 20 ms); timestamps are stripped from the output unless
+        requested.  Windows reuse the same jitted B=1 decode."""
+        cfg = self.config
+        b, _, total_frames = feats.shape
+        win = cfg.dims.num_frames
+        prompt_len = 3  # [sot, lang, task] — timestamp mode
+        all_tokens: List[List[int]] = [[] for _ in range(b)]
+        all_segments: List[List[dict]] = [[] for _ in range(b)]
+        steps_total, accepted_total = 0, 0
+
+        for i in range(b):
+            lang_i = language if (language is None or isinstance(language, str)) \
+                else language[i]
+            seek = 0
+            guard = 0
+            while seek < total_frames and guard < 4 * (total_frames // win + 2):
+                guard += 1
+                window = np.asarray(feats[i: i + 1, :, seek: seek + win])
+                if window.shape[-1] < win:
+                    floor = float(window.min()) if window.size else 0.0
+                    window = np.pad(window,
+                                    ((0, 0), (0, 0), (0, win - window.shape[-1])),
+                                    constant_values=floor)
+                out = self.generate(
+                    window, language=lang_i, task=task, max_length=max_length,
+                    medusa_choices=medusa_choices, disable_medusa=disable_medusa,
+                    exponential_decay_length_penalty=exponential_decay_length_penalty,
+                    temperature=temperature,
+                    compression_ratio_threshold=compression_ratio_threshold,
+                    logprob_threshold=logprob_threshold,
+                    return_timestamps=True,
+                    time_precision=time_precision)
+                steps_total += out.steps
+                accepted_total += int(out.accepted.sum())
+                time_offset = seek * 0.01
+                segs = out.segments[0]
+                for s in segs:
+                    all_segments[i].append({
+                        "start": s["start"] + time_offset,
+                        "end": None if s["end"] is None else s["end"] + time_offset,
+                        "tokens": s["tokens"],
+                    })
+                toks = out.sequences[0, prompt_len: out.lengths[0]].tolist()
+                toks = [t for t in toks if t != EOS_TOKEN_ID]
+                if not return_timestamps:
+                    toks = [t for t in toks if t < TIMESTAMP_BEGIN_ID]
+                all_tokens[i].extend(toks)
+                # Advance to the end of the last *complete* segment when possible.
+                complete_ends = [s["end"] for s in segs if s["end"] is not None]
+                if complete_ends and seek + win < total_frames:
+                    advance = int(round(complete_ends[-1] / 0.01))
+                    advance = advance if advance > 0 else win
+                else:
+                    advance = win
+                seek += min(advance, win)
+
+        max_len_out = max((len(t) for t in all_tokens), default=0) + 1
+        sequences = np.full((b, max_len_out), EOS_TOKEN_ID, np.int32)
+        lengths = np.zeros((b,), np.int32)
+        for i, toks in enumerate(all_tokens):
+            sequences[i, : len(toks)] = toks
+            lengths[i] = len(toks)
+        return GenerateOutput(
+            sequences=sequences, lengths=lengths, steps=steps_total,
+            accepted=np.asarray([accepted_total]),
+            mean_accept_length=accepted_total / max(steps_total, 1),
+            segments=all_segments if return_timestamps else None,
         )
 
     def score_sequences(self, enc_out: jnp.ndarray, sequences: np.ndarray,
@@ -356,8 +471,6 @@ def _extract_segments(tokens: np.ndarray, length: int, prompt_len: int,
 
     Equivalent of the reference's `_retrieve_segment` role (delegated to HF,
     model.py:1683-1700): consecutive timestamp pairs bracket text spans."""
-    from whisper_medusa_tpu.config import TIMESTAMP_BEGIN_ID
-
     seq = tokens[prompt_len:length]
     segments: List[dict] = []
     start_ts = None

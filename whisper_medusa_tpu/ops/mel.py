@@ -135,6 +135,32 @@ def log_mel_spectrogram(
     return jnp.swapaxes(log_spec, 1, 2).astype(dtype)      # (B, n_mels, F)
 
 
+def log_mel_spectrogram_np(audio: np.ndarray, n_mels: int = 80) -> np.ndarray:
+    """Arbitrary-length host-side log-mel (numpy) for longform audio.
+
+    Same math as :func:`log_mel_spectrogram` without the static 30 s shape
+    constraint; used by the longform seek loop to featurize the full waveform in
+    one pass (per-window recomputation would distort the global max-normalization
+    at window boundaries)."""
+    audio = np.asarray(audio, np.float32)
+    if audio.ndim == 1:
+        audio = audio[None]
+    cos_b, sin_b, mel_fb = dft_mel_basis(n_mels)
+    pad = N_FFT // 2
+    x = np.pad(audio, ((0, 0), (pad, pad)), mode="reflect")
+    n_frames = audio.shape[-1] // HOP_LENGTH
+    idx = (np.arange(n_frames) * HOP_LENGTH)[:, None] + np.arange(N_FFT)[None, :]
+    frames = x[:, idx]                                     # (B, F, N_FFT)
+    re = frames @ cos_b
+    im = frames @ sin_b
+    mel = (re * re + im * im) @ mel_fb
+    log_spec = np.log10(np.maximum(mel, 1e-10))
+    max_val = log_spec.max(axis=(1, 2), keepdims=True)
+    log_spec = np.maximum(log_spec, max_val - 8.0)
+    log_spec = (log_spec + 4.0) / 4.0
+    return np.swapaxes(log_spec, 1, 2).astype(np.float32)  # (B, n_mels, F)
+
+
 def pad_or_trim(audio: np.ndarray, length: int = N_SAMPLES) -> np.ndarray:
     """Host-side pad/trim to exactly 30 s (static shapes for the device path)."""
     audio = np.asarray(audio, np.float32)
