@@ -13,9 +13,6 @@ import argparse
 import logging
 import os
 
-import jax
-import numpy as np
-
 from whisper_medusa_tpu.cli.args import add_model_args, add_training_args
 from whisper_medusa_tpu.config import (MedusaConfig, ModelConfig,
                                        WHISPER_PRESETS)

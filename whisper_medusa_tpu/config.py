@@ -19,7 +19,7 @@ import dataclasses
 import json
 import os
 from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 
 # Whisper vocabulary constants (multilingual v2 vocabulary).  These are

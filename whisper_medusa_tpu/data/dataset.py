@@ -16,14 +16,13 @@ from __future__ import annotations
 
 import dataclasses
 import wave
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 import numpy as np
 
 from whisper_medusa_tpu.config import (
     EOS_TOKEN_ID,
     NO_TIMESTAMPS_ID,
-    SOT_TOKEN_ID,
     TASK_TRANSCRIBE_ID,
     language_token_id,
 )

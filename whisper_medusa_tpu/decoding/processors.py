@@ -17,14 +17,16 @@ Implemented processors (the reference's live set):
   * exponential-decay length penalty (HF ``ExponentialDecayLengthPenalty``;
     part of the reference's public API, README.md:116-117, eval_whisper_medusa.py:53-65)
 
-Timestamp and no-speech processors raise ``NotImplementedError`` in the reference
-(model.py:1171-1205) and are likewise not part of the live set here.
+Additionally :func:`apply_timestamp_rules` implements the full Whisper timestamp
+grammar — functional here, whereas the reference raises ``NotImplementedError`` and
+ships its timestamp processors as dead code (model.py:1171-1205,
+medusa_utils.py:21-302).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

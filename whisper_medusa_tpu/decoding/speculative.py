@@ -34,7 +34,6 @@ host-side concat surgery, model.py:378-402).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax

@@ -43,7 +43,7 @@ from whisper_medusa_tpu.config import (
     ModelConfig,
     language_token_id,
 )
-from whisper_medusa_tpu.decoding.buffers import MedusaBuffers, generate_medusa_buffers
+from whisper_medusa_tpu.decoding.buffers import generate_medusa_buffers
 from whisper_medusa_tpu.decoding.processors import ProcessorConfig
 from whisper_medusa_tpu.decoding.speculative import SpecResult, speculative_generate
 from whisper_medusa_tpu.models import convert, medusa as medusa_mod, whisper

@@ -16,13 +16,13 @@ from __future__ import annotations
 
 import glob
 import os
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from whisper_medusa_tpu.config import MedusaConfig, ModelConfig, WhisperDims
+from whisper_medusa_tpu.config import ModelConfig, WhisperDims
 
 Params = Dict[str, Any]
 

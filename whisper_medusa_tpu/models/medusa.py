@@ -19,7 +19,7 @@ batched matmul against the shared tied embedding (SURVEY §2.2 native-equivalent
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ the kernel overhead isn't worth it.
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import Optional
 

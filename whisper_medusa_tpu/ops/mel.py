@@ -17,7 +17,7 @@ A fused Pallas kernel version lives in :mod:`whisper_medusa_tpu.ops.mel_pallas`.
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -7,8 +7,6 @@ Replaces the reference training path (reference: whisper_medusa/models/model.py:
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
