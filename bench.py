@@ -50,7 +50,7 @@ def fetch(x):
     return np.asarray(jax.tree.leaves(x)[0].ravel()[0])
 
 
-def main():
+def main(batch: int = 1):
     from whisper_medusa_tpu.config import (EOS_TOKEN_ID, GenerationConfig,
                                            ModelConfig)
     from whisper_medusa_tpu.decoding.buffers import generate_medusa_buffers
@@ -99,7 +99,10 @@ def main():
     log(f"encoder: {(time.perf_counter() - t0) / 5 * 1e3:.1f} ms/call (5 calls incl. 1 fetch)")
 
     # ---- decode loops ----
-    prompt = jnp.asarray([[50258, 50259, 50359, 50363]], jnp.int32)
+    if batch > 1:
+        enc = jnp.tile(enc, (batch, 1, 1))
+    prompt = jnp.tile(jnp.asarray([[50258, 50259, 50359, 50363]], jnp.int32),
+                      (batch, 1))
     max_length = 260                       # 256 generated tokens from prompt 4
     pcfg = ProcessorConfig(
         vocab_size=dims.vocab_size,
@@ -128,9 +131,9 @@ def main():
             res = fn(wp, medusa_params, enc, prompt, c)
             fetch(res.tokens)
         dt = (time.perf_counter() - t0) / iters
-        new_tokens = int(res.lengths[0]) - prompt.shape[1]
+        new_tokens = int(np.asarray(res.lengths).sum()) - batch * prompt.shape[1]
         steps = int(res.steps)
-        accept = int(res.accepted.sum()) / max(steps, 1)
+        accept = int(res.accepted.sum()) / max(steps * batch, 1)
         log(f"{label}: {dt * 1e3:.1f} ms, {new_tokens} tokens, {steps} steps, "
             f"{new_tokens / dt:.1f} tok/s, accept/step={accept:.2f}")
         return new_tokens / dt, accept
@@ -171,4 +174,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    batch = 1
+    if "--batch" in sys.argv:
+        batch = int(sys.argv[sys.argv.index("--batch") + 1])
+    main(batch=batch)

@@ -158,3 +158,18 @@ def test_no_speech_detection(tiny_model):
     out2 = tiny_model.generate(f, language="en", max_length=16,
                                no_speech_threshold=0.0)
     assert (out2.lengths == 4).all()
+
+
+def test_captured_token_logprobs(tiny_model):
+    """In-loop score capture (output_scores equivalent): finite logprobs on
+    generated positions, zeros elsewhere; avg matches a manual recompute."""
+    f = _feats(tiny_model.config, seed=15)
+    out = tiny_model.generate(f, language="en", max_length=20)
+    lp = out.token_logprobs
+    assert lp.shape == out.sequences.shape
+    for i in range(2):
+        gen = lp[i, 4: out.lengths[i]]
+        assert (gen <= 0).all() and np.isfinite(gen).all()
+        assert (lp[i, out.lengths[i]:] == 0).all()
+        manual = gen.mean() if gen.size else 0.0
+        np.testing.assert_allclose(out.avg_logprobs[i], manual, rtol=1e-5)

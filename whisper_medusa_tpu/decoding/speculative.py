@@ -65,6 +65,7 @@ class SpecState:
     accepted: jnp.ndarray  # (B,) int32 — total accepted draft tokens (speedup metric)
     prev2: jnp.ndarray     # (B,) token preceding the pending root (timestamp rules)
     max_ts: jnp.ndarray    # (B,) running max emitted timestamp token (0 = none)
+    logprobs: jnp.ndarray  # (B, buf_len) f32 — processed logprob of each token
 
 
 class SpecResult(NamedTuple):
@@ -75,6 +76,9 @@ class SpecResult(NamedTuple):
     # Unprocessed base logits at the first generated position — drives no-speech
     # detection (softmax prob of <|nospeech|>; HF computes this at begin_index).
     first_logits: jnp.ndarray = None  # (B, V) float32
+    # Processed log-prob of every emitted token (pad positions 0) — the
+    # ``output_scores`` equivalent, captured inside the loop at no extra forward.
+    logprobs: jnp.ndarray = None      # (B, max_length) float32
 
 
 def _head_slice(medusa_params: Params, lo: int, hi: Optional[int]) -> Params:
@@ -318,10 +322,15 @@ def speculative_generate(
     h_draft = out.block_hidden[:, -1] if block is not None else h_last
     chunk0 = drafts_to_chunk(root0, h_draft, cur_len, jnp.int32(0))
 
+    logprobs0 = jnp.zeros((b, buf_len), jnp.float32)
+    root0_lp = jnp.take_along_axis(
+        jax.nn.log_softmax(proc, axis=-1), root0[:, None], axis=-1)[:, 0]
+    logprobs0 = logprobs0.at[:, t0].set(root0_lp)
+
     state = SpecState(
         tokens=tokens, cur_len=cur_len, finished=finished, cache=cache,
         chunk=chunk0, steps=jnp.int32(0), accepted=jnp.zeros((b,), jnp.int32),
-        prev2=prompt[:, -1], max_ts=ts_val(root0),
+        prev2=prompt[:, -1], max_ts=ts_val(root0), logprobs=logprobs0,
     )
 
     # ---------------- loop ----------------
@@ -376,6 +385,20 @@ def speculative_generate(
             s.tokens, window, s.cur_len)
         tokens = jnp.where(s.finished[:, None], s.tokens, write)
 
+        # Per-token logprobs of the committed window (output_scores equivalent):
+        # committed token i is predicted by path node i's processed logits.
+        lp_all = jax.nn.log_softmax(proc, axis=-1)            # (B, N, V)
+        node_lp = jnp.take_along_axis(
+            lp_all, best_nodes[:, :, None].astype(jnp.int32),
+            axis=1)                                           # (B, Lv, V)
+        win_lp = jnp.take_along_axis(
+            node_lp, jnp.clip(window, 0, None)[:, :, None], axis=-1)[..., 0]
+        win_lp = jnp.where(idx <= accept[:, None], win_lp, 0.0)
+        lp_write = jax.vmap(
+            lambda buf, w, off: lax.dynamic_update_slice(buf, w, (off,)))(
+            s.logprobs, win_lp.astype(jnp.float32), s.cur_len)
+        logprobs = jnp.where(s.finished[:, None], s.logprobs, lp_write)
+
         ncommit = jnp.where(s.finished, 0, accept + 1)
         new_len = s.cur_len + ncommit
         eos_hit = jnp.any((window == eos) & (idx <= accept[:, None]), axis=-1)
@@ -408,7 +431,7 @@ def speculative_generate(
             tokens=tokens, cur_len=new_len, finished=finished, cache=cache,
             chunk=chunk, steps=s.steps + 1,
             accepted=s.accepted + jnp.where(s.finished, 0, accept),
-            prev2=prev2_out, max_ts=max_ts_out,
+            prev2=prev2_out, max_ts=max_ts_out, logprobs=logprobs,
         )
 
     state = lax.while_loop(cond, body, state)
@@ -424,6 +447,8 @@ def speculative_generate(
     has_eos = jnp.any(is_eos, axis=-1)
     first = jnp.argmax(is_eos, axis=-1)
     tokens = jnp.where((has_eos[:, None]) & (pos > first[:, None]), eos, tokens)
+    out_lp = state.logprobs[:, :max_length]
+    out_lp = jnp.where(pos < lengths[:, None], out_lp, 0.0)
     return SpecResult(tokens=tokens, lengths=lengths,
                       steps=state.steps, accepted=state.accepted,
-                      first_logits=base)
+                      first_logits=base, logprobs=out_lp)

@@ -61,6 +61,8 @@ class GenerateOutput:
     detected_language: Optional[List[str]] = None
     segments: Optional[List[List[dict]]] = None  # per-example timestamped segments
     no_speech_probs: Optional[np.ndarray] = None  # (B,) prob of <|nospeech|>
+    token_logprobs: Optional[np.ndarray] = None   # (B, max_length) per-token scores
+    avg_logprobs: Optional[np.ndarray] = None     # (B,) mean generated-token logprob
 
 
 class WhisperMedusaModel:
@@ -267,10 +269,9 @@ class WhisperMedusaModel:
             else:
                 final_tokens[~keep] = toks[~keep]
                 lengths[~keep] = np.asarray(result.lengths)[~keep]
-            avg_lp = None
-            if logprob_threshold is not None:
-                avg_lp = self.score_sequences(
-                    enc_out, toks, np.asarray(result.lengths), prompt.shape[1])
+            avg_lp = _avg_from_captured(
+                np.asarray(result.logprobs), np.asarray(result.lengths),
+                prompt.shape[1])
             ok = ~_needs_fallback(
                 toks, np.asarray(result.lengths), prompt.shape[1],
                 compression_ratio_threshold, avg_lp, logprob_threshold)
@@ -289,12 +290,12 @@ class WhisperMedusaModel:
             p = np.exp(fl - fl.max(-1, keepdims=True))
             p /= p.sum(-1, keepdims=True)
             no_speech_probs = p[:, NO_SPEECH_ID]
+        final_avg_lp = _avg_from_captured(
+            np.asarray(result.logprobs), lengths, prompt.shape[1])
         if no_speech_threshold is not None and no_speech_probs is not None:
             silent = no_speech_probs > no_speech_threshold
             if logprob_threshold is not None:
-                avg_lp = self.score_sequences(
-                    enc_out, final_tokens, lengths, prompt.shape[1])
-                silent &= np.asarray(avg_lp) < logprob_threshold
+                silent &= final_avg_lp < logprob_threshold
             for i in np.where(silent)[0]:
                 final_tokens[i, prompt.shape[1]:] = GenerationConfig().pad_token_id
                 lengths[i] = prompt.shape[1]
@@ -314,6 +315,8 @@ class WhisperMedusaModel:
             detected_language=detected,
             segments=segments,
             no_speech_probs=no_speech_probs,
+            token_logprobs=np.asarray(result.logprobs),
+            avg_logprobs=final_avg_lp,
         )
 
     def _generate_longform(
@@ -445,6 +448,16 @@ def _detect_language(params, enc_out, dims):
         jnp.arange(logits.shape[-1]) < lang_hi)
     logits = jnp.where(mask, logits, -jnp.inf)
     return jnp.argmax(logits, axis=-1)
+
+
+def _avg_from_captured(logprobs: np.ndarray, lengths: np.ndarray,
+                       prompt_len: int) -> np.ndarray:
+    """Mean generated-token logprob from the loop-captured per-token scores."""
+    b, L = logprobs.shape
+    pos = np.arange(L)[None, :]
+    mask = (pos >= prompt_len) & (pos < lengths[:, None])
+    total = np.where(mask, logprobs, 0.0).sum(-1)
+    return total / np.maximum(mask.sum(-1), 1)
 
 
 def _avg_logprobs(params, enc_out, sequences, lengths, prompt_len, dims):
