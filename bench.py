@@ -50,7 +50,7 @@ def fetch(x):
     return np.asarray(jax.tree.leaves(x)[0].ravel()[0])
 
 
-def main(batch: int = 1):
+def main(batch: int = 1, int8: bool = False):
     from whisper_medusa_tpu.config import (EOS_TOKEN_ID, GenerationConfig,
                                            ModelConfig)
     from whisper_medusa_tpu.decoding.buffers import generate_medusa_buffers
@@ -73,6 +73,13 @@ def main(batch: int = 1):
     mp = medusa_mod.init_medusa_params(r2, dims, config.medusa, wp, jnp.bfloat16)
     jax.block_until_ready((wp, mp))
     log(f"param init: {time.perf_counter() - t0:.1f}s")
+    if int8:
+        from whisper_medusa_tpu.ops.qmm import quantize_decoder
+
+        t0 = time.perf_counter()
+        wp, mp = quantize_decoder(wp, mp)
+        jax.block_until_ready((wp, mp))
+        log(f"int8 decoder quantization: {time.perf_counter() - t0:.1f}s")
 
     # ---- audio frontend (pallas kernel) ----
     rng = np.random.default_rng(0)
@@ -177,4 +184,4 @@ if __name__ == "__main__":
     batch = 1
     if "--batch" in sys.argv:
         batch = int(sys.argv[sys.argv.index("--batch") + 1])
-    main(batch=batch)
+    main(batch=batch, int8="--int8" in sys.argv)

@@ -111,6 +111,20 @@ class WhisperMedusaModel:
         mp = medusa_mod.init_medusa_params(r2, config.dims, config.medusa, wp, dt)
         return cls(config, {"whisper": wp, "medusa": mp})
 
+    def quantize(self) -> "WhisperMedusaModel":
+        """Return an int8 weight-only quantized serving copy.
+
+        Decoder layer weights, the tied embedding, and the medusa block layer are
+        stored int8 with per-channel scales and dequantized in VMEM by the Pallas
+        matmul (ops/qmm.py) — roughly halving per-step decode HBM traffic.
+        Inference-only; medusa==vanilla parity holds within the quantized model.
+        """
+        from whisper_medusa_tpu.ops.qmm import quantize_decoder
+
+        wp, mp = quantize_decoder(self.params["whisper"],
+                                  self.params.get("medusa"))
+        return WhisperMedusaModel(self.config, {"whisper": wp, "medusa": mp})
+
     def save_pretrained(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
         self.config.save(path)

@@ -135,10 +135,34 @@ def layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray) -> jnp.nda
 
 
 def dense(x, w, b=None):
-    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    """Dense matmul with f32 accumulation.
+
+    ``w`` may be a plain (K, N) array or a weight-only int8 quantized dict
+    ``{"q": int8 (K, N), "s": f32 (N,)}`` (see ops/qmm.py) — the serving mode that
+    halves decode HBM traffic."""
+    if isinstance(w, dict):
+        from whisper_medusa_tpu.ops import qmm as qmm_mod
+
+        k = w["q"].shape[0]
+        x2 = x.reshape(-1, k)
+        if qmm_mod.on_tpu():
+            y = qmm_mod.qmm(x2, w["q"], w["s"])
+        else:
+            y = qmm_mod.qmm_ref(x2, w["q"], w["s"])
+        y = y.reshape(*x.shape[:-1], y.shape[-1])
+    else:
+        y = jnp.dot(x, w, preferred_element_type=jnp.float32)
     if b is not None:
         y = y + b.astype(jnp.float32)
     return y.astype(x.dtype)
+
+
+def embed_lookup(embed, tokens: jnp.ndarray) -> jnp.ndarray:
+    """Token-embedding gather; supports the int8-quantized tied embedding."""
+    if isinstance(embed, dict):
+        rows = embed["q"][tokens].astype(jnp.bfloat16)
+        return rows * embed["s"][tokens][..., None].astype(jnp.bfloat16)
+    return embed[tokens]
 
 
 def _split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
@@ -290,7 +314,7 @@ def decode_train(
     dec = params["decoder"]
     nh = dims.decoder_attention_heads
     t = tokens.shape[1]
-    x = dec["embed_tokens"][tokens] + dec["pos_embed"][None, :t]
+    x = embed_lookup(dec["embed_tokens"], tokens) + dec["pos_embed"][None, :t]
 
     def layer_fn(h, lp):
         h_in = h
@@ -316,6 +340,15 @@ def project_logits(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
     batch heads into the leading dims.
     """
     w = params["decoder"]["embed_tokens"]
+    if isinstance(w, dict):
+        from whisper_medusa_tpu.ops import qmm as qmm_mod
+
+        h2 = hidden.reshape(-1, hidden.shape[-1])
+        if qmm_mod.on_tpu():
+            y = qmm_mod.qmm_nt(h2, w["q"], w["s"])
+        else:
+            y = qmm_mod.qmm_nt_ref(h2, w["q"], w["s"])
+        return y.reshape(*hidden.shape[:-1], y.shape[-1])
     return jnp.dot(hidden, w.T, preferred_element_type=jnp.float32)
 
 
@@ -366,7 +399,9 @@ def init_cache(
         v = _split_heads(dense(enc_out, lp_cross["v_w"], lp_cross["v_b"]), nh)
         return k, v
 
-    cross_k, cross_v = jax.vmap(cross_kv)(layers["cross"])  # (L, B, S, H, Dh)
+    # lax.map (scan) instead of vmap: the quantized-weight pallas matmul has no
+    # batching rule, and this runs once per utterance anyway.
+    cross_k, cross_v = lax.map(cross_kv, layers["cross"])  # (L, B, S, H, Dh)
     if extra_layers:
         pad = [(0, extra_layers)] + [(0, 0)] * 4
         cross_k = jnp.pad(cross_k, pad)
@@ -489,7 +524,7 @@ def decode_step(
         rel_positions = jnp.arange(t, dtype=jnp.int32)
     abs_pos = offsets[:, None] + rel_positions[None, :]             # (B, T)
     abs_pos = jnp.clip(abs_pos, 0, dims.max_target_positions - 1)
-    x = dec["embed_tokens"][tokens] + dec["pos_embed"][abs_pos]
+    x = embed_lookup(dec["embed_tokens"], tokens) + dec["pos_embed"][abs_pos]
 
     self_mask = make_step_mask(offsets, t, cache.max_len, chunk_mask)
 
