@@ -44,7 +44,7 @@ def _qmm_kernel(x_ref, wq_ref, scale_ref, out_ref):
     x = x_ref[:]                                   # (M, K) bf16
     w = wq_ref[:].astype(jnp.bfloat16)             # (K, BN) dequant in VMEM
     acc = jnp.dot(x, w, preferred_element_type=jnp.float32)
-    out_ref[:] = acc * scale_ref[:].astype(jnp.float32)[None, :]
+    out_ref[:] = acc * scale_ref[0].astype(jnp.float32)[None, :]
 
 
 @functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
@@ -71,12 +71,12 @@ def qmm(
         in_specs=[
             pl.BlockSpec((m, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k, block_n), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((m, block_n), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(x.astype(jnp.bfloat16), wq, scale)
+    )(x.astype(jnp.bfloat16), wq, scale[None, :])
     return out[:, :n]
 
 
@@ -93,7 +93,7 @@ def _qmm_nt_kernel(x_ref, wq_ref, scale_ref, out_ref):
     acc = jax.lax.dot_general(
         x, w, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    out_ref[:] = acc * scale_ref[:].astype(jnp.float32)[None, :]
+    out_ref[:] = acc * scale_ref[0].astype(jnp.float32)[None, :]
 
 
 @functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
@@ -119,12 +119,12 @@ def qmm_nt(
         in_specs=[
             pl.BlockSpec((m, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_n, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((m, block_n), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(x.astype(jnp.bfloat16), wq, scale)
+    )(x.astype(jnp.bfloat16), wq, scale[None, :])
     return out[:, :n]
 
 
