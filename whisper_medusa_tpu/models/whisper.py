@@ -145,7 +145,7 @@ def dense(x, w, b=None):
 
         k = w["q"].shape[0]
         x2 = x.reshape(-1, k)
-        if qmm_mod.on_tpu():
+        if qmm_mod.use_pallas_qmm():
             y = qmm_mod.qmm(x2, w["q"], w["s"])
         else:
             y = qmm_mod.qmm_ref(x2, w["q"], w["s"])
@@ -344,7 +344,7 @@ def project_logits(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
         from whisper_medusa_tpu.ops import qmm as qmm_mod
 
         h2 = hidden.reshape(-1, hidden.shape[-1])
-        if qmm_mod.on_tpu():
+        if qmm_mod.use_pallas_qmm():
             y = qmm_mod.qmm_nt(h2, w["q"], w["s"])
         else:
             y = qmm_mod.qmm_nt_ref(h2, w["q"], w["s"])

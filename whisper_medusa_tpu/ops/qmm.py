@@ -143,6 +143,19 @@ def on_tpu() -> bool:
         return False
 
 
+def use_pallas_qmm() -> bool:
+    """Implementation switch for the quantized matmul.
+
+    Measured on v5e at decode sizes (M<=128): XLA's fused int8->bf16
+    dequant-matmul beats the standalone Pallas kernel (per-call overhead
+    dominates ~200 small calls per decode step), so the XLA path is the default;
+    WM_QMM_IMPL=pallas forces the kernel."""
+    import os
+
+    impl = os.environ.get("WM_QMM_IMPL", "xla")
+    return impl == "pallas" and on_tpu()
+
+
 # ---------------------------------------------------------------------------
 # Whisper-params quantization transform
 # ---------------------------------------------------------------------------
