@@ -255,3 +255,30 @@ def test_output_invariant_under_draft_corruption(corruption):
     if corruption == 1.0:
         assert int(noisy.accepted.sum()) == 0
     assert int(noisy.steps) >= int(clean.steps)
+
+
+def test_batch_invariance():
+    """Decoding an example alone or inside a batch yields identical tokens —
+    padding/garbage lanes must not leak across examples."""
+    cfg, params, medusa_params = make_model("base_head", perturb_heads=0.05)
+    gen = gen_cfg(max_length=40)
+    rng = np.random.default_rng(21)
+    mel = jnp.asarray(
+        rng.normal(size=(3, cfg.dims.num_mel_bins, 2 * cfg.dims.max_source_positions)),
+        jnp.float32)
+    enc = whisper.encode(params, cfg.dims, mel)
+    prompt = jnp.asarray(np.tile(rng.integers(6, cfg.dims.vocab_size, (1, 3)), (3, 1)),
+                         jnp.int32)
+    pcfg = pcfg_for(cfg, 3)
+    buffers = generate_medusa_buffers(cfg.medusa.medusa_choices)
+
+    full = speculative_generate(params, medusa_params, cfg.dims, buffers, pcfg,
+                                gen, enc, prompt, variant="base_head")
+    for i in range(3):
+        solo = speculative_generate(
+            params, medusa_params, cfg.dims, buffers, pcfg, gen,
+            enc[i:i + 1], prompt[i:i + 1], variant="base_head")
+        n = int(min(full.lengths[i], solo.lengths[0]))
+        np.testing.assert_array_equal(
+            np.asarray(full.tokens)[i, :n], np.asarray(solo.tokens)[0, :n],
+            err_msg=f"batch lane {i} differs from solo decode")
