@@ -173,3 +173,23 @@ def test_captured_token_logprobs(tiny_model):
         assert (lp[i, out.lengths[i]:] == 0).all()
         manual = gen.mean() if gen.size else 0.0
         np.testing.assert_allclose(out.avg_logprobs[i], manual, rtol=1e-5)
+
+
+def test_medusa_choices_override_tree(tiny_model):
+    """generate(medusa_choices=...) overrides the config chain with a tree."""
+    f = _feats(tiny_model.config, seed=17)
+    out = tiny_model.generate(f, language="en", max_length=20,
+                              medusa_choices=[1, 2, 2, 1])
+    base = tiny_model.generate(f, language="en", max_length=20)
+    for i in range(2):
+        n = int(min(out.lengths[i], base.lengths[i]))
+        np.testing.assert_array_equal(out.sequences[i, :n], base.sequences[i, :n])
+
+
+def test_typical_acceptance_temperature(tiny_model):
+    """temperature>0 switches to typical acceptance; decode still terminates and
+    commits only greedy-base-consistent chains."""
+    f = _feats(tiny_model.config, seed=19)
+    out = tiny_model.generate(f, language="en", max_length=20, temperature=0.7)
+    assert out.sequences.shape[0] == 2
+    assert (out.lengths > 4).all()
