@@ -15,3 +15,17 @@ from whisper_medusa_tpu.config import (  # noqa: F401
     language_token_id,
     tiny_test_config,
 )
+
+
+def __getattr__(name):
+    # Lazy heavyweight exports (avoid importing jax-compiled modules on package
+    # import): WhisperMedusaModel and WhisperMedusaProcessor.
+    if name == "WhisperMedusaModel":
+        from whisper_medusa_tpu.models.api import WhisperMedusaModel
+
+        return WhisperMedusaModel
+    if name == "WhisperMedusaProcessor":
+        from whisper_medusa_tpu.processor import WhisperMedusaProcessor
+
+        return WhisperMedusaProcessor
+    raise AttributeError(name)
