@@ -193,3 +193,23 @@ def test_typical_acceptance_temperature(tiny_model):
     out = tiny_model.generate(f, language="en", max_length=20, temperature=0.7)
     assert out.sequences.shape[0] == 2
     assert (out.lengths > 4).all()
+
+
+def test_generate_stream_matches_generate(tiny_model):
+    """Segmented streaming decode == single-shot decode, token for token."""
+    f = _feats(tiny_model.config, seed=23)
+    ref = tiny_model.generate(f, language="en", max_length=28)
+    chunks = list(tiny_model.generate_stream(f, language="en", max_length=28,
+                                             chunk_tokens=6))
+    assert len(chunks) >= 2, "expected multiple streamed segments"
+    toks, lengths, finished = chunks[-1]
+    assert finished
+    for i in range(2):
+        n = int(min(lengths[i], ref.lengths[i]))
+        np.testing.assert_array_equal(toks[i, :n], ref.sequences[i, :n])
+    # Progressive reveal: lengths non-decreasing across chunks.
+    prev = None
+    for t, l, _ in chunks:
+        if prev is not None:
+            assert (l >= prev).all()
+        prev = l

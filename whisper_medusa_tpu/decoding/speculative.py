@@ -186,7 +186,10 @@ def speculative_generate(
     prompt: jnp.ndarray,        # (B, T0) int32 init tokens (same for all examples)
     variant: str = "vanilla",   # "vanilla" | "base_head" | "medusa_block"
     draft_corruption: Optional[jnp.ndarray] = None,  # traced scalar in [0, 1]
-) -> SpecResult:
+    resume_state: Optional[SpecState] = None,        # continue a previous segment
+    stop_len: Optional[jnp.ndarray] = None,          # pause once cur_len >= stop_len
+    return_state: bool = False,
+):
     """Run the fused speculative decode loop.  Pure function; jit/pjit-able.
 
     With ``variant="vanilla"`` (or no medusa params / single-node buffers) this *is*
@@ -199,6 +202,11 @@ def speculative_generate(
     acceptance rule rejects wrong drafts); only throughput changes.  Used by
     bench.py to report speedups at controlled accept rates, and by tests to prove
     output-invariance under arbitrary draft quality.
+
+    Streaming (the reference's ``streamer`` role, model.py:758-759): pass
+    ``stop_len``/``return_state=True`` to decode a bounded segment and get the
+    resumable on-device state back; pass it as ``resume_state`` to continue.
+    Segmented decoding emits exactly the same tokens as a single call.
     """
     b, t0 = prompt.shape
     eos = gen.eos_token_id
@@ -284,16 +292,6 @@ def speculative_generate(
         logits = whisper.project_logits(params, stacked)          # (K+1, B, N, V)
         return logits[0], logits[1:]
 
-    # ---------------- prefill ----------------
-    cache = whisper.init_cache(
-        params, dims, enc_out, cache_len,
-        extra_layers=1 if block is not None else 0)
-    if block is not None:
-        cache = whisper.set_block_cross_kv(
-            cache, block, enc_out, dims.decoder_attention_heads)
-    out, cache = whisper.decode_step(
-        params, dims, prompt, cache, jnp.zeros((b,), jnp.int32),
-        block_params=block)
     use_ts = pcfg.timestamp_rules
     if use_ts and not buffers.is_chain:
         raise NotImplementedError(
@@ -303,39 +301,57 @@ def speculative_generate(
     def ts_val(tok):
         return jnp.where(tok >= pcfg.timestamp_begin, tok, 0)
 
-    h_last = out.hidden[:, -1]                                   # (B, D)
-    base = base_fn(h_last)                                       # (B, V) f32
-    proc = apply_processors(base, jnp.full((b,), t0, jnp.int32), pcfg)
-    if use_ts:
-        proc = apply_timestamp_rules(
-            proc, jnp.full((b,), t0, jnp.int32),
-            prompt[:, -1], prompt[:, -2] if t0 >= 2 else prompt[:, -1],
-            jnp.zeros((b,), jnp.int32), pcfg)
-    root0 = jnp.argmax(proc, axis=-1).astype(jnp.int32)
+    # ---------------- prefill (skipped when resuming a streamed segment) ------
+    if resume_state is None:
+        cache = whisper.init_cache(
+            params, dims, enc_out, cache_len,
+            extra_layers=1 if block is not None else 0)
+        if block is not None:
+            cache = whisper.set_block_cross_kv(
+                cache, block, enc_out, dims.decoder_attention_heads)
+        out, cache = whisper.decode_step(
+            params, dims, prompt, cache, jnp.zeros((b,), jnp.int32),
+            block_params=block)
 
-    tokens = jnp.full((b, buf_len), pad, jnp.int32)
-    tokens = lax.dynamic_update_slice(tokens, prompt, (0, 0))
-    tokens = tokens.at[:, t0].set(root0)
-    cur_len = jnp.full((b,), t0 + 1, jnp.int32)
-    finished = (root0 == eos) | (cur_len + num_heads >= max_length)
+        h_last = out.hidden[:, -1]                                   # (B, D)
+        base = base_fn(h_last)                                       # (B, V) f32
+        proc = apply_processors(base, jnp.full((b,), t0, jnp.int32), pcfg)
+        if use_ts:
+            proc = apply_timestamp_rules(
+                proc, jnp.full((b,), t0, jnp.int32),
+                prompt[:, -1], prompt[:, -2] if t0 >= 2 else prompt[:, -1],
+                jnp.zeros((b,), jnp.int32), pcfg)
+        root0 = jnp.argmax(proc, axis=-1).astype(jnp.int32)
 
-    h_draft = out.block_hidden[:, -1] if block is not None else h_last
-    chunk0 = drafts_to_chunk(root0, h_draft, cur_len, jnp.int32(0))
+        tokens = jnp.full((b, buf_len), pad, jnp.int32)
+        tokens = lax.dynamic_update_slice(tokens, prompt, (0, 0))
+        tokens = tokens.at[:, t0].set(root0)
+        cur_len = jnp.full((b,), t0 + 1, jnp.int32)
+        finished = (root0 == eos) | (cur_len + num_heads >= max_length)
 
-    logprobs0 = jnp.zeros((b, buf_len), jnp.float32)
-    root0_lp = jnp.take_along_axis(
-        jax.nn.log_softmax(proc, axis=-1), root0[:, None], axis=-1)[:, 0]
-    logprobs0 = logprobs0.at[:, t0].set(root0_lp)
+        h_draft = out.block_hidden[:, -1] if block is not None else h_last
+        chunk0 = drafts_to_chunk(root0, h_draft, cur_len, jnp.int32(0))
 
-    state = SpecState(
-        tokens=tokens, cur_len=cur_len, finished=finished, cache=cache,
-        chunk=chunk0, steps=jnp.int32(0), accepted=jnp.zeros((b,), jnp.int32),
-        prev2=prompt[:, -1], max_ts=ts_val(root0), logprobs=logprobs0,
-    )
+        logprobs0 = jnp.zeros((b, buf_len), jnp.float32)
+        root0_lp = jnp.take_along_axis(
+            jax.nn.log_softmax(proc, axis=-1), root0[:, None], axis=-1)[:, 0]
+        logprobs0 = logprobs0.at[:, t0].set(root0_lp)
+
+        state = SpecState(
+            tokens=tokens, cur_len=cur_len, finished=finished, cache=cache,
+            chunk=chunk0, steps=jnp.int32(0), accepted=jnp.zeros((b,), jnp.int32),
+            prev2=prompt[:, -1], max_ts=ts_val(root0), logprobs=logprobs0,
+        )
+    else:
+        state = resume_state
+        base = jnp.zeros((b, dims.vocab_size), jnp.float32)  # first_logits n/a
 
     # ---------------- loop ----------------
     def cond(s: SpecState):
-        return jnp.any(~s.finished)
+        active = ~s.finished
+        if stop_len is not None:
+            active = active & (s.cur_len < stop_len)
+        return jnp.any(active)
 
     def body(s: SpecState) -> SpecState:
         offsets = s.cur_len - 1
@@ -449,6 +465,9 @@ def speculative_generate(
     tokens = jnp.where((has_eos[:, None]) & (pos > first[:, None]), eos, tokens)
     out_lp = state.logprobs[:, :max_length]
     out_lp = jnp.where(pos < lengths[:, None], out_lp, 0.0)
-    return SpecResult(tokens=tokens, lengths=lengths,
-                      steps=state.steps, accepted=state.accepted,
-                      first_logits=base, logprobs=out_lp)
+    result = SpecResult(tokens=tokens, lengths=lengths,
+                        steps=state.steps, accepted=state.accepted,
+                        first_logits=base, logprobs=out_lp)
+    if return_state:
+        return result, state
+    return result

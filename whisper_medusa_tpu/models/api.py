@@ -413,6 +413,75 @@ class WhisperMedusaModel:
             segments=all_segments if return_timestamps else None,
         )
 
+    def generate_stream(
+        self,
+        input_features: Union[np.ndarray, jnp.ndarray],
+        language: Optional[str] = None,
+        task: str = "transcribe",
+        max_length: Optional[int] = None,
+        chunk_tokens: int = 16,
+        disable_medusa: bool = False,
+    ):
+        """Streaming generation: yields ``(sequences_so_far, lengths, finished)``
+        every ~``chunk_tokens`` committed tokens.
+
+        Plays the reference's ``streamer`` role (model.py:758-759) with the decode
+        state held on device between segments; the final tokens are identical to a
+        single :meth:`generate` call.  Greedy shortform only.
+        """
+        cfg = self.config
+        feats = jnp.asarray(input_features)
+        if feats.ndim == 2:
+            feats = feats[None]
+        b = feats.shape[0]
+        enc_out = self.encode(feats)
+        if language is None:
+            lang_ids = self.detect_language(enc_out)
+        else:
+            lang_ids = np.full((b,), language_token_id(language), np.int64)
+        task_id = TASK_TRANSCRIBE_ID if task == "transcribe" else TASK_TRANSLATE_ID
+        prompt = np.stack([
+            np.full((b,), SOT_TOKEN_ID), lang_ids, np.full((b,), task_id),
+            np.full((b,), NO_TIMESTAMPS_ID)], axis=1).astype(np.int32)
+        max_length = max_length or cfg.dims.max_target_positions
+        gd = GenerationConfig()
+        pcfg = ProcessorConfig(
+            vocab_size=cfg.dims.vocab_size, suppress_tokens=gd.suppress_tokens,
+            begin_suppress_tokens=gd.begin_suppress_tokens,
+            begin_index=prompt.shape[1], eos_token_id=EOS_TOKEN_ID)
+        gen = GenerationConfig(max_length=max_length)
+        if disable_medusa:
+            buffers = generate_medusa_buffers([1])
+            variant, mp = "vanilla", None
+        else:
+            buffers = generate_medusa_buffers(cfg.medusa.medusa_choices)
+            variant, mp = cfg.medusa.medusa_heads_type, self.params["medusa"]
+
+        key = ("stream", variant, pcfg, gen, enc_out.shape, prompt.shape)
+        if key not in self._jit_cache:
+            start = jax.jit(partial(
+                speculative_generate, dims=cfg.dims, buffers=buffers, pcfg=pcfg,
+                gen=gen, variant=variant, return_state=True))
+            resume = jax.jit(partial(
+                speculative_generate, dims=cfg.dims, buffers=buffers, pcfg=pcfg,
+                gen=gen, variant=variant, return_state=True))
+            self._jit_cache[key] = (start, resume)
+        start, resume = self._jit_cache[key]
+
+        stop = jnp.int32(prompt.shape[1] + chunk_tokens)
+        result, state = start(self.params["whisper"], mp, enc_out=enc_out,
+                              prompt=jnp.asarray(prompt), stop_len=stop)
+        while True:
+            lengths = np.asarray(result.lengths)
+            finished = bool(np.asarray(state.finished).all())
+            yield np.asarray(result.tokens), lengths, finished
+            if finished:
+                return
+            stop = jnp.int32(int(lengths.max()) + chunk_tokens)
+            result, state = resume(
+                self.params["whisper"], mp, enc_out=enc_out,
+                prompt=jnp.asarray(prompt), stop_len=stop, resume_state=state)
+
     def score_sequences(self, enc_out: jnp.ndarray, sequences: np.ndarray,
                         lengths: np.ndarray, prompt_len: int) -> np.ndarray:
         """Average per-token log-probability of the generated tokens.
