@@ -213,3 +213,11 @@ def test_generate_stream_matches_generate(tiny_model):
         if prev is not None:
             assert (l >= prev).all()
         prev = l
+
+
+def test_single_choice_medusa_equals_vanilla_cost_path(tiny_model):
+    """medusa_choices=[1] degenerates to the vanilla loop through the API."""
+    f = _feats(tiny_model.config, seed=29)
+    out = tiny_model.generate(f, language="en", max_length=16,
+                              medusa_choices=[1])
+    assert out.sequences.shape[0] == 2 and (out.accepted == 0).all()
