@@ -63,6 +63,10 @@ def add_training_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--tokenizer-path", default=None,
                    help="local HF tokenizer dir; defaults to whisper-model-name")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--wandb-logging", type=str2bool, default=False)
+    p.add_argument("--wandb-project", default="whisper-medusa-tpu")
+    p.add_argument("--wandb-run-name", default=None)
+    p.add_argument("--wandb-resume-id", default=None)
 
 
 def add_eval_args(p: argparse.ArgumentParser) -> None:

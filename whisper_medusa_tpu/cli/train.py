@@ -20,7 +20,8 @@ from whisper_medusa_tpu.data import dataset as ds_mod
 from whisper_medusa_tpu.data.tokenizer import CharTokenizer, load_tokenizer
 from whisper_medusa_tpu.models.api import WhisperMedusaModel
 from whisper_medusa_tpu.training.trainer import MedusaTrainer, TrainingArgs
-from whisper_medusa_tpu.utils.logging_utils import set_logger, set_seed
+from whisper_medusa_tpu.utils.logging_utils import (make_wandb_logger, set_logger,
+                                                    set_seed)
 
 
 def get_model(args) -> WhisperMedusaModel:
@@ -85,8 +86,14 @@ def main(argv=None):
         parts_to_freeze=None if args.parts_to_freeze == "none"
         else args.parts_to_freeze,
     )
+    log_fn = None
+    if args.wandb_logging:
+        # reference: utils.py:331-351 wandb init/resume
+        log_fn = make_wandb_logger(args.wandb_project, args.wandb_run_name,
+                                   config=vars(args),
+                                   resume_id=args.wandb_resume_id)
     trainer = MedusaTrainer(model.config, model.params, targs, train_iter,
-                            eval_iter_fn=eval_iter)
+                            eval_iter_fn=eval_iter, log_fn=log_fn)
     summary = trainer.train(resume_from_checkpoint=args.resume_from_checkpoint)
 
     # Final artifacts (reference: trainer.py:45-51 model_components dir).
