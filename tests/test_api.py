@@ -221,3 +221,16 @@ def test_single_choice_medusa_equals_vanilla_cost_path(tiny_model):
     out = tiny_model.generate(f, language="en", max_length=16,
                               medusa_choices=[1])
     assert out.sequences.shape[0] == 2 and (out.accepted == 0).all()
+
+
+def test_longform_condition_on_prev(tiny_model):
+    """condition_on_prev_tokens threads previous-window text into the next
+    window's prompt (bucketed lengths — bounded recompiles)."""
+    from whisper_medusa_tpu.ops.mel import log_mel_spectrogram_np
+
+    rng = np.random.default_rng(31)
+    wav = (0.1 * rng.normal(size=(1, 16000 * 65))).astype(np.float32)
+    feats = log_mel_spectrogram_np(wav, n_mels=tiny_model.config.dims.num_mel_bins)
+    out = tiny_model.generate(feats, language="en", max_length=40,
+                              condition_on_prev_tokens=True)
+    assert out.sequences.shape[0] == 1

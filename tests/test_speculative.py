@@ -282,3 +282,33 @@ def test_batch_invariance():
         np.testing.assert_array_equal(
             np.asarray(full.tokens)[i, :n], np.asarray(solo.tokens)[0, :n],
             err_msg=f"batch lane {i} differs from solo decode")
+
+
+@pytest.mark.parametrize("choices,seed", [
+    ((1, 2, 1, 3), 3), ((1, 3, 2), 11), ((1, 1, 2, 2, 1), 5),
+])
+def test_fuzz_tree_parity(choices, seed):
+    """Property: ANY branching-tree choices produce the same greedy tokens as the
+    vanilla loop (acceptance admits only greedy-consistent paths)."""
+    cfg, params, medusa_params = make_model(
+        "base_head", heads=len(choices) - 1, seed=seed, perturb_heads=0.08)
+    gen = gen_cfg(max_length=36)
+    rng = np.random.default_rng(seed)
+    mel = jnp.asarray(
+        rng.normal(size=(2, cfg.dims.num_mel_bins, 2 * cfg.dims.max_source_positions)),
+        jnp.float32)
+    enc = whisper.encode(params, cfg.dims, mel)
+    prompt = jnp.asarray(np.tile(rng.integers(6, cfg.dims.vocab_size, (1, 3)), (2, 1)),
+                         jnp.int32)
+    pcfg = pcfg_for(cfg, 3)
+    res_t = speculative_generate(
+        params, medusa_params, cfg.dims, generate_medusa_buffers(list(choices)),
+        pcfg, gen, enc, prompt, variant="base_head")
+    res_v = speculative_generate(
+        params, medusa_params, cfg.dims, generate_medusa_buffers([1]),
+        pcfg, gen, enc, prompt, variant="base_head")
+    for i in range(2):
+        n = int(min(res_t.lengths[i], res_v.lengths[i]))
+        np.testing.assert_array_equal(
+            np.asarray(res_t.tokens)[i, :n], np.asarray(res_v.tokens)[i, :n],
+            err_msg=f"tree {choices} diverges at lane {i}")

@@ -170,6 +170,7 @@ class WhisperMedusaModel:
         prompt_ids: Optional[Sequence[int]] = None,
         max_initial_timestamp_index: Optional[int] = 50,
         time_precision: float = 0.02,
+        condition_on_prev_tokens: bool = False,
     ) -> GenerateOutput:
         """Transcribe a batch of 30 s mel segments.
 
@@ -202,7 +203,8 @@ class WhisperMedusaModel:
                 compression_ratio_threshold=compression_ratio_threshold,
                 logprob_threshold=logprob_threshold,
                 return_timestamps=return_timestamps,
-                time_precision=time_precision)
+                time_precision=time_precision,
+                condition_on_prev_tokens=condition_on_prev_tokens)
         if n_frames < cfg.dims.num_frames:
             feats = jnp.pad(feats, ((0, 0), (0, 0),
                                     (0, cfg.dims.num_frames - n_frames)))
@@ -337,7 +339,7 @@ class WhisperMedusaModel:
         self, feats, *, language, task, max_length, medusa_choices,
         disable_medusa, exponential_decay_length_penalty, temperature,
         compression_ratio_threshold, logprob_threshold, return_timestamps,
-        time_precision,
+        time_precision, condition_on_prev_tokens: bool = False,
     ) -> GenerateOutput:
         """Sequential seek loop over 30 s windows (reference scaffolding:
         model.py:1591-1703, unreachable there for >30 s inputs).
@@ -359,6 +361,7 @@ class WhisperMedusaModel:
                 else language[i]
             seek = 0
             guard = 0
+            prev_text: List[int] = []
             while seek < total_frames and guard < 4 * (total_frames // win + 2):
                 guard += 1
                 window = np.asarray(feats[i: i + 1, :, seek: seek + win])
@@ -367,6 +370,18 @@ class WhisperMedusaModel:
                     window = np.pad(window,
                                     ((0, 0), (0, 0), (0, win - window.shape[-1])),
                                     constant_values=floor)
+                # Previous-context conditioning (reference plumbing:
+                # do_condition_on_prev_tokens; HF semantics).  Prompt lengths are
+                # bucketed so at most 4 decode shapes ever compile.
+                prompt_ids = None
+                if condition_on_prev_tokens and prev_text:
+                    bucket = 0
+                    for cand in (64, 32, 16):
+                        if len(prev_text) >= cand:
+                            bucket = cand
+                            break
+                    if bucket:
+                        prompt_ids = [50361] + prev_text[-bucket:]  # <|startofprev|>
                 out = self.generate(
                     window, language=lang_i, task=task, max_length=max_length,
                     medusa_choices=medusa_choices, disable_medusa=disable_medusa,
@@ -375,7 +390,8 @@ class WhisperMedusaModel:
                     compression_ratio_threshold=compression_ratio_threshold,
                     logprob_threshold=logprob_threshold,
                     return_timestamps=True,
-                    time_precision=time_precision)
+                    time_precision=time_precision,
+                    prompt_ids=prompt_ids)
                 steps_total += out.steps
                 accepted_total += int(out.accepted.sum())
                 time_offset = seek * 0.01
@@ -386,8 +402,10 @@ class WhisperMedusaModel:
                         "end": None if s["end"] is None else s["end"] + time_offset,
                         "tokens": s["tokens"],
                     })
-                toks = out.sequences[0, prompt_len: out.lengths[0]].tolist()
+                p_len = prompt_len + (len(prompt_ids) if prompt_ids else 0)
+                toks = out.sequences[0, p_len: out.lengths[0]].tolist()
                 toks = [t for t in toks if t != EOS_TOKEN_ID]
+                prev_text = [t for t in toks if t < EOS_TOKEN_ID]
                 if not return_timestamps:
                     toks = [t for t in toks if t < TIMESTAMP_BEGIN_ID]
                 all_tokens[i].extend(toks)
