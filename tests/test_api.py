@@ -234,3 +234,23 @@ def test_longform_condition_on_prev(tiny_model):
     out = tiny_model.generate(feats, language="en", max_length=40,
                               condition_on_prev_tokens=True)
     assert out.sequences.shape[0] == 1
+
+
+def test_large_v3_style_config_decodes():
+    """128-mel / 51866-vocab (large-v3 family) flows through frontend + decode."""
+    from whisper_medusa_tpu.config import MedusaConfig, ModelConfig, WhisperDims
+
+    dims = WhisperDims(vocab_size=51866, num_mel_bins=128, d_model=32,
+                       encoder_layers=2, decoder_layers=2,
+                       encoder_attention_heads=2, decoder_attention_heads=2,
+                       encoder_ffn_dim=64, decoder_ffn_dim=64,
+                       max_source_positions=32, max_target_positions=48)
+    cfg = ModelConfig(dims=dims, medusa=MedusaConfig(
+        medusa_num_heads=2, medusa_hidden_size=32, medusa_choices=(1, 1, 1)))
+    model = WhisperMedusaModel.from_random(cfg, seed=0)
+    from whisper_medusa_tpu.ops.mel import log_mel_spectrogram_np
+
+    wav = (0.1 * np.random.default_rng(0).normal(size=(1, 16000))).astype(np.float32)
+    feats = log_mel_spectrogram_np(wav, n_mels=128)[..., :dims.num_frames]
+    out = model.generate(feats, language="en", max_length=16)
+    assert out.sequences.shape[0] == 1

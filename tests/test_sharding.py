@@ -92,3 +92,14 @@ def test_sharded_decode_matches_single_device():
 
     np.testing.assert_array_equal(
         np.asarray(res_single.tokens), np.asarray(res_sharded.tokens))
+
+
+@pytest.mark.parametrize("n", [2, 4])
+def test_dryrun_multichip_smaller_meshes(n):
+    """The driver may dry-run with various device counts; (dp,tp) factorizations
+    must compile and run for each."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(n)
