@@ -257,10 +257,14 @@ def decoder_layer_full(lp: Params, x: jnp.ndarray, enc_out: jnp.ndarray,
     return h
 
 
-def encode(params: Params, dims: WhisperDims, mel: jnp.ndarray) -> jnp.ndarray:
+def encode(params: Params, dims: WhisperDims, mel: jnp.ndarray,
+           remat: bool = False) -> jnp.ndarray:
     """Whisper encoder: conv stem + transformer stack.
 
     mel: (B, num_mel_bins, num_frames)  [HF layout]  ->  (B, max_source_positions, D)
+
+    ``remat=True`` rematerializes each layer in the backward pass (training-time
+    memory/FLOPs trade; whisper-large activations otherwise exceed a single chip).
 
     Replaces the reference's HF ``WhisperEncoder`` call
     (reference: whisper_medusa/models/model.py:113-129 -> HF modeling_whisper).
@@ -282,6 +286,8 @@ def encode(params: Params, dims: WhisperDims, mel: jnp.ndarray) -> jnp.ndarray:
         h = h + ffn(lp, layer_norm(h, lp["ffn_ln"]["scale"], lp["ffn_ln"]["bias"]))
         return h, None
 
+    if remat:
+        layer_fn = jax.checkpoint(layer_fn)
     x, _ = lax.scan(layer_fn, x, enc["layers"])
     x = layer_norm(x, enc["ln_post"]["scale"], enc["ln_post"]["bias"])
     return x
@@ -304,6 +310,7 @@ def decode_train(
     tokens: jnp.ndarray,            # (B, T) int32
     enc_out: jnp.ndarray,           # (B, S, D)
     collect_penultimate: bool = False,
+    remat: bool = False,
 ) -> DecoderOutput:
     """Teacher-forced decoder pass over a full token sequence.
 
@@ -323,6 +330,8 @@ def decode_train(
         h = h + ffn(lp, layer_norm(h, lp["ffn_ln"]["scale"], lp["ffn_ln"]["bias"]))
         return h, h_in if collect_penultimate else None
 
+    if remat:
+        layer_fn = jax.checkpoint(layer_fn)
     x, layer_inputs = lax.scan(layer_fn, x, dec["layers"])
     pre_norm = x
     hidden = layer_norm(x, dec["ln_post"]["scale"], dec["ln_post"]["bias"])

@@ -63,21 +63,24 @@ def medusa_train_forward(
         decoder_input_ids = shift_tokens_right(
             labels, pad_token_id=50257, decoder_start_token_id=50258)
 
-    enc_out = whisper.encode(wp, dims, input_features)
+    enc_out = whisper.encode(wp, dims, input_features, remat=True)
     need_teacher = med.output_whisper_original
     dec = whisper.decode_train(wp, dims, decoder_input_ids, enc_out,
-                               collect_penultimate=need_teacher)
+                               collect_penultimate=need_teacher, remat=True)
     nh = dims.decoder_attention_heads
 
+    # Head logits kept bf16 in training: the f32 (H+1, B, T, V) stack would
+    # dominate HBM at whisper-large scale; losses upcast to f32 internally.
+    ldt = dec.hidden.dtype
     if med.medusa_heads_type == "base_head":
         head_out = medusa_mod.apply_heads(mp, dec.hidden)   # (H+1, B, T, D)
-        stack = whisper.project_logits(wp, head_out)        # (H+1, B, T, V) f32
+        stack = whisper.project_logits(wp, head_out).astype(ldt)
         base_logits = stack[0]
     else:
-        base_logits = whisper.project_logits(wp, dec.hidden)
+        base_logits = whisper.project_logits(wp, dec.hidden).astype(ldt)
         block_out = whisper.decoder_layer_full(mp["block"], dec.hidden, enc_out, nh)
         head_out = medusa_mod.apply_heads(mp, block_out)    # (H, B, T, D)
-        head_logits = whisper.project_logits(wp, head_out)
+        head_logits = whisper.project_logits(wp, head_out).astype(ldt)
         stack = jnp.concatenate([base_logits[None], head_logits], axis=0)
 
     # CE (reference model.py:1303-1331).
