@@ -1,0 +1,88 @@
+"""Beam search tests (beyond the reference, which raises for num_beams > 1).
+
+Properties verified:
+  * beam width 1 with length_penalty 0 emits exactly the greedy sequence
+    (log-probs are non-positive, so the first greedy EOS hypothesis dominates);
+  * wider beams never find a worse model score than beam 1 (penalty 0);
+  * the returned hypothesis ends with EOS and respects max_length.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from whisper_medusa_tpu.config import GenerationConfig, tiny_test_config
+from whisper_medusa_tpu.decoding.beam import beam_search
+from whisper_medusa_tpu.decoding.buffers import generate_medusa_buffers
+from whisper_medusa_tpu.decoding.processors import ProcessorConfig
+from whisper_medusa_tpu.decoding.speculative import speculative_generate
+from whisper_medusa_tpu.models import whisper
+
+EOS = 5
+PAD = 5
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_test_config()
+    params = whisper.init_whisper_params(jax.random.PRNGKey(0), cfg.dims)
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(
+        rng.normal(size=(2, cfg.dims.num_mel_bins, cfg.dims.num_frames)),
+        jnp.float32)
+    enc = whisper.encode(params, cfg.dims, mel)
+    prompt = jnp.asarray(np.tile(rng.integers(6, 250, (1, 3)), (2, 1)), jnp.int32)
+    pcfg = ProcessorConfig(vocab_size=cfg.dims.vocab_size, begin_index=3,
+                           eos_token_id=EOS)
+    gen = GenerationConfig(max_length=32, eos_token_id=EOS, pad_token_id=PAD,
+                           suppress_tokens=None, begin_suppress_tokens=None)
+    return cfg, params, enc, prompt, pcfg, gen
+
+
+def test_beam1_penalty0_equals_greedy(setup):
+    cfg, params, enc, prompt, pcfg, gen = setup
+    beam = beam_search(params, cfg.dims, pcfg, gen, enc, prompt,
+                       num_beams=1, length_penalty=0.0)
+    greedy = speculative_generate(
+        params, None, cfg.dims, generate_medusa_buffers([1]), pcfg, gen,
+        enc, prompt, variant="vanilla")
+    for i in range(2):
+        n = int(min(beam.lengths[i], greedy.lengths[i]))
+        np.testing.assert_array_equal(
+            np.asarray(beam.tokens)[i, :n], np.asarray(greedy.tokens)[i, :n])
+
+
+def test_wider_beam_never_worse(setup):
+    cfg, params, enc, prompt, pcfg, gen = setup
+    b1 = beam_search(params, cfg.dims, pcfg, gen, enc, prompt,
+                     num_beams=1, length_penalty=0.0)
+    b4 = beam_search(params, cfg.dims, pcfg, gen, enc, prompt,
+                     num_beams=4, length_penalty=0.0)
+    assert (np.asarray(b4.scores) >= np.asarray(b1.scores) - 1e-4).all(), (
+        np.asarray(b4.scores), np.asarray(b1.scores))
+
+
+def test_beam_output_structure(setup):
+    cfg, params, enc, prompt, pcfg, gen = setup
+    res = beam_search(params, cfg.dims, pcfg, gen, enc, prompt, num_beams=3)
+    toks = np.asarray(res.tokens)
+    lens = np.asarray(res.lengths)
+    for i in range(2):
+        assert lens[i] <= gen.max_length
+        assert (toks[i, lens[i]:] == PAD).all()
+        assert toks[i, lens[i] - 1] == EOS or lens[i] == gen.max_length
+
+
+def test_beam_via_api():
+    from whisper_medusa_tpu.models.api import WhisperMedusaModel
+
+    cfg = tiny_test_config(vocab_size=51865, medusa_num_heads=2)
+    model = WhisperMedusaModel.from_random(cfg, seed=1)
+    rng = np.random.default_rng(1)
+    f = rng.normal(size=(2, cfg.dims.num_mel_bins, cfg.dims.num_frames)).astype(
+        np.float32)
+    out = model.generate(f, language="en", max_length=20, num_beams=3)
+    assert out.sequences.shape[0] == 2
+    assert out.avg_logprobs is not None

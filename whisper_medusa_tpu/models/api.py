@@ -184,7 +184,15 @@ class WhisperMedusaModel:
         search still raises like the reference (model.py:1153-1156).
         """
         if num_beams != 1:
-            raise NotImplementedError("Only greedy-style decoding is supported")
+            # Beyond the reference (which raises, model.py:1153-1156): vanilla
+            # beam search — speculation and beams are not combined.
+            if return_timestamps:
+                raise NotImplementedError("timestamps with beam search not supported")
+            return self._generate_beam(
+                input_features, language=language, task=task,
+                max_length=max_length, num_beams=num_beams,
+                suppress_tokens=suppress_tokens,
+                begin_suppress_tokens=begin_suppress_tokens)
         cfg = self.config
         feats = jnp.asarray(input_features)
         if feats.ndim == 2:
@@ -499,6 +507,54 @@ class WhisperMedusaModel:
             result, state = resume(
                 self.params["whisper"], mp, enc_out=enc_out,
                 prompt=jnp.asarray(prompt), stop_len=stop, resume_state=state)
+
+    def _generate_beam(self, input_features, *, language, task, max_length,
+                       num_beams, suppress_tokens="default",
+                       begin_suppress_tokens="default",
+                       length_penalty: float = 1.0) -> GenerateOutput:
+        from whisper_medusa_tpu.decoding.beam import beam_search
+
+        cfg = self.config
+        feats = jnp.asarray(input_features)
+        if feats.ndim == 2:
+            feats = feats[None]
+        b = feats.shape[0]
+        enc_out = self.encode(feats)
+        if language is None:
+            lang_ids = self.detect_language(enc_out)
+        else:
+            lang = language if isinstance(language, str) else language[0]
+            lang_ids = np.full((b,), language_token_id(lang), np.int64)
+        task_id = TASK_TRANSCRIBE_ID if task == "transcribe" else TASK_TRANSLATE_ID
+        prompt = np.stack([
+            np.full((b,), SOT_TOKEN_ID), lang_ids, np.full((b,), task_id),
+            np.full((b,), NO_TIMESTAMPS_ID)], axis=1).astype(np.int32)
+        max_length = max_length or cfg.dims.max_target_positions
+        gd = GenerationConfig()
+        sup = tuple(suppress_tokens) if suppress_tokens not in (None, "default") \
+            else (gd.suppress_tokens if suppress_tokens == "default" else None)
+        bsup = tuple(begin_suppress_tokens) \
+            if begin_suppress_tokens not in (None, "default") \
+            else (gd.begin_suppress_tokens if begin_suppress_tokens == "default"
+                  else None)
+        pcfg = ProcessorConfig(
+            vocab_size=cfg.dims.vocab_size, suppress_tokens=sup,
+            begin_suppress_tokens=bsup, begin_index=prompt.shape[1],
+            eos_token_id=EOS_TOKEN_ID)
+        gen = GenerationConfig(max_length=max_length)
+        key = ("beam", num_beams, length_penalty, pcfg, gen, enc_out.shape,
+               prompt.shape)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(partial(
+                beam_search, dims=cfg.dims, pcfg=pcfg, gen=gen,
+                num_beams=num_beams, length_penalty=length_penalty))
+        res = self._jit_cache[key](self.params["whisper"], enc_out=enc_out,
+                                   prompt=jnp.asarray(prompt))
+        return GenerateOutput(
+            sequences=np.asarray(res.tokens), lengths=np.asarray(res.lengths),
+            steps=int(res.steps), accepted=np.zeros((b,), np.int32),
+            mean_accept_length=0.0,
+            avg_logprobs=np.asarray(res.scores))
 
     def score_sequences(self, enc_out: jnp.ndarray, sequences: np.ndarray,
                         lengths: np.ndarray, prompt_len: int) -> np.ndarray:
