@@ -86,3 +86,11 @@ def test_beam_via_api():
     out = model.generate(f, language="en", max_length=20, num_beams=3)
     assert out.sequences.shape[0] == 2
     assert out.avg_logprobs is not None
+
+
+def test_nbest_outputs(setup):
+    cfg, params, enc, prompt, pcfg, gen = setup
+    res = beam_search(params, cfg.dims, pcfg, gen, enc, prompt, num_beams=3)
+    assert res.nbest_tokens.shape[:2] == (2, 3)
+    s = np.asarray(res.nbest_scores)
+    assert (np.diff(s, axis=1) <= 1e-6).all(), "n-best must be sorted best-first"

@@ -83,3 +83,5 @@ def add_eval_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--regulation-factor", type=float, default=1.0)
     p.add_argument("--tokenizer-path", default=None)
     p.add_argument("--param-dtype", default="bfloat16")
+    p.add_argument("--num-beams", type=int, default=1,
+                   help=">1 switches to vanilla beam search (beyond reference)")

@@ -66,7 +66,8 @@ def evaluate_model(args) -> dict:
         out = model.generate(
             feats, language=langs, max_length=args.max_length,
             disable_medusa=args.disable_medusa,
-            exponential_decay_length_penalty=penalty)
+            exponential_decay_length_penalty=penalty,
+            num_beams=getattr(args, "num_beams", 1))
         dt = time.perf_counter() - t0
         total_time += dt
         total_tokens += int(out.lengths.sum()) - 4 * len(chunk)

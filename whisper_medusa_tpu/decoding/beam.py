@@ -56,6 +56,10 @@ class BeamResult(NamedTuple):
     lengths: jnp.ndarray        # (B,)
     scores: jnp.ndarray         # (B,) length-normalized logprob
     steps: jnp.ndarray
+    # n-best: the full kept finished set, best-first
+    nbest_tokens: jnp.ndarray = None   # (B, K, max_length)
+    nbest_scores: jnp.ndarray = None   # (B, K)
+    nbest_lengths: jnp.ndarray = None  # (B, K)
 
 
 def _length_norm(length, length_penalty: float):
@@ -205,6 +209,11 @@ def beam_search(
 
     pos = jnp.arange(buf)[None, :]
     best_tokens = jnp.where(pos < best_len[:, None], best_tokens, pad)
+    nb_tokens = jnp.where(pos[None] < state.fin_lengths[:, :, None],
+                          state.fin_tokens, pad)
     return BeamResult(tokens=best_tokens[:, :max_length],
                       lengths=jnp.minimum(best_len, max_length),
-                      scores=best_score, steps=state.steps)
+                      scores=best_score, steps=state.steps,
+                      nbest_tokens=nb_tokens[:, :, :max_length],
+                      nbest_scores=state.fin_scores,
+                      nbest_lengths=jnp.minimum(state.fin_lengths, max_length))
