@@ -70,8 +70,11 @@ def test_save_load_roundtrip(tiny_model, tmp_path):
 
 def test_unsupported_surfaces_raise(tiny_model):
     f = _feats(tiny_model.config)
+    # Beams work now (beyond the reference); the unsupported combination is
+    # timestamps together with beam search.
     with pytest.raises(NotImplementedError):
-        tiny_model.generate(f, language="en", num_beams=2)
+        tiny_model.generate(f, language="en", num_beams=2,
+                            return_timestamps=True)
 
 
 def test_timestamp_generation(tiny_model):
