@@ -94,3 +94,27 @@ def test_nbest_outputs(setup):
     assert res.nbest_tokens.shape[:2] == (2, 3)
     s = np.asarray(res.nbest_scores)
     assert (np.diff(s, axis=1) <= 1e-6).all(), "n-best must be sorted best-first"
+
+
+def test_beam_with_timestamps():
+    """Timestamps under beam search obey the grammar (beyond the reference;
+    even timestamps-alone raise there)."""
+    from whisper_medusa_tpu.models.api import WhisperMedusaModel
+
+    cfg = tiny_test_config(vocab_size=51865, medusa_num_heads=2)
+    model = WhisperMedusaModel.from_random(cfg, seed=2)
+    rng = np.random.default_rng(2)
+    f = rng.normal(size=(2, cfg.dims.num_mel_bins, cfg.dims.num_frames)).astype(
+        np.float32)
+    out = model.generate(f, language="en", max_length=24, num_beams=3,
+                         return_timestamps=True)
+    TS = 50364
+    for i in range(2):
+        seq = [t for t in out.sequences[i, 3: out.lengths[i]].tolist()
+               if t != 50257]
+        assert 50363 not in seq
+        ts = [t for t in seq if t >= TS]
+        assert ts == sorted(ts)
+        if seq:
+            assert seq[0] >= TS
+    assert out.segments is not None

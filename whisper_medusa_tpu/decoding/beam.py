@@ -30,7 +30,9 @@ import jax.numpy as jnp
 from jax import lax
 
 from whisper_medusa_tpu.config import GenerationConfig, WhisperDims
-from whisper_medusa_tpu.decoding.processors import ProcessorConfig, apply_processors
+from whisper_medusa_tpu.decoding.processors import (ProcessorConfig,
+                                                    apply_processors,
+                                                    apply_timestamp_rules)
 from whisper_medusa_tpu.models import whisper
 
 Params = Dict[str, Any]
@@ -49,6 +51,7 @@ class BeamState:
     cache: whisper.KVCache      # beam-flattened (rows = B*K)
     cur_len: jnp.ndarray        # () int32 — shared across beams
     steps: jnp.ndarray          # ()
+    max_ts: jnp.ndarray         # (B, K) running max timestamp token (0 = none)
 
 
 class BeamResult(NamedTuple):
@@ -89,9 +92,19 @@ def beam_search(
     prompt_rep = jnp.repeat(prompt, k, axis=0)                   # (BK, T0)
     out, cache = whisper.decode_step(
         params, dims, prompt_rep, cache, jnp.zeros((bk,), jnp.int32))
+    use_ts = pcfg.timestamp_rules
+
+    def ts_val(tok):
+        return jnp.where(tok >= pcfg.timestamp_begin, tok, 0)
+
     logits0 = whisper.project_logits(params, out.hidden[:, -1])  # (BK, V)
-    lp0 = jax.nn.log_softmax(
-        apply_processors(logits0, jnp.full((bk,), t0, jnp.int32), pcfg), axis=-1)
+    proc0 = apply_processors(logits0, jnp.full((bk,), t0, jnp.int32), pcfg)
+    if use_ts:
+        proc0 = apply_timestamp_rules(
+            proc0, jnp.full((bk,), t0, jnp.int32),
+            prompt_rep[:, -1], prompt_rep[:, -2] if t0 >= 2 else prompt_rep[:, -1],
+            jnp.zeros((bk,), jnp.int32), pcfg)
+    lp0 = jax.nn.log_softmax(proc0, axis=-1)
 
     alive_tokens = jnp.full((b, k, buf), pad, jnp.int32)
     alive_tokens = alive_tokens.at[:, :, :t0].set(prompt[:, None, :])
@@ -108,6 +121,7 @@ def beam_search(
         cache=cache,
         cur_len=jnp.int32(t0),
         steps=jnp.int32(0),
+        max_ts=jnp.zeros((b, k), jnp.int32),
     )
     first_lp = lp0.reshape(b, k, -1)
 
@@ -162,10 +176,12 @@ def beam_search(
             s.cache,
             self_k=reorder(s.cache.self_k),
             self_v=reorder(s.cache.self_v))
+        max_ts = jnp.maximum(
+            jnp.take_along_axis(s.max_ts, a_parent, axis=1), ts_val(a_token))
         return dataclasses.replace(
             s, alive_tokens=a_tokens, alive_lp=a_lp, fin_tokens=fin_tokens,
             fin_scores=fin_scores, fin_lengths=fin_lengths, cache=cache,
-            cur_len=new_len, steps=s.steps + 1), a_token
+            cur_len=new_len, steps=s.steps + 1, max_ts=max_ts), a_token
 
     # First expansion uses the prefill logprobs.
     state, last_token = expand(state, first_lp)
@@ -187,9 +203,19 @@ def beam_search(
             params, dims, last.reshape(bk, 1), s.cache, offsets)
         s = dataclasses.replace(s, cache=cache)
         logits = whisper.project_logits(params, out.hidden[:, -1])
-        lp = jax.nn.log_softmax(
-            apply_processors(
-                logits, jnp.broadcast_to(s.cur_len, (bk,)), pcfg), axis=-1)
+        proc = apply_processors(
+            logits, jnp.broadcast_to(s.cur_len, (bk,)), pcfg)
+        if use_ts:
+            # Per-beam history straight from the alive token buffers.
+            li = jnp.broadcast_to(s.cur_len - 1, (b, k, 1))
+            pi = jnp.broadcast_to(jnp.maximum(s.cur_len - 2, 0), (b, k, 1))
+            last_t = jnp.take_along_axis(s.alive_tokens, li, axis=2)[:, :, 0]
+            pen_t = jnp.take_along_axis(s.alive_tokens, pi, axis=2)[:, :, 0]
+            proc = apply_timestamp_rules(
+                proc, jnp.broadcast_to(s.cur_len, (bk,)),
+                last_t.reshape(bk), pen_t.reshape(bk),
+                s.max_ts.reshape(bk), pcfg)
+        lp = jax.nn.log_softmax(proc, axis=-1)
         return expand(s, lp.reshape(b, k, -1))
 
     state, _ = lax.while_loop(cond, body, (state, last_token))

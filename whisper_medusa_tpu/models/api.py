@@ -186,13 +186,13 @@ class WhisperMedusaModel:
         if num_beams != 1:
             # Beyond the reference (which raises, model.py:1153-1156): vanilla
             # beam search — speculation and beams are not combined.
-            if return_timestamps:
-                raise NotImplementedError("timestamps with beam search not supported")
             return self._generate_beam(
                 input_features, language=language, task=task,
                 max_length=max_length, num_beams=num_beams,
                 suppress_tokens=suppress_tokens,
-                begin_suppress_tokens=begin_suppress_tokens)
+                begin_suppress_tokens=begin_suppress_tokens,
+                return_timestamps=return_timestamps,
+                time_precision=time_precision)
         cfg = self.config
         feats = jnp.asarray(input_features)
         if feats.ndim == 2:
@@ -511,7 +511,9 @@ class WhisperMedusaModel:
     def _generate_beam(self, input_features, *, language, task, max_length,
                        num_beams, suppress_tokens="default",
                        begin_suppress_tokens="default",
-                       length_penalty: float = 1.0) -> GenerateOutput:
+                       length_penalty: float = 1.0,
+                       return_timestamps: bool = False,
+                       time_precision: float = 0.02) -> GenerateOutput:
         from whisper_medusa_tpu.decoding.beam import beam_search
 
         cfg = self.config
@@ -526,9 +528,10 @@ class WhisperMedusaModel:
             lang = language if isinstance(language, str) else language[0]
             lang_ids = np.full((b,), language_token_id(lang), np.int64)
         task_id = TASK_TRANSCRIBE_ID if task == "transcribe" else TASK_TRANSLATE_ID
-        prompt = np.stack([
-            np.full((b,), SOT_TOKEN_ID), lang_ids, np.full((b,), task_id),
-            np.full((b,), NO_TIMESTAMPS_ID)], axis=1).astype(np.int32)
+        cols = [np.full((b,), SOT_TOKEN_ID), lang_ids, np.full((b,), task_id)]
+        if not return_timestamps:
+            cols.append(np.full((b,), NO_TIMESTAMPS_ID))
+        prompt = np.stack(cols, axis=1).astype(np.int32)
         max_length = max_length or cfg.dims.max_target_positions
         gd = GenerationConfig()
         sup = tuple(suppress_tokens) if suppress_tokens not in (None, "default") \
@@ -540,7 +543,7 @@ class WhisperMedusaModel:
         pcfg = ProcessorConfig(
             vocab_size=cfg.dims.vocab_size, suppress_tokens=sup,
             begin_suppress_tokens=bsup, begin_index=prompt.shape[1],
-            eos_token_id=EOS_TOKEN_ID)
+            eos_token_id=EOS_TOKEN_ID, timestamp_rules=return_timestamps)
         gen = GenerationConfig(max_length=max_length)
         key = ("beam", num_beams, length_penalty, pcfg, gen, enc_out.shape,
                prompt.shape)
@@ -550,11 +553,20 @@ class WhisperMedusaModel:
                 num_beams=num_beams, length_penalty=length_penalty))
         res = self._jit_cache[key](self.params["whisper"], enc_out=enc_out,
                                    prompt=jnp.asarray(prompt))
+        sequences = np.asarray(res.tokens)
+        lengths = np.asarray(res.lengths)
+        segments = None
+        if return_timestamps:
+            segments = [
+                _extract_segments(sequences[i], int(lengths[i]),
+                                  prompt.shape[1], time_precision)
+                for i in range(b)
+            ]
         return GenerateOutput(
-            sequences=np.asarray(res.tokens), lengths=np.asarray(res.lengths),
+            sequences=sequences, lengths=lengths,
             steps=int(res.steps), accepted=np.zeros((b,), np.int32),
             mean_accept_length=0.0,
-            avg_logprobs=np.asarray(res.scores))
+            avg_logprobs=np.asarray(res.scores), segments=segments)
 
     def score_sequences(self, enc_out: jnp.ndarray, sequences: np.ndarray,
                         lengths: np.ndarray, prompt_len: int) -> np.ndarray:
