@@ -68,13 +68,14 @@ def test_save_load_roundtrip(tiny_model, tmp_path):
     np.testing.assert_array_equal(a.sequences, b.sequences)
 
 
-def test_unsupported_surfaces_raise(tiny_model):
+def test_validation_errors(tiny_model):
+    """Every reference NotImplementedError surface (timestamps, longform,
+    no-speech, beams) is now functional; remaining errors are input validation."""
     f = _feats(tiny_model.config)
-    # Beams work now (beyond the reference); the unsupported combination is
-    # timestamps together with beam search.
-    with pytest.raises(NotImplementedError):
-        tiny_model.generate(f, language="en", num_beams=2,
-                            return_timestamps=True)
+    with pytest.raises(ValueError):
+        tiny_model.generate(f, language="klingon")
+    with pytest.raises(ValueError):
+        tiny_model.generate(f[:, :4], language="en")  # wrong mel-bin count
 
 
 def test_timestamp_generation(tiny_model):
