@@ -84,3 +84,55 @@ def test_from_pretrained_reference_format(reference_style_checkpoint):
     # End-to-end generate runs on the converted checkpoint.
     out = model.generate(jnp.asarray(mel), language="en", max_length=16)
     assert out.sequences.shape[0] == 1
+
+
+def test_from_pretrained_reference_block_variant(tmp_path):
+    """medusa_block-variant reference checkpoints (block layer + frozen teacher
+    keys) convert and decode (reference: model.py:248-256, 2018-2029)."""
+    torch = pytest.importorskip("torch")
+    from transformers import WhisperConfig, WhisperForConditionalGeneration
+    from safetensors.torch import save_file
+
+    dims = dict(
+        vocab_size=51865, num_mel_bins=16, d_model=48, encoder_layers=2,
+        decoder_layers=2, encoder_attention_heads=4, decoder_attention_heads=4,
+        encoder_ffn_dim=96, decoder_ffn_dim=96, max_source_positions=32,
+        max_target_positions=64,
+    )
+    torch.manual_seed(1)
+    hf = WhisperForConditionalGeneration(
+        WhisperConfig(**dims, attn_implementation="eager")).eval()
+    sd = {}
+    for k, v in hf.state_dict().items():
+        if k == "proj_out.weight":
+            continue
+        sd[f"whisper_model.{k}"] = v.clone()
+    # Block layer + frozen teacher = copies of the last decoder layer.
+    for prefix in ("medusa_block", "whisper_layer"):
+        for k, v in hf.model.decoder.layers[-1].state_dict().items():
+            sd[f"{prefix}.{k}"] = v.clone()
+    n_heads = 2
+    for h in range(n_heads):   # block variant: no extra base head
+        sd[f"medusa_heads.{h}.0.linear.weight"] = torch.zeros(48, 48)
+        sd[f"medusa_heads.{h}.0.linear.bias"] = torch.randn(48) * 0.01
+
+    d = tmp_path / "blockckpt"
+    d.mkdir()
+    save_file(sd, str(d / "model.safetensors"))
+    config = dict(dims, medusa_num_heads=n_heads, medusa_num_layers=1,
+                  medusa_hidden_size=48, medusa_choices=[1] * (n_heads + 1),
+                  medusa_heads_type="medusa_block",
+                  output_whisper_original=True,
+                  whisper_model_name="openai/whisper-large-v2")
+    with open(d / "config.json", "w") as f:
+        json.dump(config, f)
+
+    from whisper_medusa_tpu.models.api import WhisperMedusaModel
+
+    model = WhisperMedusaModel.from_pretrained(str(d))
+    assert "block" in model.params["medusa"]
+    assert "teacher_layer" in model.params["medusa"]
+    rng = np.random.default_rng(0)
+    mel = rng.normal(size=(1, 16, 64)).astype(np.float32)
+    out = model.generate(jnp.asarray(mel), language="en", max_length=16)
+    assert out.sequences.shape[0] == 1
