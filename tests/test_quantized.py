@@ -97,3 +97,15 @@ def test_quantized_engine_parity():
         n = int(min(res_m.lengths[i], res_v.lengths[i]))
         np.testing.assert_array_equal(
             np.asarray(res_m.tokens)[i, :n], np.asarray(res_v.tokens)[i, :n])
+
+
+def test_quantized_streaming():
+    """Quantized model + streaming decode compose."""
+    cfg = tiny_test_config(vocab_size=51865, medusa_num_heads=2)
+    qmodel = WhisperMedusaModel.from_random(cfg, seed=4).quantize()
+    rng = np.random.default_rng(4)
+    f = rng.normal(size=(1, cfg.dims.num_mel_bins, cfg.dims.num_frames)).astype(
+        np.float32)
+    chunks = list(qmodel.generate_stream(f, language="en", max_length=20,
+                                         chunk_tokens=5))
+    assert chunks[-1][2]  # finished
