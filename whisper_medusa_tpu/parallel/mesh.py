@@ -58,6 +58,13 @@ def make_mesh(
         tp = n // dp
     if dp * tp != n:
         raise ValueError(f"dp*tp={dp * tp} != n_devices={n}")
+    if len(devices) < n:
+        raise ValueError(
+            f"make_mesh needs {n} devices but only {len(devices)} are visible "
+            f"({[d.platform for d in devices]}). For a virtual mesh on one host, "
+            "start the process with JAX_PLATFORMS=cpu and "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n} "
+            "(see tests/conftest.py), or pass devices= explicitly.")
     dev_array = np.asarray(devices).reshape(dp, tp)
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
