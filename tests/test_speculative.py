@@ -212,8 +212,9 @@ def test_acceptance_matches_reference_rule(temperature):
             nxt = jnp.argmax(jnp.asarray(logits), -1).astype(jnp.int32)
             best, accept, _, _ = _greedy_accept(jnp.asarray(chunk), nxt, retrieve)
         else:
+            nxt = jnp.argmax(jnp.asarray(logits), -1).astype(jnp.int32)
             best, accept, _, _ = _typical_accept(
-                jnp.asarray(chunk), jnp.asarray(logits), retrieve,
+                jnp.asarray(chunk), jnp.asarray(logits), nxt, retrieve,
                 temperature, 0.09, 0.3)
 
         # Reference operates on per-path (candidates, path-logits) layout.

@@ -49,12 +49,57 @@ WHISPER_LANGUAGES: Tuple[str, ...] = (
 )
 
 
-def language_token_id(language: str) -> int:
+def language_token_id(language: str, special: "SpecialTokens" = None) -> int:
     """Map a language code (e.g. ``"en"``) to its Whisper token id."""
+    langs = special.languages if special is not None else WHISPER_LANGUAGES
+    first = special.first_language if special is not None else FIRST_LANGUAGE_TOKEN_ID
     lang = language.lower().strip("<|>").replace("_", "-")
-    if lang not in WHISPER_LANGUAGES:
+    if lang not in langs:
         raise ValueError(f"Unsupported language: {language!r}")
-    return FIRST_LANGUAGE_TOKEN_ID + WHISPER_LANGUAGES.index(lang)
+    return first + langs.index(lang)
+
+
+@dataclass(frozen=True)
+class SpecialTokens:
+    """Whisper special-token ids, derived from the vocabulary layout.
+
+    The reference reads these from the checkpoint's HF generation config at load
+    time (reference: whisper_medusa/models/model.py:279-290, 1177-1186).  We derive
+    them structurally: the v3 vocabulary (51866) inserts ``<|yue|>`` at the end of
+    the language block, shifting every id after it by one — so hardcoded v2
+    constants would mis-tokenize v3 checkpoints.  Checkpoint generation configs
+    can still override individual ids via :meth:`WhisperMedusaModel.from_pretrained`.
+    """
+
+    eos: int = 50257                 # <|endoftext|>
+    sot: int = 50258                 # <|startoftranscript|>
+    first_language: int = 50259      # <|en|>; language tokens are contiguous
+    num_languages: int = 99
+    translate: int = 50358
+    transcribe: int = 50359
+    start_of_lm: int = 50360
+    start_of_prev: int = 50361
+    no_speech: int = 50362
+    no_timestamps: int = 50363
+    timestamp_begin: int = 50364     # <|0.00|>
+
+    @classmethod
+    def for_vocab(cls, vocab_size: int) -> "SpecialTokens":
+        num_languages = 100 if vocab_size >= 51866 else 99
+        base = 50259 + num_languages
+        return cls(
+            num_languages=num_languages,
+            translate=base, transcribe=base + 1, start_of_lm=base + 2,
+            start_of_prev=base + 3, no_speech=base + 4, no_timestamps=base + 5,
+            timestamp_begin=base + 6,
+        )
+
+    @property
+    def languages(self) -> Tuple[str, ...]:
+        return WHISPER_LANGUAGES + (("yue",) if self.num_languages == 100 else ())
+
+    def language_token_id(self, language: str) -> int:
+        return language_token_id(language, self)
 
 
 @dataclass(frozen=True)
@@ -85,6 +130,11 @@ class WhisperDims:
     def num_frames(self) -> int:
         """Mel-spectrogram frames per 30 s segment (conv stride 2 halves this)."""
         return 2 * self.max_source_positions
+
+    @property
+    def special(self) -> "SpecialTokens":
+        """Special-token ids implied by this vocabulary (v2 vs v3 layout)."""
+        return SpecialTokens.for_vocab(self.vocab_size)
 
 
 # Known Whisper model sizes, keyed by short name.
@@ -122,6 +172,24 @@ DEFAULT_SUPPRESS_TOKENS: Tuple[int, ...] = (
     50359, 50360, 50361, 50362,
 )
 DEFAULT_BEGIN_SUPPRESS_TOKENS: Tuple[int, ...] = (220, 50257)
+
+
+def default_suppress_tokens(special: SpecialTokens) -> Tuple[int, ...]:
+    """The standard Whisper suppress list for a given vocabulary layout.
+
+    The text-token entries are vocabulary-invariant; the special-token tail of the
+    published list (sot, translate, transcribe, startoflm, startofprev, nospeech —
+    the 50258+ entries of DEFAULT_SUPPRESS_TOKENS) is re-derived from ``special``
+    so v3 checkpoints suppress the right (shifted) ids.
+    """
+    text = tuple(t for t in DEFAULT_SUPPRESS_TOKENS if t < 50258)
+    tail = (special.sot, special.translate, special.transcribe,
+            special.start_of_lm, special.start_of_prev, special.no_speech)
+    return text + tail
+
+
+def default_begin_suppress_tokens(special: SpecialTokens) -> Tuple[int, ...]:
+    return (220, special.eos)
 
 
 @dataclass(frozen=True)
@@ -187,6 +255,20 @@ class GenerationConfig:
     logprob_threshold: Optional[float] = None
     no_speech_threshold: Optional[float] = None
     return_timestamps: bool = False
+    max_initial_timestamp_index: int = 50
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "GenerationConfig":
+        d = {k: v for k, v in d.items()
+             if k in {f.name for f in dataclasses.fields(cls)}}
+        for k in ("suppress_tokens", "begin_suppress_tokens",
+                  "exponential_decay_length_penalty", "temperature_fallback"):
+            if d.get(k) is not None:
+                d[k] = tuple(d[k])
+        return cls(**d)
 
 
 @dataclass(frozen=True)

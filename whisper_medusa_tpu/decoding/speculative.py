@@ -137,12 +137,14 @@ def _greedy_accept(chunk, proc_argmax, retrieve):
     return best.astype(jnp.int32), accept.astype(jnp.int32), ptok, pnxt
 
 
-def _typical_accept(chunk, proc_logits, retrieve, temperature,
+def _typical_accept(chunk, proc_logits, nxt, retrieve, temperature,
                     posterior_threshold, posterior_alpha):
     """Typical-acceptance rule (reference: medusa_utils.py:561-588).
 
     Uses processed verification logits; tie-break among max-accept paths by
-    accumulated log-likelihood.
+    accumulated log-likelihood.  ``nxt`` (B, N) supplies the bonus/next token per
+    node — argmax when deterministic, multinomially sampled when an rng is carried
+    (the reference's do_sample=True role, model.py:1878-1886).
     """
     ptok = chunk[:, retrieve]                       # (B, P, Lv)
     # Log-probs at each path node (all but the leaf predict the next path token).
@@ -169,9 +171,7 @@ def _typical_accept(chunk, proc_logits, retrieve, temperature,
     score = jnp.where(acc_len == max_acc, likelihood, -jnp.inf)
     best = jnp.argmax(score, axis=-1)
     accept = max_acc[:, 0]
-    # argmax over processed logits still drives the bonus token (greedy base).
-    proc_argmax = jnp.argmax(proc_logits, axis=-1).astype(jnp.int32)
-    pnxt = proc_argmax[:, retrieve]
+    pnxt = nxt[:, retrieve]
     return best.astype(jnp.int32), accept.astype(jnp.int32), ptok, pnxt
 
 
@@ -189,6 +189,7 @@ def speculative_generate(
     resume_state: Optional[SpecState] = None,        # continue a previous segment
     stop_len: Optional[jnp.ndarray] = None,          # pause once cur_len >= stop_len
     return_state: bool = False,
+    rng: Optional[jnp.ndarray] = None,  # PRNG key -> multinomial sampling at temp>0
 ):
     """Run the fused speculative decode loop.  Pure function; jit/pjit-able.
 
@@ -216,6 +217,11 @@ def speculative_generate(
     n_nodes = buffers.num_nodes
     lv = buffers.num_levels
     greedy = gen.temperature == 0.0
+    # Sampled emission (reference sets do_sample=True at fallback temps,
+    # model.py:1878-1886 — there the whole point of the ladder is that a
+    # stochastic retry can escape a repetition loop; without sampling a retry
+    # mostly reproduces itself).  Deterministic per rng key.
+    sample = (not greedy) and rng is not None
 
     tree_idx = jnp.asarray(buffers.tree_indices)
     pos_ids = jnp.asarray(buffers.position_ids)
@@ -244,8 +250,13 @@ def speculative_generate(
     corrupt_key = jax.random.PRNGKey(0x5eed)
 
     def chunk_from_draft_logits(root, head_logits, new_len, step):
-        """Select per-level candidates from head logits (B, K, V) -> chunk tokens."""
-        draft_pos = new_len[:, None] + jnp.arange(1, num_heads + 1)[None, :]
+        """Select per-level candidates from head logits (B, K, V) -> chunk tokens.
+
+        ``new_len`` counts committed tokens *including* the pending root (at index
+        new_len - 1), so head k (1-based) predicts the token at absolute index
+        new_len - 1 + k — i.e. processors for head k are evaluated at position
+        new_len + (k-1)."""
+        draft_pos = new_len[:, None] + jnp.arange(0, num_heads)[None, :]
         dproc = apply_processors(head_logits, draft_pos, pcfg)
         flat = [root[:, None]]
         for l in range(1, lv):
@@ -321,7 +332,12 @@ def speculative_generate(
                 proc, jnp.full((b,), t0, jnp.int32),
                 prompt[:, -1], prompt[:, -2] if t0 >= 2 else prompt[:, -1],
                 jnp.zeros((b,), jnp.int32), pcfg)
-        root0 = jnp.argmax(proc, axis=-1).astype(jnp.int32)
+        if sample:
+            root0 = jax.random.categorical(
+                jax.random.fold_in(rng, 0),
+                proc / jnp.float32(gen.temperature)).astype(jnp.int32)
+        else:
+            root0 = jnp.argmax(proc, axis=-1).astype(jnp.int32)
 
         tokens = jnp.full((b, buf_len), pad, jnp.int32)
         tokens = lax.dynamic_update_slice(tokens, prompt, (0, 0))
@@ -377,8 +393,16 @@ def speculative_generate(
             nxt = jnp.argmax(proc, axis=-1).astype(jnp.int32)
             best, accept, ptok, pnxt = _greedy_accept(s.chunk, nxt, retrieve)
         else:
+            if sample:
+                # One multinomial draw per tree node from the tempered processed
+                # distribution; the accepted node's draw becomes the bonus token.
+                nxt = jax.random.categorical(
+                    jax.random.fold_in(rng, s.steps + 1),
+                    proc / jnp.float32(gen.temperature)).astype(jnp.int32)
+            else:
+                nxt = jnp.argmax(proc, axis=-1).astype(jnp.int32)
             best, accept, ptok, pnxt = _typical_accept(
-                s.chunk, proc, retrieve, gen.temperature,
+                s.chunk, proc, nxt, retrieve, gen.temperature,
                 gen.posterior_threshold, gen.posterior_alpha)
 
         take_best = lambda a: jnp.take_along_axis(

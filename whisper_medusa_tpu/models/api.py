@@ -30,17 +30,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from whisper_medusa_tpu.config import (
-    EOS_TOKEN_ID,
-    NO_TIMESTAMPS_ID,
-    SOT_TOKEN_ID,
-    TASK_TRANSCRIBE_ID,
-    TASK_TRANSLATE_ID,
-    NO_SPEECH_ID,
-    TIMESTAMP_BEGIN_ID,
-    FIRST_LANGUAGE_TOKEN_ID,
-    WHISPER_LANGUAGES,
     GenerationConfig,
     ModelConfig,
+    SpecialTokens,
+    default_begin_suppress_tokens,
+    default_suppress_tokens,
     language_token_id,
 )
 from whisper_medusa_tpu.decoding.buffers import generate_medusa_buffers
@@ -68,15 +62,89 @@ class GenerateOutput:
 class WhisperMedusaModel:
     """Functional-core / thin-OO-shell model wrapper."""
 
-    def __init__(self, config: ModelConfig, params: Params):
+    def __init__(self, config: ModelConfig, params: Params,
+                 generation_config: Optional[GenerationConfig] = None,
+                 special_tokens: Optional[SpecialTokens] = None):
         self.config = config
         self.params = params            # {"whisper": ..., "medusa": ...}
+        # Special-token ids derived from the vocabulary layout (v2 vs v3), unless a
+        # checkpoint generation config overrode them (see from_pretrained).
+        self.special = special_tokens or config.dims.special
+        self.generation_config = generation_config or GenerationConfig(
+            max_length=config.dims.max_target_positions,
+            eos_token_id=self.special.eos,
+            pad_token_id=self.special.eos,
+            decoder_start_token_id=self.special.sot,
+            suppress_tokens=default_suppress_tokens(self.special),
+            begin_suppress_tokens=default_begin_suppress_tokens(self.special),
+        )
         self._jit_cache: Dict[Any, Any] = {}
+        self.mesh = None               # set by .shard(); None = single-device
+
+    # --------------------------------------------------------------- sharding
+    def shard(self, mesh=None, dp: Optional[int] = None,
+              tp: Optional[int] = None) -> "WhisperMedusaModel":
+        """Place parameters on a (data, model) mesh; subsequent ``encode`` /
+        ``generate`` / ``detect_language`` calls run DP over the batch and TP over
+        attention heads + the vocab projection, with XLA inserting the ICI
+        collectives (GSPMD).
+
+        The reference gets DP transparently via accelerate/Trainer (reference:
+        medusa_trainer_cls.py:142-156); here multi-chip inference is a first-class
+        product surface: ``model.shard(dp=2, tp=4)`` or ``--dp/--tp`` on the CLIs.
+        """
+        from whisper_medusa_tpu.parallel import mesh as mesh_mod
+
+        if mesh is None:
+            n = None
+            if dp and tp:
+                n = dp * tp
+            mesh = mesh_mod.make_mesh(n, dp=dp, tp=tp)
+        tp_size = mesh.devices.shape[1]
+        d = self.config.dims
+        # Only the axes device_put actually splits must divide; the vocab axis
+        # falls back to contraction-dim sharding when it doesn't (mesh.py).
+        for name, v in (("d_model", d.d_model),
+                        ("encoder_ffn_dim", d.encoder_ffn_dim),
+                        ("decoder_ffn_dim", d.decoder_ffn_dim)):
+            if v % tp_size != 0:
+                raise ValueError(
+                    f"tensor-parallel size {tp_size} does not divide {name}={v}")
+        self.params = mesh_mod.shard_params(self.params, mesh)
+        self.mesh = mesh
+        self._jit_cache.clear()
+        return self
+
+    def _mesh_ctx(self):
+        import contextlib
+
+        return jax.set_mesh(self.mesh) if self.mesh is not None \
+            else contextlib.nullcontext()
+
+    def _put_batch(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Shard a batch-leading array over the data axis (replicate when the
+        batch doesn't divide)."""
+        if self.mesh is None:
+            return x
+        from whisper_medusa_tpu.parallel import mesh as mesh_mod
+
+        dp = self.mesh.devices.shape[0]
+        if x.shape[0] % dp == 0:
+            return jax.device_put(x, mesh_mod.data_sharding(self.mesh))
+        return jax.device_put(
+            x, jax.sharding.NamedSharding(self.mesh,
+                                          jax.sharding.PartitionSpec()))
 
     # ------------------------------------------------------------------ loading
     @classmethod
     def from_pretrained(cls, path: str, dtype: Optional[str] = None) -> "WhisperMedusaModel":
-        """Load from a framework checkpoint dir or a reference torch checkpoint dir."""
+        """Load from a framework checkpoint dir or a reference torch checkpoint dir.
+
+        Reads ``generation_config.json`` when present — suppress lists, special-token
+        ids, thresholds, posterior hyperparameters — mirroring the reference, which
+        pulls these from checkpoint metadata at load time (reference:
+        whisper_medusa/models/model.py:279-290, 1177-1186) instead of hardcoding them.
+        """
         if os.path.isfile(os.path.join(path, "config.json")):
             with open(os.path.join(path, "config.json")) as f:
                 raw = json.load(f)
@@ -91,7 +159,8 @@ class WhisperMedusaModel:
 
             flat = load_file(os.path.join(path, "params.safetensors"))
             params = _unflatten(flat, jdt)
-            return cls(config, params)
+            gen_cfg, special = _load_generation_config(path, config)
+            return cls(config, params, gen_cfg, special)
         # Reference/HF MedusaConfig format (reference: config_and_args.py:17-62).
         config = _config_from_hf_dict(raw)
         if dtype:
@@ -99,7 +168,8 @@ class WhisperMedusaModel:
         sd = convert.load_state_dict(path)
         params = convert.from_medusa_checkpoint(
             sd, config, jnp.dtype(config.param_dtype))
-        return cls(config, params)
+        gen_cfg, special = _load_generation_config(path, config)
+        return cls(config, params, gen_cfg, special)
 
     @classmethod
     def from_random(cls, config: ModelConfig, seed: int = 0) -> "WhisperMedusaModel":
@@ -128,6 +198,10 @@ class WhisperMedusaModel:
     def save_pretrained(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
         self.config.save(path)
+        gd = self.generation_config.to_dict()
+        gd["special_tokens"] = dataclasses.asdict(self.special)
+        with open(os.path.join(path, "generation_config.json"), "w") as f:
+            json.dump(gd, f, indent=2)
         from safetensors.numpy import save_file
 
         save_file(_flatten(self.params), os.path.join(path, "params.safetensors"))
@@ -139,15 +213,19 @@ class WhisperMedusaModel:
             lambda: jax.jit(partial(whisper.encode, dims=self.config.dims)),
         )
         dt = jnp.dtype(self.config.compute_dtype)
-        return fn(self.params["whisper"], mel=input_features.astype(dt))
+        feats = self._put_batch(jnp.asarray(input_features, dt))
+        with self._mesh_ctx():
+            return fn(self.params["whisper"], mel=feats)
 
     def detect_language(self, enc_out: jnp.ndarray) -> np.ndarray:
         """Single decoder step from <|sot|>, restricted to language tokens
         (HF ``detect_language`` semantics, used by reference generate via
         ``_retrieve_init_tokens``)."""
         fn = self._cached("detect_lang", lambda: jax.jit(
-            partial(_detect_language, dims=self.config.dims)))
-        return np.asarray(fn(self.params["whisper"], enc_out))
+            partial(_detect_language, dims=self.config.dims,
+                    special=self.special)))
+        with self._mesh_ctx():
+            return np.asarray(fn(self.params["whisper"], enc_out))
 
     # ----------------------------------------------------------------- generate
     def generate(
@@ -168,9 +246,10 @@ class WhisperMedusaModel:
         return_timestamps: bool = False,
         num_beams: int = 1,
         prompt_ids: Optional[Sequence[int]] = None,
-        max_initial_timestamp_index: Optional[int] = 50,
+        max_initial_timestamp_index: Optional[int] = "default",
         time_precision: float = 0.02,
         condition_on_prev_tokens: bool = False,
+        seed: int = 0,
     ) -> GenerateOutput:
         """Transcribe a batch of 30 s mel segments.
 
@@ -185,12 +264,33 @@ class WhisperMedusaModel:
         """
         if num_beams != 1:
             # Beyond the reference (which raises, model.py:1153-1156): vanilla
-            # beam search — speculation and beams are not combined.
+            # beam search — speculation and beams are not combined.  Length
+            # penalty and prompt conditioning are honored; the temperature
+            # fallback ladder and its quality thresholds are rejected explicitly
+            # rather than silently ignored.
+            temps = ((temperature,) if isinstance(temperature, (int, float))
+                     else tuple(temperature))
+            unsupported = []
+            if any(float(t) != 0.0 for t in temps) or len(temps) > 1:
+                unsupported.append("temperature fallback")
+            for name, v in (("compression_ratio_threshold",
+                             compression_ratio_threshold),
+                            ("logprob_threshold", logprob_threshold),
+                            ("no_speech_threshold", no_speech_threshold)):
+                if v is not None:
+                    unsupported.append(name)
+            if unsupported:
+                raise ValueError(
+                    f"num_beams={num_beams} does not support: "
+                    f"{', '.join(unsupported)} (sampling/fallback is a greedy-"
+                    "path feature; run beams at temperature=0 without thresholds)")
             return self._generate_beam(
                 input_features, language=language, task=task,
                 max_length=max_length, num_beams=num_beams,
                 suppress_tokens=suppress_tokens,
                 begin_suppress_tokens=begin_suppress_tokens,
+                exponential_decay_length_penalty=exponential_decay_length_penalty,
+                prompt_ids=prompt_ids,
                 return_timestamps=return_timestamps,
                 time_precision=time_precision)
         cfg = self.config
@@ -218,24 +318,25 @@ class WhisperMedusaModel:
                                     (0, cfg.dims.num_frames - n_frames)))
 
         enc_out = self.encode(feats)
+        st = self.special
 
         # --- init tokens: [<|sot|>, <|lang|>, <|task|>, <|notimestamps|>] ---
         detected = None
         if language is None:
             lang_ids = self.detect_language(enc_out)
             detected = [
-                WHISPER_LANGUAGES[i - FIRST_LANGUAGE_TOKEN_ID] for i in lang_ids
+                st.languages[i - st.first_language] for i in lang_ids
             ]
         elif isinstance(language, str):
-            lang_ids = np.full((b,), language_token_id(language), np.int64)
+            lang_ids = np.full((b,), language_token_id(language, st), np.int64)
         else:
             if len(language) != b:
                 raise ValueError("per-example language list length != batch size")
-            lang_ids = np.array([language_token_id(l) for l in language])
-        task_id = TASK_TRANSCRIBE_ID if task == "transcribe" else TASK_TRANSLATE_ID
-        cols = [np.full((b,), SOT_TOKEN_ID), lang_ids, np.full((b,), task_id)]
+            lang_ids = np.array([language_token_id(l, st) for l in language])
+        task_id = st.transcribe if task == "transcribe" else st.translate
+        cols = [np.full((b,), st.sot), lang_ids, np.full((b,), task_id)]
         if not return_timestamps:
-            cols.append(np.full((b,), NO_TIMESTAMPS_ID))
+            cols.append(np.full((b,), st.no_timestamps))
         prompt = np.stack(cols, axis=1).astype(np.int32)
         if prompt_ids is not None:
             # Prompt conditioning: prepend the previous-context tokens before the
@@ -249,10 +350,13 @@ class WhisperMedusaModel:
             raise ValueError(
                 f"prompt length {prompt.shape[1]} exceeds max_length {max_length} "
                 f"(reference raises the analogous error, model.py:1803-1815)")
+        gd = self.generation_config
         sup = tuple(suppress_tokens) if suppress_tokens not in (None, "default") else (
-            GenerationConfig().suppress_tokens if suppress_tokens == "default" else None)
+            gd.suppress_tokens if suppress_tokens == "default" else None)
         bsup = tuple(begin_suppress_tokens) if begin_suppress_tokens not in (None, "default") else (
-            GenerationConfig().begin_suppress_tokens if begin_suppress_tokens == "default" else None)
+            gd.begin_suppress_tokens if begin_suppress_tokens == "default" else None)
+        if max_initial_timestamp_index == "default":
+            max_initial_timestamp_index = gd.max_initial_timestamp_index
         pcfg = ProcessorConfig(
             vocab_size=cfg.dims.vocab_size,
             suppress_tokens=sup,
@@ -261,8 +365,10 @@ class WhisperMedusaModel:
             exponential_decay_length_penalty=(
                 tuple(exponential_decay_length_penalty)
                 if exponential_decay_length_penalty else None),
-            eos_token_id=EOS_TOKEN_ID,
+            eos_token_id=st.eos,
             timestamp_rules=return_timestamps,
+            timestamp_begin=st.timestamp_begin,
+            no_timestamps_id=st.no_timestamps,
             max_initial_timestamp_index=max_initial_timestamp_index,
         )
         if disable_medusa:
@@ -281,11 +387,22 @@ class WhisperMedusaModel:
             gen = GenerationConfig(
                 max_length=max_length,
                 temperature=float(temp),
+                eos_token_id=st.eos,
+                pad_token_id=gd.pad_token_id,
+                decoder_start_token_id=st.sot,
                 suppress_tokens=sup,
                 begin_suppress_tokens=bsup,
+                posterior_threshold=gd.posterior_threshold,
+                posterior_alpha=gd.posterior_alpha,
             )
+            # temp>0 retries are *sampled* (multinomial over the tempered
+            # verification logits, deterministic per (seed, ladder index)) — the
+            # reference sets do_sample=True for temp>0 (model.py:1878-1886) so a
+            # stochastic retry can escape the failure mode that triggered fallback.
+            rng = (jax.random.fold_in(jax.random.PRNGKey(seed), t_i)
+                   if float(temp) > 0.0 else None)
             result = self._run_decode(choices, variant, pcfg, gen, enc_out,
-                                      jnp.asarray(prompt))
+                                      jnp.asarray(prompt), rng=rng)
             toks = np.asarray(result.tokens)
             if final_tokens is None:
                 final_tokens = toks.copy()
@@ -298,7 +415,8 @@ class WhisperMedusaModel:
                 prompt.shape[1])
             ok = ~_needs_fallback(
                 toks, np.asarray(result.lengths), prompt.shape[1],
-                compression_ratio_threshold, avg_lp, logprob_threshold)
+                compression_ratio_threshold, avg_lp, logprob_threshold,
+                vocab_size=cfg.dims.vocab_size)
             keep |= ok
             if keep.all() or t_i == len(temps) - 1:
                 break
@@ -313,7 +431,7 @@ class WhisperMedusaModel:
             fl = np.asarray(result.first_logits, np.float32)
             p = np.exp(fl - fl.max(-1, keepdims=True))
             p /= p.sum(-1, keepdims=True)
-            no_speech_probs = p[:, NO_SPEECH_ID]
+            no_speech_probs = p[:, st.no_speech]
         final_avg_lp = _avg_from_captured(
             np.asarray(result.logprobs), lengths, prompt.shape[1])
         if no_speech_threshold is not None and no_speech_probs is not None:
@@ -321,13 +439,13 @@ class WhisperMedusaModel:
             if logprob_threshold is not None:
                 silent &= final_avg_lp < logprob_threshold
             for i in np.where(silent)[0]:
-                final_tokens[i, prompt.shape[1]:] = GenerationConfig().pad_token_id
+                final_tokens[i, prompt.shape[1]:] = gd.pad_token_id
                 lengths[i] = prompt.shape[1]
         segments = None
         if return_timestamps:
             segments = [
                 _extract_segments(final_tokens[i], int(lengths[i]),
-                                  prompt.shape[1], time_precision)
+                                  prompt.shape[1], time_precision, st)
                 for i in range(final_tokens.shape[0])
             ]
         return GenerateOutput(
@@ -357,6 +475,7 @@ class WhisperMedusaModel:
         timestamp unit = 20 ms); timestamps are stripped from the output unless
         requested.  Windows reuse the same jitted B=1 decode."""
         cfg = self.config
+        st = self.special
         b, _, total_frames = feats.shape
         win = cfg.dims.num_frames
         prompt_len = 3  # [sot, lang, task] — timestamp mode
@@ -389,7 +508,7 @@ class WhisperMedusaModel:
                             bucket = cand
                             break
                     if bucket:
-                        prompt_ids = [50361] + prev_text[-bucket:]  # <|startofprev|>
+                        prompt_ids = [st.start_of_prev] + prev_text[-bucket:]
                 out = self.generate(
                     window, language=lang_i, task=task, max_length=max_length,
                     medusa_choices=medusa_choices, disable_medusa=disable_medusa,
@@ -412,10 +531,10 @@ class WhisperMedusaModel:
                     })
                 p_len = prompt_len + (len(prompt_ids) if prompt_ids else 0)
                 toks = out.sequences[0, p_len: out.lengths[0]].tolist()
-                toks = [t for t in toks if t != EOS_TOKEN_ID]
-                prev_text = [t for t in toks if t < EOS_TOKEN_ID]
+                toks = [t for t in toks if t != st.eos]
+                prev_text = [t for t in toks if t < st.eos]
                 if not return_timestamps:
-                    toks = [t for t in toks if t < TIMESTAMP_BEGIN_ID]
+                    toks = [t for t in toks if t < st.timestamp_begin]
                 all_tokens[i].extend(toks)
                 # Advance to the end of the last *complete* segment when possible.
                 complete_ends = [s["end"] for s in segs if s["end"] is not None]
@@ -427,7 +546,7 @@ class WhisperMedusaModel:
                 seek += min(advance, win)
 
         max_len_out = max((len(t) for t in all_tokens), default=0) + 1
-        sequences = np.full((b, max_len_out), EOS_TOKEN_ID, np.int32)
+        sequences = np.full((b, max_len_out), st.eos, np.int32)
         lengths = np.zeros((b,), np.int32)
         for i, toks in enumerate(all_tokens):
             sequences[i, : len(toks)] = toks
@@ -456,6 +575,7 @@ class WhisperMedusaModel:
         single :meth:`generate` call.  Greedy shortform only.
         """
         cfg = self.config
+        st = self.special
         feats = jnp.asarray(input_features)
         if feats.ndim == 2:
             feats = feats[None]
@@ -464,18 +584,20 @@ class WhisperMedusaModel:
         if language is None:
             lang_ids = self.detect_language(enc_out)
         else:
-            lang_ids = np.full((b,), language_token_id(language), np.int64)
-        task_id = TASK_TRANSCRIBE_ID if task == "transcribe" else TASK_TRANSLATE_ID
+            lang_ids = np.full((b,), language_token_id(language, st), np.int64)
+        task_id = st.transcribe if task == "transcribe" else st.translate
         prompt = np.stack([
-            np.full((b,), SOT_TOKEN_ID), lang_ids, np.full((b,), task_id),
-            np.full((b,), NO_TIMESTAMPS_ID)], axis=1).astype(np.int32)
+            np.full((b,), st.sot), lang_ids, np.full((b,), task_id),
+            np.full((b,), st.no_timestamps)], axis=1).astype(np.int32)
         max_length = max_length or cfg.dims.max_target_positions
-        gd = GenerationConfig()
+        gd = self.generation_config
         pcfg = ProcessorConfig(
             vocab_size=cfg.dims.vocab_size, suppress_tokens=gd.suppress_tokens,
             begin_suppress_tokens=gd.begin_suppress_tokens,
-            begin_index=prompt.shape[1], eos_token_id=EOS_TOKEN_ID)
-        gen = GenerationConfig(max_length=max_length)
+            begin_index=prompt.shape[1], eos_token_id=st.eos)
+        gen = GenerationConfig(max_length=max_length, eos_token_id=st.eos,
+                               pad_token_id=gd.pad_token_id,
+                               decoder_start_token_id=st.sot)
         if disable_medusa:
             buffers = generate_medusa_buffers([1])
             variant, mp = "vanilla", None
@@ -495,8 +617,10 @@ class WhisperMedusaModel:
         start, resume = self._jit_cache[key]
 
         stop = jnp.int32(prompt.shape[1] + chunk_tokens)
-        result, state = start(self.params["whisper"], mp, enc_out=enc_out,
-                              prompt=jnp.asarray(prompt), stop_len=stop)
+        prompt_dev = self._put_batch(jnp.asarray(prompt))
+        with self._mesh_ctx():
+            result, state = start(self.params["whisper"], mp, enc_out=enc_out,
+                                  prompt=prompt_dev, stop_len=stop)
         while True:
             lengths = np.asarray(result.lengths)
             finished = bool(np.asarray(state.finished).all())
@@ -504,19 +628,23 @@ class WhisperMedusaModel:
             if finished:
                 return
             stop = jnp.int32(int(lengths.max()) + chunk_tokens)
-            result, state = resume(
-                self.params["whisper"], mp, enc_out=enc_out,
-                prompt=jnp.asarray(prompt), stop_len=stop, resume_state=state)
+            with self._mesh_ctx():
+                result, state = resume(
+                    self.params["whisper"], mp, enc_out=enc_out,
+                    prompt=prompt_dev, stop_len=stop, resume_state=state)
 
     def _generate_beam(self, input_features, *, language, task, max_length,
                        num_beams, suppress_tokens="default",
                        begin_suppress_tokens="default",
                        length_penalty: float = 1.0,
+                       exponential_decay_length_penalty=None,
+                       prompt_ids: Optional[Sequence[int]] = None,
                        return_timestamps: bool = False,
                        time_precision: float = 0.02) -> GenerateOutput:
         from whisper_medusa_tpu.decoding.beam import beam_search
 
         cfg = self.config
+        st = self.special
         feats = jnp.asarray(input_features)
         if feats.ndim == 2:
             feats = feats[None]
@@ -526,14 +654,17 @@ class WhisperMedusaModel:
             lang_ids = self.detect_language(enc_out)
         else:
             lang = language if isinstance(language, str) else language[0]
-            lang_ids = np.full((b,), language_token_id(lang), np.int64)
-        task_id = TASK_TRANSCRIBE_ID if task == "transcribe" else TASK_TRANSLATE_ID
-        cols = [np.full((b,), SOT_TOKEN_ID), lang_ids, np.full((b,), task_id)]
+            lang_ids = np.full((b,), language_token_id(lang, st), np.int64)
+        task_id = st.transcribe if task == "transcribe" else st.translate
+        cols = [np.full((b,), st.sot), lang_ids, np.full((b,), task_id)]
         if not return_timestamps:
-            cols.append(np.full((b,), NO_TIMESTAMPS_ID))
+            cols.append(np.full((b,), st.no_timestamps))
         prompt = np.stack(cols, axis=1).astype(np.int32)
+        if prompt_ids is not None:
+            pids = np.asarray(prompt_ids, np.int32).reshape(1, -1)
+            prompt = np.concatenate([np.tile(pids, (b, 1)), prompt], axis=1)
         max_length = max_length or cfg.dims.max_target_positions
-        gd = GenerationConfig()
+        gd = self.generation_config
         sup = tuple(suppress_tokens) if suppress_tokens not in (None, "default") \
             else (gd.suppress_tokens if suppress_tokens == "default" else None)
         bsup = tuple(begin_suppress_tokens) \
@@ -543,23 +674,32 @@ class WhisperMedusaModel:
         pcfg = ProcessorConfig(
             vocab_size=cfg.dims.vocab_size, suppress_tokens=sup,
             begin_suppress_tokens=bsup, begin_index=prompt.shape[1],
-            eos_token_id=EOS_TOKEN_ID, timestamp_rules=return_timestamps)
-        gen = GenerationConfig(max_length=max_length)
+            exponential_decay_length_penalty=(
+                tuple(exponential_decay_length_penalty)
+                if exponential_decay_length_penalty else None),
+            eos_token_id=st.eos, timestamp_rules=return_timestamps,
+            timestamp_begin=st.timestamp_begin,
+            no_timestamps_id=st.no_timestamps,
+            max_initial_timestamp_index=gd.max_initial_timestamp_index)
+        gen = GenerationConfig(max_length=max_length, eos_token_id=st.eos,
+                               pad_token_id=gd.pad_token_id,
+                               decoder_start_token_id=st.sot)
         key = ("beam", num_beams, length_penalty, pcfg, gen, enc_out.shape,
                prompt.shape)
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(partial(
                 beam_search, dims=cfg.dims, pcfg=pcfg, gen=gen,
                 num_beams=num_beams, length_penalty=length_penalty))
-        res = self._jit_cache[key](self.params["whisper"], enc_out=enc_out,
-                                   prompt=jnp.asarray(prompt))
+        with self._mesh_ctx():
+            res = self._jit_cache[key](self.params["whisper"], enc_out=enc_out,
+                                       prompt=self._put_batch(jnp.asarray(prompt)))
         sequences = np.asarray(res.tokens)
         lengths = np.asarray(res.lengths)
         segments = None
         if return_timestamps:
             segments = [
                 _extract_segments(sequences[i], int(lengths[i]),
-                                  prompt.shape[1], time_precision)
+                                  prompt.shape[1], time_precision, st)
                 for i in range(b)
             ]
         return GenerateOutput(
@@ -577,13 +717,17 @@ class WhisperMedusaModel:
         single teacher-forced scoring pass."""
         fn = self._cached("score", lambda: jax.jit(
             partial(_avg_logprobs, dims=self.config.dims)))
-        return np.asarray(fn(self.params["whisper"], enc_out,
-                             jnp.asarray(sequences), jnp.asarray(lengths),
-                             prompt_len))
+        with self._mesh_ctx():
+            return np.asarray(fn(self.params["whisper"], enc_out,
+                                 jnp.asarray(sequences), jnp.asarray(lengths),
+                                 prompt_len))
 
     # ------------------------------------------------------------------ helpers
-    def _run_decode(self, choices, variant, pcfg, gen, enc_out, prompt) -> SpecResult:
-        key = ("decode", choices, variant, pcfg, gen, enc_out.shape, prompt.shape)
+    def _run_decode(self, choices, variant, pcfg, gen, enc_out, prompt,
+                    rng=None) -> SpecResult:
+        sampled = rng is not None
+        key = ("decode", choices, variant, pcfg, gen, enc_out.shape,
+               prompt.shape, sampled)
         if key not in self._jit_cache:
             buffers = generate_medusa_buffers(choices)
             medusa_params = None if variant == "vanilla" else self.params["medusa"]
@@ -594,8 +738,10 @@ class WhisperMedusaModel:
             ))
             self._jit_cache[key] = (fn, medusa_params)
         fn, medusa_params = self._jit_cache[key]
-        return fn(self.params["whisper"], medusa_params,
-                  enc_out=enc_out, prompt=prompt)
+        kw = {"rng": rng} if sampled else {}
+        with self._mesh_ctx():
+            return fn(self.params["whisper"], medusa_params,
+                      enc_out=enc_out, prompt=self._put_batch(prompt), **kw)
 
     def _cached(self, key, build):
         if key not in self._jit_cache:
@@ -606,13 +752,13 @@ class WhisperMedusaModel:
 # ---------------------------------------------------------------------------
 
 
-def _detect_language(params, enc_out, dims):
+def _detect_language(params, enc_out, dims, special: SpecialTokens):
     b = enc_out.shape[0]
-    sot = jnp.full((b, 1), SOT_TOKEN_ID, jnp.int32)
+    sot = jnp.full((b, 1), special.sot, jnp.int32)
     out = whisper.decode_train(params, dims, sot, enc_out)
     logits = whisper.project_logits(params, out.hidden[:, -1])
-    lang_lo = FIRST_LANGUAGE_TOKEN_ID
-    lang_hi = FIRST_LANGUAGE_TOKEN_ID + len(WHISPER_LANGUAGES)
+    lang_lo = special.first_language
+    lang_hi = special.first_language + special.num_languages
     mask = (jnp.arange(logits.shape[-1]) >= lang_lo) & (
         jnp.arange(logits.shape[-1]) < lang_hi)
     logits = jnp.where(mask, logits, -jnp.inf)
@@ -648,55 +794,146 @@ def _avg_logprobs(params, enc_out, sequences, lengths, prompt_len, dims):
 
 
 def _extract_segments(tokens: np.ndarray, length: int, prompt_len: int,
-                      time_precision: float = 0.02) -> List[dict]:
+                      time_precision: float = 0.02,
+                      special: Optional[SpecialTokens] = None) -> List[dict]:
     """Split a timestamped token sequence into segments.
 
     Equivalent of the reference's `_retrieve_segment` role (delegated to HF,
     model.py:1683-1700): consecutive timestamp pairs bracket text spans."""
+    st = special or SpecialTokens()
+    ts_begin = st.timestamp_begin
     seq = tokens[prompt_len:length]
     segments: List[dict] = []
     start_ts = None
     text: List[int] = []
     for tok in seq.tolist():
-        if tok >= TIMESTAMP_BEGIN_ID:
+        if tok >= ts_begin:
             if start_ts is None:
                 start_ts = tok
             else:
                 segments.append({
-                    "start": (start_ts - TIMESTAMP_BEGIN_ID) * time_precision,
-                    "end": (tok - TIMESTAMP_BEGIN_ID) * time_precision,
+                    "start": (start_ts - ts_begin) * time_precision,
+                    "end": (tok - ts_begin) * time_precision,
                     "tokens": text,
                 })
                 start_ts, text = None, []
-        elif tok == EOS_TOKEN_ID:
+        elif tok == st.eos:
             break
         else:
             text.append(tok)
     if start_ts is not None and text:
         segments.append({
-            "start": (start_ts - TIMESTAMP_BEGIN_ID) * time_precision,
+            "start": (start_ts - ts_begin) * time_precision,
             "end": None,
             "tokens": text,
         })
     return segments
 
 
+def _compression_ratio(token_ids: np.ndarray, vocab_size: int) -> float:
+    """HF-exact compression ratio (transformers ``_retrieve_compression_ratio``):
+    tokens packed little-endian into ``int(log2(vocab)/8) + 1`` bytes each
+    (2 bytes for whisper vocabularies) before zlib."""
+    length = int(np.log2(vocab_size) / 8) + 1
+    seq = b"".join(int(t).to_bytes(length, "little") for t in token_ids.tolist())
+    if not seq:
+        return 0.0
+    return len(seq) / max(len(zlib.compress(seq)), 1)
+
+
 def _needs_fallback(tokens, lengths, prompt_len, compression_ratio_threshold,
-                    avg_logprobs=None, logprob_threshold=None):
+                    avg_logprobs=None, logprob_threshold=None,
+                    vocab_size: int = 51865):
     """Quality gate for the temperature ladder (reference: model.py:1929-1969
     delegating to HF ``_need_fallback``; compression-ratio + avg-logprob criteria)."""
     b = tokens.shape[0]
     bad = np.zeros((b,), bool)
     if compression_ratio_threshold is not None:
         for i in range(b):
-            seq = tokens[i, prompt_len: lengths[i]].astype(np.int32).tobytes()
-            if len(seq) == 0:
-                continue
-            ratio = len(seq) / max(len(zlib.compress(seq)), 1)
+            ratio = _compression_ratio(tokens[i, prompt_len: lengths[i]],
+                                       vocab_size)
             bad[i] |= ratio > compression_ratio_threshold
     if logprob_threshold is not None and avg_logprobs is not None:
         bad |= np.asarray(avg_logprobs) < logprob_threshold
     return bad
+
+
+def _load_generation_config(
+    path: str, config: ModelConfig,
+) -> Tuple[Optional[GenerationConfig], Optional[SpecialTokens]]:
+    """Parse a checkpoint's ``generation_config.json`` (HF or our own format).
+
+    The reference reads suppress lists, token-id maps, and the Medusa posterior
+    hyperparameters from the checkpoint generation config (reference:
+    model.py:279-290 ``update_generation_config``, 1177-1186); HF whisper
+    generation configs additionally carry ``lang_to_id``/``task_to_id``/
+    ``no_timestamps_token_id``/``prev_sot_token_id``, from which the full special-
+    token layout is recovered.  Returns (None, None) when the file is absent —
+    callers then fall back to vocabulary-derived defaults.
+    """
+    p = os.path.join(path, "generation_config.json")
+    if not os.path.isfile(p):
+        return None, None
+    with open(p) as f:
+        raw = json.load(f)
+
+    derived = config.dims.special
+    if "special_tokens" in raw:           # our save format: exact round-trip
+        special = SpecialTokens(**raw["special_tokens"])
+    else:                                 # HF whisper generation config
+        kw = {}
+        if raw.get("eos_token_id") is not None:
+            kw["eos"] = int(raw["eos_token_id"])
+        if raw.get("decoder_start_token_id") is not None:
+            kw["sot"] = int(raw["decoder_start_token_id"])
+        lang_to_id = raw.get("lang_to_id")
+        if lang_to_id:
+            ids = sorted(int(v) for v in lang_to_id.values())
+            kw["first_language"] = ids[0]
+            kw["num_languages"] = len(ids)
+        task_to_id = raw.get("task_to_id")
+        if task_to_id:
+            if "transcribe" in task_to_id:
+                kw["transcribe"] = int(task_to_id["transcribe"])
+            if "translate" in task_to_id:
+                kw["translate"] = int(task_to_id["translate"])
+        if raw.get("prev_sot_token_id") is not None:
+            kw["start_of_prev"] = int(raw["prev_sot_token_id"])
+            kw["start_of_lm"] = int(raw["prev_sot_token_id"]) - 1
+        if raw.get("no_timestamps_token_id") is not None:
+            nt = int(raw["no_timestamps_token_id"])
+            kw["no_timestamps"] = nt
+            kw["timestamp_begin"] = nt + 1
+            kw["no_speech"] = nt - 1
+        special = dataclasses.replace(derived, **kw)
+
+    gen_kw: Dict[str, Any] = dict(
+        max_length=int(raw.get("max_length", config.dims.max_target_positions)),
+        eos_token_id=special.eos,
+        pad_token_id=int(raw["pad_token_id"]) if raw.get("pad_token_id")
+        is not None else special.eos,
+        decoder_start_token_id=special.sot,
+        suppress_tokens=tuple(raw["suppress_tokens"])
+        if raw.get("suppress_tokens") is not None
+        else default_suppress_tokens(special),
+        begin_suppress_tokens=tuple(raw["begin_suppress_tokens"])
+        if raw.get("begin_suppress_tokens") is not None
+        else default_begin_suppress_tokens(special),
+    )
+    for k in ("posterior_threshold", "posterior_alpha", "temperature",
+              "compression_ratio_threshold", "logprob_threshold",
+              "no_speech_threshold"):
+        if raw.get(k) is not None:
+            gen_kw[k] = float(raw[k])
+    if raw.get("max_initial_timestamp_index") is not None:
+        gen_kw["max_initial_timestamp_index"] = int(
+            raw["max_initial_timestamp_index"])
+    if raw.get("exponential_decay_length_penalty") is not None:
+        gen_kw["exponential_decay_length_penalty"] = tuple(
+            raw["exponential_decay_length_penalty"])
+    if raw.get("temperature_fallback") is not None:
+        gen_kw["temperature_fallback"] = tuple(raw["temperature_fallback"])
+    return GenerationConfig(**gen_kw), special
 
 
 def _config_from_hf_dict(raw: dict) -> ModelConfig:
