@@ -1,4 +1,5 @@
-// Native audio IO for the data pipeline: WAV decode + windowed-sinc resampling.
+// Native audio IO for the data pipeline: WAV + FLAC decode + windowed-sinc
+// resampling.
 //
 // Plays the role torchaudio's libsox/ffmpeg C++ backends play for the reference
 // (reference: whisper_medusa/dataset/dataset.py:67-69, eval_whisper_medusa.py:41-45
@@ -6,11 +7,21 @@
 // library and bound via ctypes (whisper_medusa_tpu/data/native.py); the Python
 // stdlib/scipy path remains as fallback.
 //
+// The FLAC decoder covers the full lossless frame format (CONSTANT / VERBATIM /
+// FIXED / LPC subframes, Rice + Rice2 residual partitions, escape codes, wasted
+// bits, left/right/mid-side stereo decorrelation, 8..32-bit samples) — the
+// complete subset needed for LibriSpeech (16-bit mono) and general libFLAC
+// output.  CRCs are skipped (decode-time integrity checking is not needed for a
+// training data loader).
+//
 // Exports (C ABI):
 //   wm_decode_wav(buf, len, out, out_cap, &sr)           -> n_samples or -errcode
+//   wm_decode_flac(buf, len, out, out_cap, &sr)          -> n_samples or -errcode
+//   wm_decode_audio(buf, len, out, out_cap, &sr)         -> format-sniffing decode
 //   wm_resample(in, n, sr_in, sr_out, out, out_cap)      -> n_out or -errcode
 //   wm_load_resample(buf, len, target_sr, out, out_cap)  -> n_out or -errcode
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -86,6 +97,284 @@ void sinc_resample(const float* in, int64_t n, int sr_in, int sr_out,
     (void)wsum;
     out[j] = (float)acc;
   }
+}
+
+// ------------------------------------------------------------------- FLAC ---
+
+// MSB-first bit reader over a byte buffer.
+struct BitReader {
+  const uint8_t* p;
+  size_t n;        // total bytes
+  size_t bit = 0;  // absolute bit position
+  bool ok = true;
+
+  bool have(size_t k) const { return bit + k <= 8 * n; }
+
+  uint64_t bits(int k) {  // k in [0, 57]
+    if (k == 0) return 0;
+    if (!have((size_t)k)) { ok = false; return 0; }
+    uint64_t v = 0;
+    size_t b = bit;
+    int left = k;
+    while (left > 0) {
+      const size_t byte = b >> 3;
+      const int off = (int)(b & 7);
+      const int take = std::min(8 - off, left);
+      const uint8_t cur = p[byte];
+      const uint8_t chunk = (uint8_t)((cur >> (8 - off - take)) &
+                                      ((1u << take) - 1u));
+      v = (v << take) | chunk;
+      b += (size_t)take;
+      left -= take;
+    }
+    bit = b;
+    return v;
+  }
+
+  int64_t sbits(int k) {  // sign-extended
+    uint64_t v = bits(k);
+    if (k > 0 && (v >> (k - 1)) & 1u) v |= ~((k < 64 ? (1ull << k) : 0ull) - 1ull);
+    return (int64_t)v;
+  }
+
+  uint32_t unary() {  // count 0 bits until the terminating 1
+    uint32_t q = 0;
+    while (ok) {
+      if (!have(1)) { ok = false; return 0; }
+      if (bits(1)) break;
+      if (++q > (1u << 24)) { ok = false; return 0; }  // corrupt-stream guard
+    }
+    return q;
+  }
+
+  void align() { bit = (bit + 7) & ~(size_t)7; }
+  void skip_bytes(size_t k) {
+    if (!have(8 * k)) { ok = false; return; }
+    bit += 8 * k;
+  }
+};
+
+// UTF-8-style coded frame/sample number (FLAC frame header). Value unused
+// (frames are sequential for our purposes); consumed for position only.
+void skip_utf8(BitReader& br) {
+  uint32_t b0 = (uint32_t)br.bits(8);
+  if (!br.ok) return;
+  int follow = 0;
+  for (uint32_t m = 0x80; b0 & m; m >>= 1) ++follow;
+  if (follow == 1 || follow > 7) { br.ok = false; return; }
+  if (follow > 0) --follow;  // leading byte counted itself
+  for (int i = 0; i < follow; ++i) br.bits(8);
+}
+
+// Rice/Rice2-coded residual (RESIDUAL + RICE_PARTITION / RICE2_PARTITION).
+bool decode_residual(BitReader& br, int block_size, int pred_order,
+                     int32_t* res) {
+  const int method = (int)br.bits(2);
+  if (!br.ok || method > 1) return false;
+  const int plen = method == 0 ? 4 : 5;
+  const uint32_t escape = method == 0 ? 0xF : 0x1F;
+  const int part_order = (int)br.bits(4);
+  const int n_parts = 1 << part_order;
+  if (block_size % n_parts != 0) return false;
+  const int part_samples = block_size >> part_order;
+  // First partition holds part_samples - pred_order values (must be >= 0).
+  if (part_samples <= 0 || part_samples < pred_order) return false;
+  int idx = 0;
+  for (int part = 0; part < n_parts; ++part) {
+    const int count = part == 0 ? part_samples - pred_order : part_samples;
+    if (count < 0) return false;
+    const uint32_t param = (uint32_t)br.bits(plen);
+    if (!br.ok) return false;
+    if (param == escape) {
+      const int raw_bits = (int)br.bits(5);
+      for (int i = 0; i < count; ++i)
+        res[idx++] = raw_bits ? (int32_t)br.sbits(raw_bits) : 0;
+    } else {
+      for (int i = 0; i < count; ++i) {
+        const uint32_t q = br.unary();
+        const uint64_t r = param ? br.bits((int)param) : 0;
+        const uint64_t z = ((uint64_t)q << param) | r;  // zigzag
+        res[idx++] = (int32_t)((z >> 1) ^ (~(z & 1) + 1));
+      }
+    }
+    if (!br.ok) return false;
+  }
+  return idx == block_size - pred_order;
+}
+
+// One subframe -> block_size samples at effective bit depth `bps`.
+bool decode_subframe(BitReader& br, int block_size, int bps, int64_t* out) {
+  if (br.bits(1) != 0) return false;  // mandatory zero pad bit
+  const int type = (int)br.bits(6);
+  int wasted = 0;
+  if (br.bits(1)) wasted = (int)br.unary() + 1;
+  if (!br.ok) return false;
+  bps -= wasted;
+  if (bps <= 0 || bps > 33) return false;
+
+  std::vector<int32_t> res(block_size);
+  if (type == 0) {  // CONSTANT
+    const int64_t v = br.sbits(bps);
+    for (int i = 0; i < block_size; ++i) out[i] = v;
+  } else if (type == 1) {  // VERBATIM
+    for (int i = 0; i < block_size; ++i) out[i] = br.sbits(bps);
+  } else if (type >= 8 && type <= 12) {  // FIXED, order 0..4
+    const int order = type - 8;
+    if (order > block_size) return false;
+    for (int i = 0; i < order; ++i) out[i] = br.sbits(bps);
+    if (!decode_residual(br, block_size, order, res.data() + order)) return false;
+    for (int i = order; i < block_size; ++i) {
+      const int64_t r = res[i];
+      switch (order) {
+        case 0: out[i] = r; break;
+        case 1: out[i] = r + out[i - 1]; break;
+        case 2: out[i] = r + 2 * out[i - 1] - out[i - 2]; break;
+        case 3: out[i] = r + 3 * out[i - 1] - 3 * out[i - 2] + out[i - 3]; break;
+        default:
+          out[i] = r + 4 * out[i - 1] - 6 * out[i - 2] + 4 * out[i - 3] -
+                   out[i - 4];
+      }
+    }
+  } else if (type >= 32) {  // LPC, order 1..32
+    const int order = (type & 31) + 1;
+    if (order > block_size) return false;
+    for (int i = 0; i < order; ++i) out[i] = br.sbits(bps);
+    const int precision = (int)br.bits(4) + 1;
+    if (precision == 16) return false;  // 0b1111 is invalid per spec
+    const int shift = (int)br.sbits(5);
+    if (shift < 0) return false;
+    int32_t coef[32];
+    for (int i = 0; i < order; ++i) coef[i] = (int32_t)br.sbits(precision);
+    if (!decode_residual(br, block_size, order, res.data() + order)) return false;
+    for (int i = order; i < block_size; ++i) {
+      int64_t acc = 0;
+      for (int j = 0; j < order; ++j) acc += (int64_t)coef[j] * out[i - 1 - j];
+      out[i] = (int64_t)res[i] + (acc >> shift);
+    }
+  } else {
+    return false;  // reserved subframe type
+  }
+  if (!br.ok) return false;
+  if (wasted)
+    for (int i = 0; i < block_size; ++i) out[i] <<= wasted;
+  return true;
+}
+
+int64_t decode_flac(const uint8_t* buf, int64_t len, float* out,
+                    int64_t out_cap, int32_t* sr_out) {
+  if (len < 8 || std::memcmp(buf, "fLaC", 4) != 0) return kErrBadFile;
+  size_t off = 4;
+
+  // Metadata blocks; STREAMINFO is mandatory and first.
+  uint32_t sr = 0;
+  int channels = 0, bps = 0;
+  bool last = false, have_info = false;
+  while (!last) {
+    if (off + 4 > (size_t)len) return kErrBadFile;
+    last = (buf[off] & 0x80) != 0;
+    const int btype = buf[off] & 0x7F;
+    const uint32_t bsize = ((uint32_t)buf[off + 1] << 16) |
+                           ((uint32_t)buf[off + 2] << 8) | buf[off + 3];
+    off += 4;
+    if (off + bsize > (size_t)len) return kErrBadFile;
+    if (btype == 0 && bsize >= 34) {  // STREAMINFO
+      const uint8_t* s = buf + off;
+      sr = ((uint32_t)s[10] << 12) | ((uint32_t)s[11] << 4) | (s[12] >> 4);
+      channels = ((s[12] >> 1) & 0x7) + 1;
+      bps = (((s[12] & 1) << 4) | (s[13] >> 4)) + 1;
+      have_info = true;
+    }
+    off += bsize;
+  }
+  if (!have_info || sr == 0 || channels < 1 || channels > 8) return kErrBadFile;
+
+  BitReader br{buf + off, (size_t)len - off};
+  std::vector<int64_t> ch[8];
+  int64_t written = 0;
+
+  while (br.ok && br.have(16)) {
+    // --- frame header ---
+    if (br.bits(14) != 0x3FFE) return written > 0 ? written : kErrBadFile;
+    br.bits(1);                       // reserved
+    br.bits(1);                       // blocking strategy
+    const int bs_code = (int)br.bits(4);
+    const int sr_code = (int)br.bits(4);
+    const int chan_asgn = (int)br.bits(4);
+    const int size_code = (int)br.bits(3);
+    br.bits(1);                       // reserved
+    skip_utf8(br);
+    int block_size;
+    switch (bs_code) {
+      case 0: return kErrBadFile;
+      case 1: block_size = 192; break;
+      case 6: block_size = (int)br.bits(8) + 1; break;
+      case 7: block_size = (int)br.bits(16) + 1; break;
+      default:
+        block_size = bs_code <= 5 ? 576 << (bs_code - 2) : 256 << (bs_code - 8);
+    }
+    if (sr_code == 12) br.bits(8);
+    else if (sr_code == 13 || sr_code == 14) br.bits(16);
+    int fbps = bps;
+    switch (size_code) {
+      case 1: fbps = 8; break;
+      case 2: fbps = 12; break;
+      case 4: fbps = 16; break;
+      case 5: fbps = 20; break;
+      case 6: fbps = 24; break;
+      case 7: fbps = 32; break;
+      default: break;  // 0 -> streaminfo; 3 reserved
+    }
+    br.bits(8);  // CRC-8
+    if (!br.ok) return written > 0 ? written : kErrBadFile;
+
+    int n_ch = channels;
+    if (chan_asgn >= 8 && chan_asgn <= 10) n_ch = 2;
+    else if (chan_asgn < 8) n_ch = chan_asgn + 1;
+    else return kErrUnsupported;
+    if (n_ch != channels) return kErrUnsupported;
+
+    for (int c = 0; c < n_ch; ++c) {
+      ch[c].resize(block_size);
+      int sub_bps = fbps;
+      // Side channels carry one extra bit.
+      if ((chan_asgn == 8 && c == 1) || (chan_asgn == 9 && c == 0) ||
+          (chan_asgn == 10 && c == 1))
+        sub_bps += 1;
+      if (!decode_subframe(br, block_size, sub_bps, ch[c].data()))
+        return written > 0 ? written : kErrBadFile;
+    }
+    br.align();
+    br.bits(16);  // frame CRC-16
+    if (!br.ok) return written > 0 ? written : kErrBadFile;
+
+    // --- decorrelate + downmix to mono float ---
+    if (written + block_size > out_cap) return kErrTooLarge;
+    const double scale = 1.0 / (double)(1ll << (fbps - 1));
+    for (int i = 0; i < block_size; ++i) {
+      int64_t smp[8];
+      if (chan_asgn == 8) {        // left/side
+        smp[0] = ch[0][i];
+        smp[1] = ch[0][i] - ch[1][i];
+      } else if (chan_asgn == 9) {  // right/side
+        smp[1] = ch[1][i];
+        smp[0] = ch[1][i] + ch[0][i];
+      } else if (chan_asgn == 10) {  // mid/side
+        const int64_t side = ch[1][i];
+        int64_t mid = ((int64_t)ch[0][i] << 1) | (side & 1);
+        smp[0] = (mid + side) >> 1;
+        smp[1] = (mid - side) >> 1;
+      } else {
+        for (int c = 0; c < n_ch; ++c) smp[c] = ch[c][i];
+      }
+      double acc = 0.0;
+      for (int c = 0; c < n_ch; ++c) acc += (double)smp[c] * scale;
+      out[written + i] = (float)(acc / n_ch);
+    }
+    written += block_size;
+  }
+  if (written == 0) return kErrBadFile;
+  *sr_out = (int32_t)sr;
+  return written;
 }
 
 }  // namespace
@@ -168,6 +457,21 @@ int64_t wm_decode_wav(const uint8_t* buf, int64_t len, float* out,
   return frames;
 }
 
+int64_t wm_decode_flac(const uint8_t* buf, int64_t len, float* out,
+                       int64_t out_cap, int32_t* sr_out) {
+  return decode_flac(buf, len, out, out_cap, sr_out);
+}
+
+// Format-sniffing decode: WAV (RIFF) or FLAC (fLaC) by magic.
+int64_t wm_decode_audio(const uint8_t* buf, int64_t len, float* out,
+                        int64_t out_cap, int32_t* sr_out) {
+  if (len >= 4 && std::memcmp(buf, "fLaC", 4) == 0)
+    return decode_flac(buf, len, out, out_cap, sr_out);
+  if (len >= 4 && std::memcmp(buf, "RIFF", 4) == 0)
+    return wm_decode_wav(buf, len, out, out_cap, sr_out);
+  return kErrUnsupported;
+}
+
 int64_t wm_resample(const float* in, int64_t n, int32_t sr_in, int32_t sr_out,
                     float* out, int64_t out_cap) {
   if (sr_in == sr_out) {
@@ -186,7 +490,7 @@ int64_t wm_load_resample(const uint8_t* buf, int64_t len, int32_t target_sr,
                          float* out, int64_t out_cap) {
   std::vector<float> decoded(out_cap > 0 ? (size_t)out_cap : 1);
   int32_t sr = 0;
-  int64_t n = wm_decode_wav(buf, len, decoded.data(), out_cap, &sr);
+  int64_t n = wm_decode_audio(buf, len, decoded.data(), out_cap, &sr);
   if (n < 0) return n;
   return wm_resample(decoded.data(), n, sr, target_sr, out, out_cap);
 }

@@ -31,20 +31,32 @@ from whisper_medusa_tpu.ops import mel as mel_mod
 IGNORE_INDEX = -100
 
 
-def load_wav(path: str) -> tuple[np.ndarray, int]:
-    """Read a PCM WAV file to float32 mono.
+def load_audio(path: str) -> tuple[np.ndarray, int]:
+    """Read a WAV or FLAC file to float32 mono (format sniffed by magic bytes).
 
     Uses the native C++ decoder (data/native.py -> native/audio_io.cpp) when the
-    toolchain is available — the role torchaudio's libsox plays for the reference —
-    with a stdlib fallback."""
+    toolchain is available — the role torchaudio's libsox plays for the reference
+    (dataset.py:67; LibriSpeech ships .flac) — with pure-Python fallbacks."""
     from whisper_medusa_tpu.data import native
 
     if native.available():
         try:
-            return native.load_wav(path)
+            return native.load_audio(path)
         except Exception:
             pass
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic == b"fLaC":
+        from whisper_medusa_tpu.data import flac_py
+
+        with open(path, "rb") as f:
+            return flac_py.decode_flac(f.read())
     return _load_wav_py(path)
+
+
+def load_wav(path: str) -> tuple[np.ndarray, int]:
+    """Back-compat alias for :func:`load_audio`."""
+    return load_audio(path)
 
 
 def _load_wav_py(path: str) -> tuple[np.ndarray, int]:
@@ -124,7 +136,7 @@ class ASRDataSet:
 
     def __getitem__(self, idx: int) -> Dict:
         ex = self.examples[idx]
-        audio, sr = load_wav(ex.audio_path)
+        audio, sr = load_audio(ex.audio_path)
         audio = resample(audio, sr)
         return {
             "audio": mel_mod.pad_or_trim(audio)[0],

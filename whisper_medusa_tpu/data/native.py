@@ -36,11 +36,16 @@ def _load() -> Optional[ctypes.CDLL]:
                 ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB],
                 check=True, capture_output=True)
         lib = ctypes.CDLL(_LIB)
-        lib.wm_decode_wav.restype = ctypes.c_int64
-        lib.wm_decode_wav.argtypes = [
+        decode_sig = [
             ctypes.c_char_p, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32)]
+        lib.wm_decode_wav.restype = ctypes.c_int64
+        lib.wm_decode_wav.argtypes = decode_sig
+        lib.wm_decode_flac.restype = ctypes.c_int64
+        lib.wm_decode_flac.argtypes = decode_sig
+        lib.wm_decode_audio.restype = ctypes.c_int64
+        lib.wm_decode_audio.argtypes = decode_sig
         lib.wm_resample.restype = ctypes.c_int64
         lib.wm_resample.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
@@ -56,8 +61,11 @@ def available() -> bool:
     return _load() is not None
 
 
-def load_wav(path: str, max_seconds: float = 120.0) -> Tuple[np.ndarray, int]:
-    """Decode a WAV file with the native decoder.  Raises on failure."""
+def load_audio(path: str, max_seconds: float = 120.0) -> Tuple[np.ndarray, int]:
+    """Decode a WAV or FLAC file (format-sniffed by magic) to float32 mono.
+
+    Raises on failure.  FLAC covers LibriSpeech (the reference's benchmark
+    corpus ships .flac; reference reads it via torchaudio.load, dataset.py:67)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native audio lib unavailable")
@@ -66,12 +74,17 @@ def load_wav(path: str, max_seconds: float = 120.0) -> Tuple[np.ndarray, int]:
     cap = int(max_seconds * 96000)
     out = np.empty((cap,), np.float32)
     sr = ctypes.c_int32(0)
-    n = lib.wm_decode_wav(
+    n = lib.wm_decode_audio(
         buf, len(buf), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         cap, ctypes.byref(sr))
     if n < 0:
-        raise ValueError(f"native WAV decode failed ({n}) for {path}")
+        raise ValueError(f"native audio decode failed ({n}) for {path}")
     return out[:n].copy(), int(sr.value)
+
+
+def load_wav(path: str, max_seconds: float = 120.0) -> Tuple[np.ndarray, int]:
+    """Back-compat alias for :func:`load_audio`."""
+    return load_audio(path, max_seconds)
 
 
 def resample(audio: np.ndarray, sr: int, target_sr: int = 16000) -> np.ndarray:
