@@ -40,6 +40,26 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
                    choices=["float32", "bfloat16"])
 
 
+def add_mesh_args(p: argparse.ArgumentParser) -> None:
+    """DP/TP device-mesh flags (parallel/mesh.py) — the reference's accelerate DP
+    equivalent, surfaced explicitly."""
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel mesh size (0 = single device)")
+    p.add_argument("--tp", type=int, default=0,
+                   help="tensor-parallel mesh size (0 = single device)")
+
+
+def make_mesh_from_args(args):
+    """Build the (dp, tp) mesh requested by --dp/--tp, or None when unset."""
+    dp = getattr(args, "dp", 0) or 0
+    tp = getattr(args, "tp", 0) or 0
+    if dp <= 0 and tp <= 0:
+        return None
+    from whisper_medusa_tpu.parallel import mesh as mesh_mod
+
+    return mesh_mod.make_mesh((dp or 1) * (tp or 1), dp=dp or 1, tp=tp or 1)
+
+
 def add_training_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--train-data-path", required=True)
     p.add_argument("--validation-data-path", required=True)
@@ -67,6 +87,7 @@ def add_training_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--wandb-project", default="whisper-medusa-tpu")
     p.add_argument("--wandb-run-name", default=None)
     p.add_argument("--wandb-resume-id", default=None)
+    add_mesh_args(p)
 
 
 def add_eval_args(p: argparse.ArgumentParser) -> None:
@@ -85,3 +106,4 @@ def add_eval_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--param-dtype", default="bfloat16")
     p.add_argument("--num-beams", type=int, default=1,
                    help=">1 switches to vanilla beam search (beyond reference)")
+    add_mesh_args(p)

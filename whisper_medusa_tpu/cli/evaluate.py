@@ -30,6 +30,13 @@ def evaluate_model(args) -> dict:
     df = pd.read_csv(args.data_path).fillna("")
     model = WhisperMedusaModel.from_pretrained(args.model_name,
                                                dtype=args.param_dtype)
+    from whisper_medusa_tpu.cli.args import make_mesh_from_args
+
+    mesh = make_mesh_from_args(args)
+    if mesh is not None:
+        model.shard(mesh)
+        logger.info("sharded over mesh (dp=%d, tp=%d)",
+                    mesh.devices.shape[0], mesh.devices.shape[1])
     try:
         tokenizer = load_tokenizer(args.tokenizer_path or args.model_name,
                                    language=args.language)

@@ -92,8 +92,11 @@ def main(argv=None):
         log_fn = make_wandb_logger(args.wandb_project, args.wandb_run_name,
                                    config=vars(args),
                                    resume_id=args.wandb_resume_id)
+    from whisper_medusa_tpu.cli.args import make_mesh_from_args
+
     trainer = MedusaTrainer(model.config, model.params, targs, train_iter,
-                            eval_iter_fn=eval_iter, log_fn=log_fn)
+                            eval_iter_fn=eval_iter, log_fn=log_fn,
+                            mesh=make_mesh_from_args(args))
     summary = trainer.train(resume_from_checkpoint=args.resume_from_checkpoint)
 
     # Final artifacts (reference: trainer.py:45-51 model_components dir).

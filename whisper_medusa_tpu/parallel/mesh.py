@@ -98,8 +98,21 @@ def _layer_specs() -> Dict[str, Any]:
     }
 
 
-def whisper_param_specs(params: Params) -> Params:
-    """PartitionSpec pytree matching a whisper params pytree."""
+def whisper_param_specs(params: Params, tp: int = 1) -> Params:
+    """PartitionSpec pytree matching a whisper params pytree.
+
+    The tied embedding / vocab projection is row-sharded (vocab axis) when the
+    vocabulary divides by tp; otherwise column-sharded (d_model axis — whisper's
+    51865-row vocab is odd, divisible by no tp>1, so the projection contracts
+    over a sharded axis and XLA inserts the psum)."""
+    vocab = None
+    if params:
+        emb = params.get("decoder", {}).get("embed_tokens")
+        if emb is not None:
+            vocab = emb.shape[0]
+    embed_spec = P(MODEL_AXIS, None) if (vocab is None or tp <= 1
+                                         or vocab % tp == 0) \
+        else P(None, MODEL_AXIS)
     enc_layers = {k: v for k, v in _layer_specs().items()
                   if k not in ("cross", "cross_ln")}
     specs = {
@@ -111,7 +124,7 @@ def whisper_param_specs(params: Params) -> Params:
             "ln_post": {"scale": P(), "bias": P()},
         },
         "decoder": {
-            "embed_tokens": P(MODEL_AXIS, None),
+            "embed_tokens": embed_spec,
             "pos_embed": P(),
             "layers": _layer_specs(),
             "ln_post": {"scale": P(), "bias": P()},
@@ -135,8 +148,8 @@ def medusa_param_specs(medusa_params: Params) -> Params:
     return specs
 
 
-def model_param_specs(params: Params) -> Params:
-    specs: Params = {"whisper": whisper_param_specs(params["whisper"])}
+def model_param_specs(params: Params, tp: int = 1) -> Params:
+    specs: Params = {"whisper": whisper_param_specs(params["whisper"], tp)}
     if "medusa" in params:
         specs["medusa"] = medusa_param_specs(params["medusa"])
     return specs
@@ -144,8 +157,9 @@ def model_param_specs(params: Params) -> Params:
 
 def shard_params(params: Params, mesh: Mesh) -> Params:
     """Place a params pytree onto the mesh with the standard TP shardings."""
-    specs = model_param_specs(params) if "whisper" in params else \
-        whisper_param_specs(params)
+    tp = int(mesh.devices.shape[1])
+    specs = model_param_specs(params, tp) if "whisper" in params else \
+        whisper_param_specs(params, tp)
     return jax.tree.map(
         lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), params, specs,
         is_leaf=lambda x: not isinstance(x, dict))

@@ -63,27 +63,60 @@ class MedusaTrainer:
         train_iter: Iterator[Dict[str, np.ndarray]],
         eval_iter_fn: Optional[Callable[[], Iterator[Dict[str, np.ndarray]]]] = None,
         log_fn: Optional[Callable[[Dict[str, float], int], None]] = None,
+        mesh=None,
     ):
         self.config = config
         self.args = args
         self.train_iter = train_iter
         self.eval_iter_fn = eval_iter_fn
         self.log_fn = log_fn
+        # DP+TP mesh (parallel/mesh.py).  The reference gets DP via
+        # accelerate/Trainer (medusa_trainer_cls.py:142-156); here it's explicit:
+        # params TP-sharded, batches DP-sharded, XLA inserts the collectives.
+        self.mesh = mesh
+        if mesh is not None:
+            from whisper_medusa_tpu.parallel import mesh as mesh_mod
+
+            params = mesh_mod.shard_params(params, mesh)
+            if args.batch_size % mesh.devices.shape[0] != 0:
+                raise ValueError(
+                    f"batch_size {args.batch_size} must divide by dp="
+                    f"{mesh.devices.shape[0]}")
 
         self.optimizer = train_mod.make_optimizer(
             args.optim, args.lr, args.warmup_steps, args.max_steps,
             args.lr_scheduler_type, args.gradient_accumulation_steps)
-        self.state = train_mod.init_train_state(params, self.optimizer)
+        with self._mesh_ctx():
+            self.state = train_mod.init_train_state(params, self.optimizer)
         self._step_fn = jax.jit(train_mod.make_train_step(
             config, self.optimizer, args.parts_to_freeze))
         self._eval_fn = jax.jit(
             lambda p, f, l: train_mod.eval_loss(config, p, f, l))
 
         self._ckpt_dir = os.path.abspath(os.path.join(args.output_dir, "checkpoints"))
+        self._data_sharding = None
+        if mesh is not None:
+            from whisper_medusa_tpu.parallel import mesh as mesh_mod
+
+            self._data_sharding = mesh_mod.data_sharding(mesh)
         self._mngr = None
         self.best_eval_loss = float("inf")
         self.best_step = -1
         self.history: list = []
+
+    # ---------------------------------------------------------------- mesh
+    def _mesh_ctx(self):
+        import contextlib
+
+        return jax.set_mesh(self.mesh) if self.mesh is not None \
+            else contextlib.nullcontext()
+
+    def _put(self, x) -> jnp.ndarray:
+        arr = jnp.asarray(x)
+        if self._data_sharding is not None and \
+                arr.shape[0] % self.mesh.devices.shape[0] == 0:
+            return jax.device_put(arr, self._data_sharding)
+        return arr
 
     # ---------------------------------------------------------------- ckpt
     def _manager(self):
@@ -147,9 +180,10 @@ class MedusaTrainer:
                 batch = next(it)
             except StopIteration:
                 break
-            loss, _ = self._eval_fn(self.state.params,
-                                    jnp.asarray(batch["input_features"]),
-                                    jnp.asarray(batch["labels"]))
+            with self._mesh_ctx():
+                loss, _ = self._eval_fn(self.state.params,
+                                        self._put(batch["input_features"]),
+                                        self._put(batch["labels"]))
             losses.append(float(loss))
         return float(np.mean(losses)) if losses else float("nan")
 
@@ -161,9 +195,10 @@ class MedusaTrainer:
         start = int(self.state.step)
         for step in range(start, args.max_steps):
             batch = next(self.train_iter)
-            self.state, metrics = self._step_fn(
-                self.state, jnp.asarray(batch["input_features"]),
-                jnp.asarray(batch["labels"]))
+            with self._mesh_ctx():
+                self.state, metrics = self._step_fn(
+                    self.state, self._put(batch["input_features"]),
+                    self._put(batch["labels"]))
 
             if (step + 1) % args.logging_steps == 0:
                 scalars = {"loss": float(metrics["loss"]),
