@@ -23,3 +23,12 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite is compile-dominated (dozens of tiny
+# decode-loop variants); caching across runs roughly halves wall clock.
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/wm_test_comp_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
