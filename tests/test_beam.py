@@ -118,3 +118,31 @@ def test_beam_with_timestamps():
         if seq:
             assert seq[0] >= TS
     assert out.segments is not None
+
+
+def test_cross_kv_deduped_across_beams():
+    """Cross K/V live once per example (B rows), not per beam (B*K) — the
+    K-fold cache-memory reduction with unchanged outputs (ROADMAP r1 #7)."""
+    from whisper_medusa_tpu.models import whisper as w
+
+    cfg = tiny_test_config()
+    params = w.init_whisper_params(jax.random.PRNGKey(0), cfg.dims)
+    b, k = 2, 4
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(
+        size=(b, cfg.dims.num_mel_bins, cfg.dims.num_frames)), jnp.float32)
+    enc = w.encode(params, cfg.dims, feats)
+    cache = w.init_cache(params, cfg.dims, enc, 16, self_batch=b * k)
+    assert cache.cross_k.shape[1] == b          # shared, not replicated
+    assert cache.self_k.shape[1] == b * k
+
+    # cross_beam-folded step == per-beam replicated step, bit for bit.
+    toks = jnp.asarray(rng.integers(6, 60, size=(b * k, 3)), jnp.int32)
+    off = jnp.zeros((b * k,), jnp.int32)
+    out_fold, _ = w.decode_step(params, cfg.dims, toks, cache, off, cross_beam=k)
+
+    enc_rep = jnp.repeat(enc, k, axis=0)
+    cache_rep = w.init_cache(params, cfg.dims, enc_rep, 16)
+    out_rep, _ = w.decode_step(params, cfg.dims, toks, cache_rep, off)
+    np.testing.assert_allclose(np.asarray(out_fold.hidden),
+                               np.asarray(out_rep.hidden), atol=1e-5)

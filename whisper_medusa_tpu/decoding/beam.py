@@ -87,11 +87,15 @@ def beam_search(
     max_length = gen.max_length
     buf = max_length + 1
 
-    enc_rep = jnp.repeat(enc_out, k, axis=0)                     # (BK, S, D)
-    cache = whisper.init_cache(params, dims, enc_rep, max_length + 1)
+    # Cross K/V are beam-invariant: computed and stored once per example (B rows)
+    # while the self cache is per-beam (B*K rows) — K-fold cross-cache HBM saving
+    # (VERDICT r1 #10; was jnp.repeat over beams).
+    cache = whisper.init_cache(params, dims, enc_out, max_length + 1,
+                               self_batch=bk)
     prompt_rep = jnp.repeat(prompt, k, axis=0)                   # (BK, T0)
     out, cache = whisper.decode_step(
-        params, dims, prompt_rep, cache, jnp.zeros((bk,), jnp.int32))
+        params, dims, prompt_rep, cache, jnp.zeros((bk,), jnp.int32),
+        cross_beam=k)
     use_ts = pcfg.timestamp_rules
 
     def ts_val(tok):
@@ -200,7 +204,7 @@ def beam_search(
         s, last = carry
         offsets = jnp.broadcast_to(s.cur_len - 1, (bk,)).astype(jnp.int32)
         out, cache = whisper.decode_step(
-            params, dims, last.reshape(bk, 1), s.cache, offsets)
+            params, dims, last.reshape(bk, 1), s.cache, offsets, cross_beam=k)
         s = dataclasses.replace(s, cache=cache)
         logits = whisper.project_logits(params, out.hidden[:, -1])
         proc = apply_processors(

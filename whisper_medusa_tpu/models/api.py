@@ -649,6 +649,15 @@ class WhisperMedusaModel:
         if feats.ndim == 2:
             feats = feats[None]
         b = feats.shape[0]
+        n_frames = feats.shape[-1]
+        if n_frames > cfg.dims.num_frames:
+            raise NotImplementedError(
+                f"beam search is shortform-only: got {n_frames} mel frames > "
+                f"{cfg.dims.num_frames}; use num_beams=1 for longform audio "
+                "(the greedy path runs a seek loop)")
+        if n_frames < cfg.dims.num_frames:
+            feats = jnp.pad(feats, ((0, 0), (0, 0),
+                                    (0, cfg.dims.num_frames - n_frames)))
         enc_out = self.encode(feats)
         if language is None:
             lang_ids = self.detect_language(enc_out)

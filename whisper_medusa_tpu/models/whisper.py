@@ -393,8 +393,14 @@ def init_cache(
     enc_out: jnp.ndarray,   # (B, S, D)
     max_len: int,
     extra_layers: int = 0,  # extra cache slots (e.g. the medusa block layer)
+    self_batch: Optional[int] = None,  # self-cache rows (beam-folded B*K); cross stays B
 ) -> KVCache:
-    """Allocate the self-attn cache and precompute cross-attn K/V for all layers."""
+    """Allocate the self-attn cache and precompute cross-attn K/V for all layers.
+
+    ``self_batch`` decouples the two batch axes for beam search: self K/V are
+    per-beam (B*K rows) while cross K/V — beam-invariant — are computed and
+    stored once per example (B rows), cutting cross-cache HBM K-fold
+    (~1 GB/example saved at large-v2 K=5 bf16)."""
     b, s, d = enc_out.shape
     nh = dims.decoder_attention_heads
     hd = d // nh
@@ -415,9 +421,10 @@ def init_cache(
         pad = [(0, extra_layers)] + [(0, 0)] * 4
         cross_k = jnp.pad(cross_k, pad)
         cross_v = jnp.pad(cross_v, pad)
+    sb = self_batch if self_batch is not None else b
     return KVCache(
-        self_k=jnp.zeros((nl, b, max_len, nh, hd), dtype),
-        self_v=jnp.zeros((nl, b, max_len, nh, hd), dtype),
+        self_k=jnp.zeros((nl, sb, max_len, nh, hd), dtype),
+        self_v=jnp.zeros((nl, sb, max_len, nh, hd), dtype),
         cross_k=cross_k,
         cross_v=cross_v,
     )
@@ -454,8 +461,13 @@ def decoder_layer_step(
     offsets: jnp.ndarray,      # (B,) int32 — first cache slot for this chunk
     self_mask: jnp.ndarray,    # (B, 1, T, max_len) bool
     num_heads: int,
+    cross_beam: int = 1,       # h rows = cross rows * cross_beam (dedup'd beams)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One decoder layer over a chunk of T new tokens with cache update.
+
+    With ``cross_beam=K`` the hidden batch is beam-folded (B*K rows) while
+    cross K/V are stored once per example (B rows); queries are reshaped to
+    (B, K*T) for the — beam-invariant — cross attention.
 
     Returns (new_hidden, new_k_buf, new_v_buf).
     """
@@ -474,7 +486,12 @@ def decoder_layer_step(
     cx = layer_norm(h, lp["cross_ln"]["scale"], lp["cross_ln"]["bias"])
     cq = _split_heads(dense(cx, lp["cross"]["q_w"], lp["cross"]["q_b"]), num_heads)
     cq = cq * (head_dim ** -0.5)
-    cross_out = attention(cq, cross_k, cross_v)
+    if cross_beam > 1:
+        bk, t = cq.shape[0], cq.shape[1]
+        cq2 = cq.reshape(bk // cross_beam, cross_beam * t, *cq.shape[2:])
+        cross_out = attention(cq2, cross_k, cross_v).reshape(cq.shape)
+    else:
+        cross_out = attention(cq, cross_k, cross_v)
     h = h + dense(_merge_heads(cross_out), lp["cross"]["o_w"], lp["cross"]["o_b"])
     # FFN.
     h = h + ffn(lp, layer_norm(h, lp["ffn_ln"]["scale"], lp["ffn_ln"]["bias"]))
@@ -518,6 +535,7 @@ def decode_step(
     rel_positions: Optional[jnp.ndarray] = None,  # (T,) tree position ids; None=iota
     chunk_mask: Optional[jnp.ndarray] = None,     # (T, T) ancestor mask; None=causal
     block_params: Optional[Params] = None,        # medusa block layer (uses last cache slot)
+    cross_beam: int = 1,                          # beams per shared cross-KV row
 ) -> Tuple[DecoderOutput, KVCache]:
     """Incremental decoder pass over T new tokens.
 
@@ -542,7 +560,8 @@ def decode_step(
     def layer_fn(h, xs):
         lp, k_buf, v_buf, ck, cv = xs
         h, k_buf, v_buf = decoder_layer_step(
-            lp, h, k_buf, v_buf, ck, cv, offsets, self_mask, nh
+            lp, h, k_buf, v_buf, ck, cv, offsets, self_mask, nh,
+            cross_beam=cross_beam,
         )
         return h, (k_buf, v_buf)
 
@@ -570,7 +589,7 @@ def decode_step(
             block_params, hidden,
             new_cache.self_k[-1], new_cache.self_v[-1],
             new_cache.cross_k[-1], new_cache.cross_v[-1],
-            offsets, self_mask, nh,
+            offsets, self_mask, nh, cross_beam=cross_beam,
         )
         new_cache = dataclasses.replace(
             new_cache,
