@@ -143,11 +143,38 @@ def main(batch: int = 1, int8: bool = False):
         accept = int(res.accepted.sum()) / max(steps * batch, 1)
         log(f"{label}: {dt * 1e3:.1f} ms, {new_tokens} tokens, {steps} steps, "
             f"{new_tokens / dt:.1f} tok/s, accept/step={accept:.2f}")
-        return new_tokens / dt, accept
+        return new_tokens / dt, accept, dt, steps
+
+    def decode_step_hbm_bytes(cache_len: int, chunk: int, wbytes: int) -> int:
+        """Modeled HBM bytes one decode step must move (weight + cache reads).
+
+        Per step the decoder reads: all per-step weights (self qkvo + cross q/o
+        + ffn per layer, plus the tied embedding for the logits matmul), the
+        full self-KV slab, and the precomputed cross-KV cache.  Activations and
+        the chunk's cache writes are negligible at decode sizes."""
+        d, f = dims.d_model, dims.decoder_ffn_dim
+        nl, v, s = dims.decoder_layers, dims.vocab_size, dims.max_source_positions
+        per_layer = 4 * d * d + 2 * d * d + 2 * d * f
+        weights = nl * per_layer + v * d
+        kv = 2 * nl * batch * (cache_len + s) * d          # self slab + cross
+        return weights * wbytes + kv * 2                   # kv is bf16
+
+    # v5e HBM ~819 GB/s; v4 ~1228; v5p ~2765. Used for the roofline line only.
+    hbm_gbps = {"v5 lite": 819.0, "v5e": 819.0, "v4": 1228.0,
+                "v5p": 2765.0, "v6": 1638.0}
+    bw = next((v for k, v in hbm_gbps.items() if k in str(dev).lower()), 819.0)
 
     medusa_buffers = generate_medusa_buffers(config.medusa.medusa_choices)
-    van_tps, _ = timed(generate_medusa_buffers([1]), "vanilla", None,
-                       "vanilla greedy")
+    van_tps, _, van_dt, van_steps = timed(generate_medusa_buffers([1]),
+                                          "vanilla", None, "vanilla greedy")
+
+    # ---- decode-step roofline (VERDICT r1 #3) ----
+    wbytes = 1 if int8 else 2
+    van_ms = van_dt / max(van_steps, 1) * 1e3
+    van_min = decode_step_hbm_bytes(max_length + 2, 1, wbytes) / (bw * 1e9) * 1e3
+    van_roof = 100.0 * van_min / van_ms
+    log(f"vanilla decode: {van_ms:.2f} ms/step, HBM-roofline min {van_min:.2f} ms "
+        f"-> {van_roof:.0f}% of roofline at {bw:.0f} GB/s")
 
     # Speedup-vs-accept-rate curve: draft corruption pins the acceptance rate
     # (output-invariant — see decoding/speculative.py).  The headline is the point
@@ -155,11 +182,17 @@ def main(batch: int = 1, int8: bool = False):
     # reference's published 1.49x (its loop commits E[accept]+1(+1) tokens per two
     # forwards; 1.49x at ~equal per-forward cost implies E[accept] ~= 2).
     curve = []
+    spec_ms = None
     for corr in (0.0, 0.3, 0.5, 0.8, 1.0):
-        tps, accept = timed(medusa_buffers, "base_head", mp,
-                            f"medusa-10-heads corruption={corr}",
-                            corruption=corr)
+        tps, accept, dt, steps = timed(medusa_buffers, "base_head", mp,
+                                       f"medusa-10-heads corruption={corr}",
+                                       corruption=corr)
+        if spec_ms is None:
+            spec_ms = dt / max(steps, 1) * 1e3   # per-iteration (11-node chunk)
         curve.append((corr, accept, tps, tps / van_tps))
+    spec_min = decode_step_hbm_bytes(max_length + 13, 11, wbytes) / (bw * 1e9) * 1e3
+    log(f"speculative decode: {spec_ms:.2f} ms/iter (11-node chunk), "
+        f"HBM-roofline min {spec_min:.2f} ms -> {100 * spec_min / spec_ms:.0f}%")
     log("curve (corruption, accept/step, tok/s, speedup): "
         + ", ".join(f"({c:.1f}, {a:.2f}, {t:.0f}, {s:.2f}x)"
                     for c, a, t, s in curve))
@@ -177,6 +210,10 @@ def main(batch: int = 1, int8: bool = False):
         "value": round(speedup, 4),
         "unit": "x",
         "vs_baseline": round(speedup / 1.49, 4),
+        "decode_ms_per_step": round(van_ms, 3),
+        "decode_roofline_pct": round(van_roof, 1),
+        "spec_ms_per_iter": round(spec_ms, 3),
+        "spec_roofline_pct": round(100 * spec_min / spec_ms, 1),
     }))
 
 

@@ -1,0 +1,84 @@
+"""Custom Pallas attention kernel: parity vs the XLA formulation (interpret
+mode on CPU), gradient path, and encoder padding equivalence.
+
+The kernel is the default encoder attention on TPU (VERDICT r1 #2); these tests
+pin its numerics so the TPU fast path can't drift from the XLA reference."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import whisper_medusa_tpu.ops.attention as A
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    monkeypatch.setattr(A, "_INTERPRET", True)
+    monkeypatch.setattr(A, "_ENABLED", True)
+
+
+def _qkv(shape, seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    return tuple(jnp.asarray(rng.normal(size=shape), dtype) for _ in range(3))
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("kv_len", [1024, 1000, 513])
+def test_kernel_matches_xla(causal, kv_len):
+    q, k, v = _qkv((2, 3, 1024, 64), seed=kv_len)
+    out_k = A._attention_pallas(q, k, v, kv_len, causal)
+    out_x = A._attention_xla(q, k, v, kv_len, causal)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_kernel_grad_matches_xla():
+    q, k, v = _qkv((1, 2, 512, 64), seed=7)
+
+    def loss_kernel(q, k, v):
+        return jnp.sum(A._attention_custom(500, False, q, k, v) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(A._attention_xla(q, k, v, 500, False) ** 2)
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gk, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_full_attention_bhsd_dispatch():
+    """Below _MIN_SEQ or on CPU without interpret -> XLA path, same results."""
+    q, k, v = _qkv((1, 2, 256, 32), seed=3)
+    out = A.full_attention_bhsd(q, k, v, kv_len=200, causal=True)
+    ref = A._attention_xla(q, k, v, 200, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_encoder_padding_equivalence(monkeypatch):
+    """Padded-and-masked encoder == unpadded encoder on the real rows.
+
+    The TPU path pads 1500->1536 once at the stem and masks keys per layer;
+    this pins that the padding never leaks into real positions."""
+    from whisper_medusa_tpu.config import tiny_test_config
+    from whisper_medusa_tpu.models import whisper
+
+    cfg = tiny_test_config(max_source_positions=24).dims  # S=24, odd size
+    params = whisper.init_whisper_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.normal(size=(2, cfg.num_mel_bins, cfg.num_frames)),
+                      jnp.float32)
+
+    ref = whisper.encode(params, cfg, mel)
+
+    # Force the padded branch: make the kernel "available" at tiny sizes with
+    # a small block so pad_to_block(24) = 32 != 24.
+    monkeypatch.setattr(A, "_MIN_SEQ", 8)
+    monkeypatch.setattr(A, "_BLOCK_Q", 16)
+    padded = whisper.encode(params, cfg, mel)
+    assert padded.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(padded), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)

@@ -195,40 +195,74 @@ def attention(
     return out.astype(v.dtype)
 
 
-def _full_attention(q, k, v, causal: bool) -> jnp.ndarray:
-    """Full-sequence attention: Pallas flash kernel on TPU for long sequences,
-    plain XLA attention otherwise (see ops/attention.py)."""
-    from whisper_medusa_tpu.ops.attention import flash_mha
+def _proj_bhsd(x: jnp.ndarray, w, b, num_heads: int) -> jnp.ndarray:
+    """Project (B, S, Din) straight into head-major (B, H, S, Dh).
 
-    out = flash_mha(q, k, v, causal=causal)
-    if out is not None:
-        return out
-    mask = None
-    if causal:
-        t = q.shape[-3]
-        mask = jnp.tril(jnp.ones((t, t), jnp.bool_))[None, None]
-    return attention(q, k, v, mask)
+    The layout change is folded into the projection's dot_general (no standalone
+    transpose op) — this is what makes the custom attention kernel a net win
+    over XLA where the round-1 stock-flash integration lost (ROADMAP r1 #3)."""
+    d_out = w.shape[1]
+    hd = d_out // num_heads
+    w3 = w.reshape(w.shape[0], num_heads, hd)
+    y = jnp.einsum("bsd,dhe->bhse", x, w3, preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + b.reshape(num_heads, hd)[None, :, None, :].astype(jnp.float32)
+    return y.astype(x.dtype)
 
 
-def self_attn_full(lp: Params, x: jnp.ndarray, num_heads: int,
-                   causal: bool) -> jnp.ndarray:
-    """Full-sequence self-attention (encoder, or teacher-forced decoder)."""
+def _out_proj_bhsd(out: jnp.ndarray, w, b, num_heads: int) -> jnp.ndarray:
+    """(B, H, S, Dh) @ o_w -> (B, S, D), layout folded into the matmul."""
+    d = w.shape[1]
+    w3 = w.reshape(num_heads, w.shape[0] // num_heads, d)
+    y = jnp.einsum("bhse,hed->bsd", out, w3, preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.astype(out.dtype)
+
+
+def self_attn_full(lp: Params, x: jnp.ndarray, num_heads: int, causal: bool,
+                   kv_len: Optional[int] = None) -> jnp.ndarray:
+    """Full-sequence self-attention (encoder, or teacher-forced decoder).
+
+    ``kv_len``: number of real (unpadded) positions when ``x`` is padded to a
+    kernel-aligned length (see :func:`encode`); None = all positions real.
+    """
+    from whisper_medusa_tpu.ops import attention as attn_mod
+
     head_dim = x.shape[-1] // num_heads
-    q = _split_heads(dense(x, lp["q_w"], lp["q_b"]), num_heads) * (head_dim ** -0.5)
-    k = _split_heads(dense(x, lp["k_w"]), num_heads)
-    v = _split_heads(dense(x, lp["v_w"], lp["v_b"]), num_heads)
-    out = _full_attention(q, k, v, causal)
-    return dense(_merge_heads(out), lp["o_w"], lp["o_b"])
+    if isinstance(lp["q_w"], dict):
+        # int8 serving path (decoder-only): dense() handles quantized weights.
+        q = _split_heads(dense(x, lp["q_w"], lp["q_b"]), num_heads) * (head_dim ** -0.5)
+        k = _split_heads(dense(x, lp["k_w"]), num_heads)
+        v = _split_heads(dense(x, lp["v_w"], lp["v_b"]), num_heads)
+        mask = None
+        if causal:
+            t = q.shape[-3]
+            mask = jnp.tril(jnp.ones((t, t), jnp.bool_))[None, None]
+        return dense(_merge_heads(attention(q, k, v, mask)),
+                     lp["o_w"], lp["o_b"])
+    q = _proj_bhsd(x, lp["q_w"], lp["q_b"], num_heads) * (head_dim ** -0.5)
+    k = _proj_bhsd(x, lp["k_w"], None, num_heads)
+    v = _proj_bhsd(x, lp["v_w"], lp["v_b"], num_heads)
+    out = attn_mod.full_attention_bhsd(q, k, v, kv_len=kv_len, causal=causal)
+    return _out_proj_bhsd(out, lp["o_w"], lp["o_b"], num_heads)
 
 
 def cross_attn_full(lp: Params, x: jnp.ndarray, enc: jnp.ndarray,
                     num_heads: int) -> jnp.ndarray:
+    from whisper_medusa_tpu.ops import attention as attn_mod
+
     head_dim = x.shape[-1] // num_heads
-    q = _split_heads(dense(x, lp["q_w"], lp["q_b"]), num_heads) * (head_dim ** -0.5)
-    k = _split_heads(dense(enc, lp["k_w"]), num_heads)
-    v = _split_heads(dense(enc, lp["v_w"], lp["v_b"]), num_heads)
-    out = _full_attention(q, k, v, causal=False)
-    return dense(_merge_heads(out), lp["o_w"], lp["o_b"])
+    if isinstance(lp["q_w"], dict):
+        q = _split_heads(dense(x, lp["q_w"], lp["q_b"]), num_heads) * (head_dim ** -0.5)
+        k = _split_heads(dense(enc, lp["k_w"]), num_heads)
+        v = _split_heads(dense(enc, lp["v_w"], lp["v_b"]), num_heads)
+        return dense(_merge_heads(attention(q, k, v)), lp["o_w"], lp["o_b"])
+    q = _proj_bhsd(x, lp["q_w"], lp["q_b"], num_heads) * (head_dim ** -0.5)
+    k = _proj_bhsd(enc, lp["k_w"], None, num_heads)
+    v = _proj_bhsd(enc, lp["v_w"], lp["v_b"], num_heads)
+    out = attn_mod.full_attention_bhsd(q, k, v, causal=False)
+    return _out_proj_bhsd(out, lp["o_w"], lp["o_b"], num_heads)
 
 
 def ffn(lp_prefix: Params, x: jnp.ndarray) -> jnp.ndarray:
@@ -281,14 +315,29 @@ def encode(params: Params, dims: WhisperDims, mel: jnp.ndarray,
 
     nh = dims.encoder_attention_heads
 
+    # Pad once to the attention kernel's block alignment (1500 -> 1536) and run
+    # the WHOLE stack padded: padded rows are masked as keys inside attention
+    # (kv_len) so real rows never read them, and their own garbage is sliced off
+    # at the end.  One pad + one slice replaces per-layer segment-id plumbing.
+    from whisper_medusa_tpu.ops import attention as attn_mod
+
+    s_real = x.shape[1]
+    s_pad = attn_mod.pad_to_block(s_real)
+    kv_len = None
+    if s_pad != s_real and attn_mod.kernel_available(s_pad):
+        x = jnp.pad(x, ((0, 0), (0, s_pad - s_real), (0, 0)))
+        kv_len = s_real
+
     def layer_fn(h, lp):
-        h = h + self_attn_full(lp["self"], layer_norm(h, lp["self_ln"]["scale"], lp["self_ln"]["bias"]), nh, causal=False)
+        h = h + self_attn_full(lp["self"], layer_norm(h, lp["self_ln"]["scale"], lp["self_ln"]["bias"]), nh, causal=False, kv_len=kv_len)
         h = h + ffn(lp, layer_norm(h, lp["ffn_ln"]["scale"], lp["ffn_ln"]["bias"]))
         return h, None
 
     if remat:
         layer_fn = jax.checkpoint(layer_fn)
     x, _ = lax.scan(layer_fn, x, enc["layers"])
+    if kv_len is not None:
+        x = x[:, :s_real]
     x = layer_norm(x, enc["ln_post"]["scale"], enc["ln_post"]["bias"])
     return x
 
@@ -371,7 +420,12 @@ class KVCache:
     """Pre-allocated decoder cache.
 
     self_k/self_v: (L, B, max_len, H, Dh) — written incrementally at per-example
-    offsets.  cross_k/cross_v: (L, B, S, H, Dh) — computed once at init.
+    offsets.  cross_k: (L, B, H, Dh, S_pad) and cross_v: (L, B, H, S_pad, Dh) —
+    computed once at init, **head-major** so each head's matrix is contiguous
+    and the per-step cross-attention matvec streams at full HBM bandwidth
+    (the (S, H, Dh) layout strided across heads and ran ~3x off the roofline).
+    S may be padded to the decode kernel's lane alignment; the real length is
+    ``dims.max_source_positions`` (masked inside attention).
 
     Replaces HF ``EncoderDecoderCache``/legacy 4-tuples and the per-step concat
     "cache surgery" of the reference (model.py:378-402) with fixed-slot writes.
@@ -408,15 +462,21 @@ def init_cache(
     dtype = enc_out.dtype
 
     layers = params["decoder"]["layers"]
+    s_pad = _cross_pad_len(s)
 
     def cross_kv(lp_cross):
         k = _split_heads(dense(enc_out, lp_cross["k_w"]), nh)
         v = _split_heads(dense(enc_out, lp_cross["v_w"], lp_cross["v_b"]), nh)
+        k = jnp.transpose(k, (0, 2, 3, 1))      # (B, H, Dh, S)
+        v = jnp.transpose(v, (0, 2, 1, 3))      # (B, H, S, Dh)
+        if s_pad != s:
+            k = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, s_pad - s)))
+            v = jnp.pad(v, ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
         return k, v
 
     # lax.map (scan) instead of vmap: the quantized-weight pallas matmul has no
     # batching rule, and this runs once per utterance anyway.
-    cross_k, cross_v = lax.map(cross_kv, layers["cross"])  # (L, B, S, H, Dh)
+    cross_k, cross_v = lax.map(cross_kv, layers["cross"])
     if extra_layers:
         pad = [(0, extra_layers)] + [(0, 0)] * 4
         cross_k = jnp.pad(cross_k, pad)
@@ -430,12 +490,26 @@ def init_cache(
     )
 
 
+def _cross_pad_len(s: int) -> int:
+    """Cross-cache sequence padding for the fused decode kernel's alignment."""
+    from whisper_medusa_tpu.ops import decode_kernels as dk
+
+    return -(-s // 128) * 128 if dk.kernels_enabled(s) else s
+
+
 def set_block_cross_kv(cache: KVCache, block_params: Params,
                        enc_out: jnp.ndarray, num_heads: int) -> KVCache:
     """Fill the last cache layer's cross K/V from the medusa-block layer params."""
+    s = enc_out.shape[1]
+    s_pad = cache.cross_k.shape[4]
     k = _split_heads(dense(enc_out, block_params["cross"]["k_w"]), num_heads)
     v = _split_heads(dense(enc_out, block_params["cross"]["v_w"],
                            block_params["cross"]["v_b"]), num_heads)
+    k = jnp.transpose(k, (0, 2, 3, 1))
+    v = jnp.transpose(v, (0, 2, 1, 3))
+    if s_pad != s:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, s_pad - s)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
     return dataclasses.replace(
         cache,
         cross_k=cache.cross_k.at[-1].set(k),
@@ -456,12 +530,13 @@ def decoder_layer_step(
     h: jnp.ndarray,            # (B, T, D) current hidden
     k_buf: jnp.ndarray,        # (B, max_len, H, Dh) cache slab for this layer
     v_buf: jnp.ndarray,
-    cross_k: jnp.ndarray,      # (B, S, H, Dh)
-    cross_v: jnp.ndarray,
+    cross_k: jnp.ndarray,      # (B, H, Dh, S_pad) head-major
+    cross_v: jnp.ndarray,      # (B, H, S_pad, Dh)
     offsets: jnp.ndarray,      # (B,) int32 — first cache slot for this chunk
     self_mask: jnp.ndarray,    # (B, 1, T, max_len) bool
     num_heads: int,
     cross_beam: int = 1,       # h rows = cross rows * cross_beam (dedup'd beams)
+    cross_len: Optional[int] = None,  # real cross keys (pad masked); None = all
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One decoder layer over a chunk of T new tokens with cache update.
 
@@ -471,6 +546,8 @@ def decoder_layer_step(
 
     Returns (new_hidden, new_k_buf, new_v_buf).
     """
+    from whisper_medusa_tpu.ops import decode_kernels as dk
+
     head_dim = h.shape[-1] // num_heads
     # Self attention.
     sx = layer_norm(h, lp["self_ln"]["scale"], lp["self_ln"]["bias"])
@@ -482,19 +559,27 @@ def decoder_layer_step(
     v_buf = _write_cache_chunk(v_buf, v, offsets)
     attn_out = attention(q, k_buf, v_buf, self_mask)
     h = h + dense(_merge_heads(attn_out), lp["self"]["o_w"], lp["self"]["o_b"])
-    # Cross attention (K/V precomputed).
+    # Cross attention (K/V precomputed, head-major; fused kernel on TPU).
     cx = layer_norm(h, lp["cross_ln"]["scale"], lp["cross_ln"]["bias"])
     cq = _split_heads(dense(cx, lp["cross"]["q_w"], lp["cross"]["q_b"]), num_heads)
     cq = cq * (head_dim ** -0.5)
+    bk, t = cq.shape[0], cq.shape[1]
     if cross_beam > 1:
-        bk, t = cq.shape[0], cq.shape[1]
-        cq2 = cq.reshape(bk // cross_beam, cross_beam * t, *cq.shape[2:])
-        cross_out = attention(cq2, cross_k, cross_v).reshape(cq.shape)
-    else:
-        cross_out = attention(cq, cross_k, cross_v)
+        cq = cq.reshape(bk // cross_beam, cross_beam * t, *cq.shape[2:])
+    cqh = jnp.swapaxes(cq, 1, 2)                       # (B, H, T', Dh)
+    kv_len = cross_len if cross_len is not None else cross_k.shape[3]
+    out = dk.cross_attention_decode(cqh, cross_k, cross_v, kv_len)
+    cross_out = jnp.swapaxes(out, 1, 2)
+    if cross_beam > 1:
+        cross_out = cross_out.reshape(bk, t, *cross_out.shape[2:])
     h = h + dense(_merge_heads(cross_out), lp["cross"]["o_w"], lp["cross"]["o_b"])
-    # FFN.
-    h = h + ffn(lp, layer_norm(h, lp["ffn_ln"]["scale"], lp["ffn_ln"]["bias"]))
+    # FFN (fused weight-streaming kernel at decode sizes).
+    fx = layer_norm(h, lp["ffn_ln"]["scale"], lp["ffn_ln"]["bias"])
+    if isinstance(lp["fc1_w"], dict):
+        h = h + ffn(lp, fx)
+    else:
+        h = h + dk.ffn_decode(fx, lp["fc1_w"], lp["fc1_b"],
+                              lp["fc2_w"], lp["fc2_b"])
     return h, k_buf, v_buf
 
 
@@ -557,11 +642,13 @@ def decode_step(
 
     nl = dims.decoder_layers
 
+    cross_len = min(dims.max_source_positions, cache.cross_k.shape[4])
+
     def layer_fn(h, xs):
         lp, k_buf, v_buf, ck, cv = xs
         h, k_buf, v_buf = decoder_layer_step(
             lp, h, k_buf, v_buf, ck, cv, offsets, self_mask, nh,
-            cross_beam=cross_beam,
+            cross_beam=cross_beam, cross_len=cross_len,
         )
         return h, (k_buf, v_buf)
 
@@ -590,6 +677,7 @@ def decode_step(
             new_cache.self_k[-1], new_cache.self_v[-1],
             new_cache.cross_k[-1], new_cache.cross_v[-1],
             offsets, self_mask, nh, cross_beam=cross_beam,
+            cross_len=cross_len,
         )
         new_cache = dataclasses.replace(
             new_cache,

@@ -1,31 +1,49 @@
-"""Attention dispatch: Pallas TPU flash attention for full-sequence paths.
+"""Custom Pallas TPU attention kernel for full-sequence paths.
 
 XLA's default lowering of plain softmax attention materializes the (H, S, S)
-probability tensor in HBM — for the Whisper encoder (S=1500, 20 heads, 32 layers)
-that's ~23 GB of round-trip traffic per utterance and dominates encoder latency.
-The tiled flash kernel keeps the working set in VMEM.
+probability tensor in HBM — for the Whisper encoder (S=1500, 20 heads, 32
+layers) that's ~180 MB of probs round-trip per layer and a large slice of
+encoder latency.  Round 1 shipped the stock ``jax.experimental.pallas.ops``
+flash kernel but it *lost* to XLA at Whisper shapes (63 ms vs 36 ms encoder):
+layout transposes plus segment-id mask plumbing cost more than the kernel won
+(ROADMAP r1 #3).  This replaces it with a purpose-built kernel:
 
-Uses the stock JAX Pallas TPU flash-attention op (jax.experimental.pallas.ops) with
-sequence padding + segment-id masking to handle Whisper's non-tile-aligned lengths
-(1500).  Falls back to plain XLA attention off-TPU and for short sequences where
-the kernel overhead isn't worth it.
+  * **Native (B, H, S, D) layout** — callers produce it straight out of the
+    QKV projections (an einsum; XLA folds the layout change into the matmul),
+    so there are zero standalone transposes.
+  * **Resident K/V, one-pass softmax** — S_pad=1536 keys fit VMEM at Dh=64
+    (192 KB per operand), so each q-block computes its full (block_q, S) score
+    matrix and softmaxes once; none of flash attention's online rescaling
+    bookkeeping.
+  * **Masking from iota** — the only masks Whisper needs are "key < kv_len"
+    (1500 real keys in a 1536 pad) and causality; both are computed from
+    ``broadcasted_iota`` inside the kernel.  No segment-id tensors, no extra
+    DMA.
+  * **Custom VJP** — backward falls back to the plain XLA formulation (which
+    is what training used before), so the kernel is safe under ``jax.grad``.
+
+Used for sequences >= ``_MIN_SEQ`` on TPU; plain XLA attention otherwise.
+Disable with WM_ATTENTION_KERNEL=0.
 """
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
-_FLASH_MIN_SEQ = 512
-_TILE = 128
+_MIN_SEQ = 1024          # kernel pays off for encoder-scale sequences
+_BLOCK_Q = 512           # fastest in-context on v5e (encoder sweep: 24.6 ms
+                         # at 384/512 vs 26.5 at 128, 25.7 at 768)
+_LANE = 128
 
-# Measured on v5e: the stock kernel at head_dim=64 currently *loses* to XLA's
-# lowering for Whisper's shapes (63 ms vs 36 ms encoder), so it is opt-in until a
-# head-packed custom kernel lands.  Enable with WM_FLASH_ATTENTION=1.
-_ENABLED = os.environ.get("WM_FLASH_ATTENTION", "0") == "1"
+_ENABLED = os.environ.get("WM_ATTENTION_KERNEL", "1") == "1"
+_INTERPRET = os.environ.get("WM_ATTENTION_INTERPRET", "0") == "1"
+
+NEG_BIG = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
 def _on_tpu() -> bool:
@@ -35,48 +53,117 @@ def _on_tpu() -> bool:
         return False
 
 
-def _pad_to(x: jnp.ndarray, axis: int, target: int) -> jnp.ndarray:
-    pad = [(0, 0)] * x.ndim
-    pad[axis] = (0, target - x.shape[axis])
-    return jnp.pad(x, pad)
+def kernel_available(seq_len: int) -> bool:
+    return _ENABLED and seq_len >= _MIN_SEQ and (_on_tpu() or _INTERPRET)
 
 
-def flash_mha(
-    q: jnp.ndarray,   # (B, Tq, H, Dh) — pre-scaled
-    k: jnp.ndarray,   # (B, Tk, H, Dh)
+def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int,
+                      causal: bool, block_q: int):
+    """One (batch, head, q-block) cell: scores -> masked softmax -> PV."""
+    q = q_ref[0, 0]                      # (block_q, D)
+    k = k_ref[0, 0]                      # (S_pad, D)
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (block_q, S_pad)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    mask = col < kv_len
+    if causal:
+        import jax.experimental.pallas as pl
+
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) \
+            + pl.program_id(2) * block_q
+        mask = mask & (col <= row)
+    s = jnp.where(mask, s, NEG_BIG)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    p = p / l
+    o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+def _attention_pallas(q, k, v, kv_len: int, causal: bool):
+    """q, k, v: (B, H, S_pad, D) with S_pad % block_q == 0."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, s_pad, d = q.shape
+    block_q = min(_BLOCK_Q, s_pad)
+    assert s_pad % block_q == 0, (s_pad, block_q)
+    grid = (b, h, s_pad // block_q)
+
+    kern = functools.partial(_attention_kernel, kv_len=kv_len, causal=causal,
+                             block_q=block_q)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i: (b_, h_, i, 0)),
+            pl.BlockSpec((1, 1, s_pad, d), lambda b_, h_, i: (b_, h_, 0, 0)),
+            pl.BlockSpec((1, 1, s_pad, d), lambda b_, h_, i: (b_, h_, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d),
+                               lambda b_, h_, i: (b_, h_, i, 0)),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=_INTERPRET,
+    )(q, k, v)
+
+
+def _attention_xla(q, k, v, kv_len: int, causal: bool):
+    """Reference XLA formulation, same (B, H, S, D) layout + masking."""
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32)
+    s_pad = k.shape[2]
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
+    mask = col < kv_len
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        mask = mask & (col <= row)
+    if kv_len < s_pad or causal:
+        s = jnp.where(mask, s, NEG_BIG)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+                   preferred_element_type=jnp.float32)
+    return o.astype(v.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _attention_custom(kv_len: int, causal: bool, q, k, v):
+    return _attention_pallas(q, k, v, kv_len, causal)
+
+
+def _attention_fwd(kv_len, causal, q, k, v):
+    return _attention_pallas(q, k, v, kv_len, causal), (q, k, v)
+
+
+def _attention_bwd(kv_len, causal, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: _attention_xla(q_, k_, v_, kv_len,
+                                                       causal), q, k, v)
+    return vjp(g.astype(v.dtype))
+
+
+_attention_custom.defvjp(_attention_fwd, _attention_bwd)
+
+
+def full_attention_bhsd(
+    q: jnp.ndarray,     # (B, H, S_pad, D), pre-scaled
+    k: jnp.ndarray,     # (B, H, S_pad, D)
     v: jnp.ndarray,
+    kv_len: Optional[int] = None,   # real key count; None = all
     causal: bool = False,
-) -> Optional[jnp.ndarray]:
-    """Tiled flash attention.  Returns None when the plain path should be used."""
-    if not _ENABLED or not _on_tpu():
-        return None
-    b, tq, h, dh = q.shape
-    tk = k.shape[1]
-    if max(tq, tk) < _FLASH_MIN_SEQ:
-        return None
-    if causal and tq != tk:
-        return None
+) -> jnp.ndarray:
+    """Full-sequence attention in (B, H, S, D) layout — kernel on TPU, XLA off."""
+    s_pad = k.shape[2]
+    kv_len = kv_len if kv_len is not None else s_pad
+    if kernel_available(s_pad) and s_pad % 256 == 0 and q.shape[2] == s_pad:
+        return _attention_custom(kv_len, causal, q, k, v)
+    return _attention_xla(q, k, v, kv_len, causal)
 
-    from jax.experimental.pallas.ops.tpu.flash_attention import (
-        SegmentIds, flash_attention)
 
-    tq_p = -(-tq // _TILE) * _TILE
-    tk_p = -(-tk // _TILE) * _TILE
-    dtype = q.dtype
-
-    # Layout: kernel expects (B, H, S, Dh).
-    qt = _pad_to(jnp.swapaxes(q, 1, 2), 2, tq_p)
-    kt = _pad_to(jnp.swapaxes(k, 1, 2), 2, tk_p)
-    vt = _pad_to(jnp.swapaxes(v, 1, 2), 2, tk_p)
-
-    seg = None
-    if tq_p != tq or tk_p != tk:
-        # Padding rows get segment id 1 (real data 0) so they never mix.
-        q_seg = (jnp.arange(tq_p) >= tq).astype(jnp.int32)[None].repeat(b, 0)
-        kv_seg = (jnp.arange(tk_p) >= tk).astype(jnp.int32)[None].repeat(b, 0)
-        seg = SegmentIds(q=q_seg, kv=kv_seg)
-
-    out = flash_attention(qt, kt, vt, segment_ids=seg, causal=causal,
-                          sm_scale=1.0)
-    out = jnp.swapaxes(out, 1, 2)[:, :tq]
-    return out.astype(dtype)
+def pad_to_block(s: int, block: int = _BLOCK_Q) -> int:
+    """Smallest kernel-aligned sequence length >= s."""
+    return -(-s // block) * block
