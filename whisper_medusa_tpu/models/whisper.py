@@ -407,6 +407,13 @@ def project_logits(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
         else:
             y = qmm_mod.qmm_nt_ref(h2, w["q"], w["s"])
         return y.reshape(*hidden.shape[:-1], y.shape[-1])
+    from whisper_medusa_tpu.ops import logits as logits_mod
+
+    m = 1
+    for s in hidden.shape[:-1]:
+        m *= s
+    if logits_mod.kernel_available(m, w.shape[0], w.shape[1]):
+        return logits_mod.project_logits_stream(hidden, w)
     return jnp.dot(hidden, w.T, preferred_element_type=jnp.float32)
 
 
