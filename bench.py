@@ -156,7 +156,9 @@ def main(batch: int = 1, int8: bool = False):
         nl, v, s = dims.decoder_layers, dims.vocab_size, dims.max_source_positions
         per_layer = 4 * d * d + 2 * d * d + 2 * d * f
         weights = nl * per_layer + v * d
-        kv = 2 * nl * batch * (cache_len + s) * d          # self slab + cross
+        # +16: init_cache over-allocates slab rows for the megastep kernel's
+        # aligned cache-commit window; the full slab is streamed per step.
+        kv = 2 * nl * batch * (cache_len + 16 + s) * d     # self slab + cross
         return weights * wbytes + kv * 2                   # kv is bf16
 
     # v5e HBM ~819 GB/s; v4 ~1228; v5p ~2765. Used for the roofline line only.

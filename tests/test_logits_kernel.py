@@ -1,15 +1,17 @@
 """Parity tests for the streaming vocab-projection kernel (ops/logits.py)."""
 
-import os
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-os.environ.setdefault("WM_ATTENTION_INTERPRET", "1")
-
 from whisper_medusa_tpu.ops import logits as logits_mod
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    monkeypatch.setattr(logits_mod, "_INTERPRET", True)
+    monkeypatch.setattr(logits_mod, "_ENABLED", True)
 
 
 @pytest.mark.parametrize("m", [1, 11, 121])

@@ -1,0 +1,144 @@
+"""Parity tests: fused whole-stack decode kernel vs the XLA scan path.
+
+Runs the Pallas kernel in interpreter mode on the CPU mesh and checks the
+fused ``decode_step`` branch (ops/megastep.py) reproduces the scan branch —
+hidden states and cache writes — for prefill, vanilla, chain and tree chunks.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from whisper_medusa_tpu.config import WhisperDims
+from whisper_medusa_tpu.models import whisper
+from whisper_medusa_tpu.ops import megastep
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    monkeypatch.setattr(megastep, "_INTERPRET", True)
+    monkeypatch.setattr(megastep, "_ENABLED", True)
+
+
+def dims_for(ffn=512):
+    return WhisperDims(
+        vocab_size=256, num_mel_bins=16, d_model=128,
+        encoder_layers=2, decoder_layers=2,
+        encoder_attention_heads=2, decoder_attention_heads=2,
+        encoder_ffn_dim=256, decoder_ffn_dim=ffn,
+        max_source_positions=32, max_target_positions=64,
+    )
+
+
+def setup(ffn=512, max_len=48):
+    dims = dims_for(ffn)
+    wp = whisper.init_whisper_params(jax.random.PRNGKey(0), dims, jnp.bfloat16)
+    enc = (jax.random.normal(jax.random.PRNGKey(1), (1, 32, dims.d_model))
+           .astype(jnp.bfloat16))
+    cache = whisper.init_cache(wp, dims, enc, max_len)
+    return dims, wp, cache
+
+
+def both_paths(dims, wp, cache, tokens, offsets, **kw):
+    """Run decode_step with the fused branch on and off."""
+    assert megastep.available(
+        wp["decoder"]["layers"], dims.d_model, dims.decoder_attention_heads,
+        tokens.shape[0], tokens.shape[1], False, 1)
+    out_f, cache_f = whisper.decode_step(wp, dims, tokens, cache, offsets, **kw)
+    old = megastep._ENABLED
+    megastep._ENABLED = False
+    try:
+        out_x, cache_x = whisper.decode_step(wp, dims, tokens, cache, offsets, **kw)
+    finally:
+        megastep._ENABLED = old
+    return (out_f, cache_f), (out_x, cache_x)
+
+
+def assert_close(a, b, tol=3e-2):
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    np.testing.assert_allclose(a, b, rtol=tol, atol=tol)
+
+
+@pytest.mark.parametrize("t,off", [(1, 7), (4, 0), (5, 4)])
+def test_chain_parity(t, off):
+    dims, wp, cache = setup()
+    # Pre-populate the committed slab region so history attention is exercised.
+    if off:
+        pre = jax.random.randint(jax.random.PRNGKey(2), (1, off), 0, 255)
+        _, cache = whisper.decode_step(wp, dims, pre, cache,
+                                       jnp.zeros((1,), jnp.int32))
+    tokens = jax.random.randint(jax.random.PRNGKey(3), (1, t), 0, 255)
+    offsets = jnp.full((1,), off, jnp.int32)
+    (of, cf), (ox, cx) = both_paths(dims, wp, cache, tokens, offsets)
+    assert_close(of.hidden, ox.hidden)
+    assert_close(of.pre_norm, ox.pre_norm)
+    # Cache rows written this step must agree; untouched rows are identical.
+    assert_close(cf.self_k[:, :, off:off + t], cx.self_k[:, :, off:off + t])
+    assert_close(cf.self_v[:, :, off:off + t], cx.self_v[:, :, off:off + t])
+    assert_close(cf.self_k[:, :, :off], cx.self_k[:, :, :off])
+
+
+def test_tree_parity():
+    dims, wp, cache = setup()
+    pre = jax.random.randint(jax.random.PRNGKey(2), (1, 6), 0, 255)
+    _, cache = whisper.decode_step(wp, dims, pre, cache,
+                                   jnp.zeros((1,), jnp.int32))
+    # Small branching tree: root + two children + one grandchild.
+    t = 4
+    chunk_mask = jnp.asarray([
+        [1, 0, 0, 0],
+        [1, 1, 0, 0],
+        [1, 0, 1, 0],
+        [1, 1, 0, 1],
+    ], jnp.bool_)
+    rel = jnp.asarray([0, 1, 1, 2], jnp.int32)
+    tokens = jax.random.randint(jax.random.PRNGKey(3), (1, t), 0, 255)
+    offsets = jnp.full((1,), 6, jnp.int32)
+    (of, cf), (ox, cx) = both_paths(dims, wp, cache, tokens, offsets,
+                                    rel_positions=rel, chunk_mask=chunk_mask)
+    assert_close(of.hidden, ox.hidden)
+    assert_close(cf.self_k[:, :, 6:6 + t], cx.self_k[:, :, 6:6 + t])
+
+
+def test_ffn_chunked_parity():
+    # decoder_ffn_dim=2048 -> the kernel splits the FFN into 2 streamed chunks.
+    dims, wp, cache = setup(ffn=2048)
+    tokens = jax.random.randint(jax.random.PRNGKey(3), (1, 3), 0, 255)
+    offsets = jnp.zeros((1,), jnp.int32)
+    (of, _), (ox, _) = both_paths(dims, wp, cache, tokens, offsets)
+    assert_close(of.hidden, ox.hidden)
+
+
+def test_gating():
+    dims, wp, cache = setup()
+    lp = wp["decoder"]["layers"]
+    ok = lambda **kw: megastep.available(
+        lp, kw.get("d", 128), 2, kw.get("b", 1), kw.get("t", 4),
+        kw.get("block", False), kw.get("cb", 1))
+    assert ok()
+    assert not ok(b=2)            # batched -> XLA scan path
+    assert not ok(t=17)           # chunk too long
+    assert not ok(block=True)     # medusa-block extra layer
+    assert not ok(cb=2)           # beam-folded cross attention
+    assert not ok(d=130)          # unaligned model dim
+
+
+def test_sequential_decode_matches_teacher_forced():
+    """Fused incremental decode over several steps == teacher-forced pass."""
+    dims, wp, cache = setup()
+    enc = (jax.random.normal(jax.random.PRNGKey(1), (1, 32, dims.d_model))
+           .astype(jnp.bfloat16))
+    toks = jax.random.randint(jax.random.PRNGKey(5), (1, 9), 0, 255)
+    full = whisper.decode_train(wp, dims, toks, enc)
+    cache = whisper.init_cache(wp, dims, enc, 48)
+    hs = []
+    off = 0
+    for t0, t1 in ((0, 4), (4, 6), (6, 9)):
+        out, cache = whisper.decode_step(
+            wp, dims, toks[:, t0:t1], cache, jnp.full((1,), off, jnp.int32))
+        hs.append(out.hidden)
+        off = t1
+    inc = jnp.concatenate(hs, axis=1)
+    assert_close(inc, full.hidden)

@@ -467,6 +467,11 @@ def init_cache(
     hd = d // nh
     nl = dims.decoder_layers + extra_layers
     dtype = enc_out.dtype
+    # 16 rows of slack: the fused megastep kernel commits cache rows with a
+    # full-staging-buffer DMA (Mosaic requires sublane-aligned VMEM slices),
+    # so a chunk written at offset may touch up to 15 rows past its last real
+    # token.  Slots past the requested max_len are never read (masked).
+    max_len = max_len + 16
 
     layers = params["decoder"]["layers"]
     s_pad = _cross_pad_len(s)
@@ -498,7 +503,11 @@ def init_cache(
 
 
 def _cross_pad_len(s: int) -> int:
-    """Cross-cache sequence padding for the fused decode kernel's alignment."""
+    """Cross-cache sequence padding for the fused decode kernels' alignment.
+
+    (The whole-stack megastep kernel handles the raw 1500-key length directly —
+    padding to 1536 was measured slightly *slower* on v5e: the extra 2.4% of
+    cross-cache bytes cost more than the lane alignment saved.)"""
     from whisper_medusa_tpu.ops import decode_kernels as dk
 
     return -(-s // 128) * 128 if dk.kernels_enabled(s) else s
@@ -645,11 +654,29 @@ def decode_step(
     abs_pos = jnp.clip(abs_pos, 0, dims.max_target_positions - 1)
     x = embed_lookup(dec["embed_tokens"], tokens) + dec["pos_embed"][abs_pos]
 
-    self_mask = make_step_mask(offsets, t, cache.max_len, chunk_mask)
-
     nl = dims.decoder_layers
 
     cross_len = min(dims.max_source_positions, cache.cross_k.shape[4])
+
+    from whisper_medusa_tpu.ops import megastep
+
+    if cache.self_k.shape[0] == nl and megastep.available(
+            dec["layers"], dims.d_model, nh, b, t,
+            block_params is not None, cross_beam):
+        cm = chunk_mask if chunk_mask is not None else jnp.tril(
+            jnp.ones((t, t), jnp.bool_))
+        cbias = jnp.where(cm, jnp.float32(0), jnp.float32(-1e30))
+        pre_norm, self_k, self_v = megastep.fused_decoder_layers(
+            dec["layers"], x, cache.self_k, cache.self_v,
+            cache.cross_k, cache.cross_v, offsets[0], cbias,
+            cross_len, nh)
+        hidden = layer_norm(pre_norm, dec["ln_post"]["scale"],
+                            dec["ln_post"]["bias"])
+        new_cache = dataclasses.replace(cache, self_k=self_k, self_v=self_v)
+        return DecoderOutput(hidden=hidden, penultimate=None,
+                             pre_norm=pre_norm, block_hidden=None), new_cache
+
+    self_mask = make_step_mask(offsets, t, cache.max_len, chunk_mask)
 
     def layer_fn(h, xs):
         lp, k_buf, v_buf, ck, cv = xs

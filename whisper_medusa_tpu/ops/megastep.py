@@ -1,0 +1,448 @@
+"""Fused whole-decoder-stack Pallas kernel for the incremental decode step.
+
+One decode step must stream every decoder weight plus the KV caches through
+matvec-sized compute (T = 1..16 query rows).  The XLA ``lax.scan`` formulation
+runs this at ~460 GB/s on v5e: each layer is a serial chain of ~15 small ops
+(layernorms, matvecs, softmaxes) and the weight reads only overlap compute
+within one scan iteration, so DMA-latency bubbles pile up at every op
+boundary.  Replacing per-op kernels made it *worse* (ops/decode_kernels.py):
+a pallas_call inside the scan is opaque to XLA's latency-hiding scheduler.
+
+This kernel replaces the **entire layer scan** with one ``pallas_call`` over a
+``grid = (layers, phases)``: the hidden state lives in a VMEM scratch carried
+across grid steps, while Mosaic's pipeline emitter streams each phase's
+weights for step s+1 during step s.  DMAs are issued back-to-back and the
+(tiny) compute hides in their shadow, so the step runs at DMA speed, and the
+chunk's K/V cache rows are committed by an in-kernel DMA into the aliased
+slab buffers (an outside ``dynamic_update_slice`` costs ~0.23 ms/step in
+whole-slab copies).  Measured on v5e at large-v2 shapes: T=1 decode step
+3.81 -> 2.84 ms, T=11 speculative chunk 4.06 -> 2.89 ms (~620 GB/s, vs ~460
+for the scan; phase-stub profiling shows the kernel fully DMA-bound).
+
+Phases per layer (fc chunking keeps double-buffered VMEM under the 128 MB
+v5e budget while giving the pipeline uniform-sized DMAs):
+
+  p0: self-attention   (q/k/v/o weights + both self-cache slabs, ~16 MB)
+  p1: cross-attention  (cross q/o weights + precomputed cross K/V, ~14 MB)
+  p2..: FFN chunk c    (fc1/fc2 column/row chunk c, ~13 MB each)
+
+Numerics mirror ``models/whisper.py::decoder_layer_step`` op-for-op (f32
+layernorm/softmax/accumulation, bf16 operands, f32 GELU via the same erf
+approximation as ops/decode_kernels.py) so the fused and scan paths agree to
+bf16 rounding.  Inference-only; autodiff uses the teacher-forced path.
+
+Scope (callers gate via :func:`available`): B == 1, T <= 16 new tokens,
+unquantized bf16 weights, no medusa-block extra layer, no beam folding.
+Batch > 1 amortizes the weight stream across rows, where the XLA scan is the
+better schedule; B == 1 is the latency-serving path this kernel owns.
+
+Replaces the per-step HF decoder forward of the reference
+(reference: whisper_medusa/models/model.py:639-648 -> HF modeling_whisper).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_ENABLED = os.environ.get("WM_MEGASTEP", "1") == "1"
+# Interpret mode needs its own opt-in (not the shared WM_ATTENTION_INTERPRET):
+# several test modules set the shared flag process-wide, and routing every
+# CPU decode test through a 32-grid-step interpreted kernel would both slow
+# the suite and hide the XLA scan path from coverage.
+_INTERPRET = os.environ.get("WM_MEGASTEP_INTERPRET", "0") == "1"
+# Debug: comma-list of phases ("self", "cross", "ffn") whose compute is
+# stubbed out (weight DMAs still run) — isolates compute vs stream cost.
+_SKIP = frozenset(
+    s for s in os.environ.get("WM_MEGASTEP_SKIP", "").split(",") if s)
+
+_MAX_T = 16
+NEG_SELF = -1e30   # matches models/whisper.py::attention
+NEG_CROSS = -0.7 * float(jnp.finfo(jnp.float32).max)  # matches decode_kernels
+
+Params = Dict[str, Any]
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def available(dec_layers: Params, d_model: int, num_heads: int, b: int, t: int,
+              block: bool, cross_beam: int) -> bool:
+    """Gate: can the fused kernel handle this decode_step call?"""
+    if not (_ENABLED and (_on_tpu() or _INTERPRET)):
+        return False
+    if b != 1 or t > _MAX_T or block or cross_beam != 1:
+        return False
+    if d_model % 128 != 0 or d_model % num_heads != 0:
+        return False
+    # Quantized (int8 dict) weights use the qmm path.
+    if isinstance(dec_layers["self"]["q_w"], dict) or isinstance(
+            dec_layers["fc1_w"], dict):
+        return False
+    if dec_layers["self"]["q_w"].dtype != jnp.bfloat16:
+        return False
+    return True
+
+
+def _n_chunks(ffn_dim: int) -> int:
+    return 2 if (ffn_dim % 256 == 0 and ffn_dim >= 2048) else 1
+
+
+def _erf_f32(z):
+    """Abramowitz & Stegun 7.1.26 (same as ops/decode_kernels.py)."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    za = jnp.abs(z)
+    t = 1.0 / (1.0 + p * za)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return jnp.sign(z) * (1.0 - poly * jnp.exp(-za * za))
+
+
+def _gelu_f32(x):
+    return 0.5 * x * (1.0 + _erf_f32(x * 0.7071067811865476))
+
+
+def _ln(x, scale2, bias2):
+    """f32-statistics layernorm; scale2/bias2 are (1, D) f32 rows."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+    return (y * scale2 + bias2).astype(x.dtype)
+
+
+def _kernel(
+    # scalar-ish / constant-per-call inputs
+    x_ref,        # (T16, D) bf16 — embedded tokens (+pos), padded rows garbage
+    off_ref,      # (1, 1) i32 SMEM — committed length (first writable slot)
+    cbias_ref,    # (T16, 128) f32 — intra-chunk additive mask in cols [0, T16)
+    # per-layer streamed inputs
+    sp_ref,       # (1, 12, D) f32 — packed layernorm scales/biases + biases
+    f1b_ref,      # (1, 1, F2) f32 — fc1 bias chunk
+    qw_ref, kw_ref, vw_ref, ow_ref,   # (1, D, D) bf16 self-attn weights
+    cqw_ref, cow_ref,                 # (1, D, D) bf16 cross q/o weights
+    sk_ref, sv_ref,                   # (1, S, D) bf16 self-cache slabs
+    ck_ref,       # (1, H, dh, Sp) bf16 cross keys (head-major)
+    cv_ref,       # (1, H, Sp, dh) bf16 cross values
+    f1_ref,       # (1, D, F2) bf16 fc1 chunk
+    f2_ref,       # (1, F2, D) bf16 fc2 chunk
+    # outputs
+    y_ref,        # (T16, D) bf16 final pre-norm hidden
+    sko_ref,      # (L, S, D) bf16 in HBM, aliased to sk — cache updated in place
+    svo_ref,      # (L, S, D) bf16 in HBM, aliased to sv
+    # scratch
+    xs,           # (T16, D) bf16 hidden state carried across the grid
+    acc,          # (T16, D) f32 ffn partial accumulator
+    nk_s,         # (T16+8, D) bf16 staging for the cache-window DMA
+    nv_s,
+    sems,         # (2,) DMA semaphores
+    *,
+    num_layers: int, num_heads: int, t16: int, t_real: int, cross_len: int,
+    n_chunks: int, scale: float,
+):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    l, p = pl.program_id(0), pl.program_id(1)
+    d = x_ref.shape[1]
+    dh = d // num_heads
+    last_p = 1 + n_chunks
+
+    @pl.when((l == 0) & (p == 0))
+    def _():
+        xs[:] = x_ref[:]
+
+    # ---------------------------------------------------------- p0: self-attn
+    @pl.when((p == 0) & ("self" not in _SKIP))
+    def _():
+        sp = sp_ref[0]                                   # (12, D) f32
+        x = xs[:]
+        ln = _ln(x, sp[0:1], sp[1:2])
+        q = (jnp.dot(ln, qw_ref[0], preferred_element_type=jnp.float32)
+             + sp[2:3]).astype(x.dtype) * jnp.asarray(scale, x.dtype)
+        k = jnp.dot(ln, kw_ref[0],
+                    preferred_element_type=jnp.float32).astype(x.dtype)
+        v = (jnp.dot(ln, vw_ref[0], preferred_element_type=jnp.float32)
+             + sp[3:4]).astype(x.dtype)
+        slab_k = sk_ref[0]                               # (S, D)
+        slab_v = sv_ref[0]
+        s_len = slab_k.shape[0]
+        off = off_ref[0, 0]
+        # Commit this chunk's K/V rows straight into the HBM cache slab
+        # (aliased output buffer): a ~24-row DMA instead of a whole-slab
+        # dynamic_update_slice outside, which XLA lowers to a 2x45 MB copy.
+        # Mosaic requires 8-aligned (sublane-tile) slice offsets on both
+        # sides, so this is a read-modify-write of the aligned window
+        # [off_al, off_al + W): old rows come from the already-fetched VMEM
+        # slab block, the chunk's rows are merged at remainder r = off -
+        # off_al via a static 8-way branch, and untouched rows round-trip
+        # unchanged.  init_cache over-allocates 16 rows so the window stays
+        # in bounds for every caller.
+        w_rows = t16 + 8
+        off_al = pl.multiple_of((off // 8) * 8, 8)
+        r = off - off_al
+        row = jax.lax.broadcasted_iota(jnp.int32, (w_rows, 1), 0)
+        old_k = sk_ref[0, pl.ds(off_al, w_rows)]
+        old_v = sv_ref[0, pl.ds(off_al, w_rows)]
+        # The previous layer's commit DMA reads from the staging buffers —
+        # wait for it (same byte count, so reconstructed copy descriptors
+        # calibrate the semaphore wait) before overwriting them.  One layer
+        # of write latency thus hides under the following phases.
+        @pl.when(l > 0)
+        def _():
+            pltpu.make_async_copy(
+                nk_s, sko_ref.at[l, pl.ds(off_al, w_rows), :],
+                sems.at[0]).wait()
+            pltpu.make_async_copy(
+                nv_s, svo_ref.at[l, pl.ds(off_al, w_rows), :],
+                sems.at[1]).wait()
+        for rr in range(8):
+            @pl.when(r == rr)
+            def _(rr=rr):
+                keep = (row >= rr) & (row < rr + t_real)
+                nk_s[:] = jnp.where(
+                    keep, jnp.pad(k, ((rr, 8 - rr), (0, 0))), old_k)
+                nv_s[:] = jnp.where(
+                    keep, jnp.pad(v, ((rr, 8 - rr), (0, 0))), old_v)
+        pltpu.make_async_copy(
+            nk_s, sko_ref.at[l, pl.ds(off_al, w_rows), :], sems.at[0]).start()
+        pltpu.make_async_copy(
+            nv_s, svo_ref.at[l, pl.ds(off_al, w_rows), :], sems.at[1]).start()
+        col = jax.lax.broadcasted_iota(jnp.int32, (t16, s_len), 1)
+        hist_bias = jnp.where(col < off, jnp.float32(0), NEG_SELF)
+        cb = cbias_ref[:, :t16]                          # (T16, T16) f32
+        outs = []
+        for h in range(num_heads):
+            sl = slice(h * dh, (h + 1) * dh)
+            qh = q[:, sl]
+            s1 = jax.lax.dot_general(
+                qh, slab_k[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) + hist_bias
+            s2 = jax.lax.dot_general(
+                qh, k[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) + cb
+            m = jnp.maximum(jnp.max(s1, axis=-1, keepdims=True),
+                            jnp.max(s2, axis=-1, keepdims=True))
+            p1 = jnp.exp(s1 - m)
+            p2 = jnp.exp(s2 - m)
+            den = (jnp.sum(p1, axis=-1, keepdims=True)
+                   + jnp.sum(p2, axis=-1, keepdims=True))
+            p1b = (p1 / den).astype(x.dtype)
+            p2b = (p2 / den).astype(x.dtype)
+            oh = (jnp.dot(p1b, slab_v[:, sl],
+                          preferred_element_type=jnp.float32)
+                  + jnp.dot(p2b, v[:, sl],
+                            preferred_element_type=jnp.float32))
+            outs.append(oh.astype(x.dtype))
+        attn = jnp.concatenate(outs, axis=1)             # (T16, D)
+        o = (jnp.dot(attn, ow_ref[0], preferred_element_type=jnp.float32)
+             + sp[4:5]).astype(x.dtype)
+        xs[:] = x + o
+
+    # --------------------------------------------------------- p1: cross-attn
+    @pl.when((p == 1) & ("cross" not in _SKIP))
+    def _():
+        sp = sp_ref[0]
+        x = xs[:]
+        ln = _ln(x, sp[5:6], sp[6:7])
+        cq = (jnp.dot(ln, cqw_ref[0], preferred_element_type=jnp.float32)
+              + sp[7:8]).astype(x.dtype) * jnp.asarray(scale, x.dtype)
+        ck = ck_ref[0]                                   # (H, dh, Sp)
+        cv = cv_ref[0]                                   # (H, Sp, dh)
+        sp_len = ck.shape[2]
+        col = jax.lax.broadcasted_iota(jnp.int32, (t16, sp_len), 1)
+        cross_bias = jnp.where(col < cross_len, jnp.float32(0),
+                               jnp.float32(NEG_CROSS))
+        outs = []
+        for h in range(num_heads):
+            s = jnp.dot(cq[:, h * dh:(h + 1) * dh], ck[h],
+                        preferred_element_type=jnp.float32) + cross_bias
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            pb = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+            oh = jnp.dot(pb, cv[h], preferred_element_type=jnp.float32)
+            outs.append(oh.astype(x.dtype))
+        cross = jnp.concatenate(outs, axis=1)
+        o = (jnp.dot(cross, cow_ref[0], preferred_element_type=jnp.float32)
+             + sp[8:9]).astype(x.dtype)
+        xs[:] = x + o
+
+    # --------------------------------------------------------- p2..: ffn chunk
+    @pl.when((p >= 2) & ("ffn" not in _SKIP))
+    def _():
+        sp = sp_ref[0]
+        x = xs[:]
+        ln = _ln(x, sp[9:10], sp[10:11])
+        h = jnp.dot(ln, f1_ref[0],
+                    preferred_element_type=jnp.float32) + f1b_ref[0]
+        h = _gelu_f32(h).astype(x.dtype)
+        part = jnp.dot(h, f2_ref[0], preferred_element_type=jnp.float32)
+
+        if n_chunks == 1:
+            xs[:] = x + (part + sp[11:12]).astype(x.dtype)
+        else:
+            @pl.when(p == 2)
+            def _():
+                acc[:] = part
+
+            @pl.when(p == last_p)
+            def _():
+                xs[:] = x + (acc[:] + part + sp[11:12]).astype(x.dtype)
+
+    @pl.when((l == num_layers - 1) & (p == last_p))
+    def _():
+        y_ref[:] = xs[:]
+        if "self" not in _SKIP:
+            # Drain the last layer's outstanding cache-commit DMAs.
+            pltpu.make_async_copy(
+                nk_s, sko_ref.at[num_layers - 1, pl.ds(0, t16 + 8), :],
+                sems.at[0]).wait()
+            pltpu.make_async_copy(
+                nv_s, svo_ref.at[num_layers - 1, pl.ds(0, t16 + 8), :],
+                sems.at[1]).wait()
+
+
+def fused_decoder_layers(
+    dec_layers: Params,          # stacked decoder layer params (models/whisper.py)
+    x: jnp.ndarray,              # (1, T, D) bf16 embedded inputs
+    self_k: jnp.ndarray,         # (L, 1, S, H, dh)
+    self_v: jnp.ndarray,
+    cross_k: jnp.ndarray,        # (L, 1, H, dh, Sp) head-major
+    cross_v: jnp.ndarray,        # (L, 1, H, Sp, dh)
+    offset: jnp.ndarray,         # () or (1,) i32 committed length
+    chunk_bias: jnp.ndarray,     # (T, T) f32 additive intra-chunk mask
+    cross_len: int,
+    num_heads: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Run all decoder layers over a T-token chunk with the fused kernel.
+
+    Returns (pre_norm (1, T, D), new_self_k (L, 1, S, H, dh), new_self_v ...)
+    where the returned slabs are the input caches updated in place (aliased
+    buffers) with this chunk's K/V rows at ``offset``.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nl, _, s_len, h, dh = self_k.shape
+    d = x.shape[-1]
+    t = x.shape[1]
+    t16 = 8 if t <= 8 else 16
+    f = dec_layers["fc1_w"].shape[2]
+    nch = _n_chunks(f)
+    f2 = f // nch
+    sp_len = cross_k.shape[-1]
+
+    # Pack the per-layer small params into one streamed (L, 12, D) f32 block
+    # (one DMA per layer instead of a dozen sub-KB ones).
+    sp = jnp.stack([
+        dec_layers["self_ln"]["scale"], dec_layers["self_ln"]["bias"],
+        dec_layers["self"]["q_b"], dec_layers["self"]["v_b"],
+        dec_layers["self"]["o_b"],
+        dec_layers["cross_ln"]["scale"], dec_layers["cross_ln"]["bias"],
+        dec_layers["cross"]["q_b"], dec_layers["cross"]["o_b"],
+        dec_layers["ffn_ln"]["scale"], dec_layers["ffn_ln"]["bias"],
+        dec_layers["fc2_b"],
+    ], axis=1).astype(jnp.float32)                       # (L, 12, D)
+    f1b = dec_layers["fc1_b"].astype(jnp.float32)[:, None]  # (L, 1, F)
+
+    x2 = x[0]
+    if t16 != t:
+        x2 = jnp.pad(x2, ((0, t16 - t), (0, 0)))
+    cb = jnp.pad(chunk_bias, ((0, t16 - t), (0, 128 - t)))
+    # Padding rows/cols carry 0 bias: a padded query row attends causally via
+    # garbage but its output is sliced off; padded KEY cols (j >= t) must be
+    # masked for real rows:
+    col = jax.lax.broadcasted_iota(jnp.int32, (t16, 128), 1)
+    cb = jnp.where(col < t, cb, NEG_SELF)
+
+    off2 = jnp.reshape(offset, (1, 1)).astype(jnp.int32)
+
+    grid = (nl, 2 + nch)
+    L_ = nl
+
+    def at_p0(l, p):
+        return jnp.minimum(l + (p > 0), L_ - 1)
+
+    def at_p1(l, p):
+        return jnp.minimum(l + (p > 1), L_ - 1)
+
+    kern = functools.partial(
+        _kernel, num_layers=nl, num_heads=num_heads, t16=t16, t_real=t,
+        cross_len=cross_len, n_chunks=nch, scale=dh ** -0.5)
+
+    y, sk_new, sv_new = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((t16, d), lambda l, p: (0, 0)),
+            pl.BlockSpec((1, 1), lambda l, p: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((t16, 128), lambda l, p: (0, 0)),
+            pl.BlockSpec((1, 12, d), lambda l, p: (at_p0(l, p), 0, 0)),
+            pl.BlockSpec((1, 1, f2),
+                         lambda l, p: (l, 0, jnp.clip(p - 2, 0, nch - 1))),
+            pl.BlockSpec((1, d, d), lambda l, p: (at_p0(l, p), 0, 0)),  # q
+            pl.BlockSpec((1, d, d), lambda l, p: (at_p0(l, p), 0, 0)),  # k
+            pl.BlockSpec((1, d, d), lambda l, p: (at_p0(l, p), 0, 0)),  # v
+            pl.BlockSpec((1, d, d), lambda l, p: (at_p0(l, p), 0, 0)),  # o
+            pl.BlockSpec((1, d, d), lambda l, p: (at_p1(l, p), 0, 0)),  # cq
+            pl.BlockSpec((1, d, d), lambda l, p: (at_p1(l, p), 0, 0)),  # co
+            pl.BlockSpec((1, s_len, d), lambda l, p: (at_p0(l, p), 0, 0)),
+            pl.BlockSpec((1, s_len, d), lambda l, p: (at_p0(l, p), 0, 0)),
+            pl.BlockSpec((1, h, dh, sp_len),
+                         lambda l, p: (at_p1(l, p), 0, 0, 0)),
+            pl.BlockSpec((1, h, sp_len, dh),
+                         lambda l, p: (at_p1(l, p), 0, 0, 0)),
+            pl.BlockSpec((1, d, f2),
+                         lambda l, p: (l, 0, jnp.clip(p - 2, 0, nch - 1))),
+            pl.BlockSpec((1, f2, d),
+                         lambda l, p: (l, jnp.clip(p - 2, 0, nch - 1), 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((t16, d), lambda l, p: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t16, d), x.dtype),
+            jax.ShapeDtypeStruct((nl, s_len, d), x.dtype),
+            jax.ShapeDtypeStruct((nl, s_len, d), x.dtype),
+        ],
+        # The self-cache slabs are read as pipelined VMEM blocks (args 11/12)
+        # and updated in place through the aliased HBM outputs.
+        input_output_aliases={11: 1, 12: 2},
+        scratch_shapes=[
+            pltpu.VMEM((t16, d), x.dtype),
+            pltpu.VMEM((t16, d), jnp.float32),
+            pltpu.VMEM((t16 + 8, d), x.dtype),
+            pltpu.VMEM((t16 + 8, d), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(
+        x2, off2, cb, sp, f1b,
+        dec_layers["self"]["q_w"], dec_layers["self"]["k_w"],
+        dec_layers["self"]["v_w"], dec_layers["self"]["o_w"],
+        dec_layers["cross"]["q_w"], dec_layers["cross"]["o_w"],
+        self_k.reshape(nl, s_len, d), self_v.reshape(nl, s_len, d),
+        cross_k.reshape(nl, h, dh, sp_len),
+        cross_v.reshape(nl, h, sp_len, dh),
+        dec_layers["fc1_w"],
+        dec_layers["fc2_w"],
+    )
+    pre_norm = y[None, :t]
+    new_self_k = sk_new.reshape(nl, 1, s_len, num_heads, dh)
+    new_self_v = sv_new.reshape(nl, 1, s_len, num_heads, dh)
+    return pre_norm, new_self_k, new_self_v
