@@ -83,6 +83,9 @@ def available(dec_layers: Params, d_model: int, num_heads: int, b: int, t: int,
         return False
     if d_model % 128 != 0 or d_model % num_heads != 0:
         return False
+    # fc1_b is packed into the small-params block as F/D rows of D.
+    if dec_layers["fc1_b"].shape[-1] % d_model != 0:
+        return False
     # Quantized (int8 dict) weights use the qmm path.
     if isinstance(dec_layers["self"]["q_w"], dict) or isinstance(
             dec_layers["fc1_w"], dict):
@@ -126,8 +129,7 @@ def _kernel(
     off_ref,      # (1, 1) i32 SMEM — committed length (first writable slot)
     cbias_ref,    # (T16, 128) f32 — intra-chunk additive mask in cols [0, T16)
     # per-layer streamed inputs
-    sp_ref,       # (1, 12, D) f32 — packed layernorm scales/biases + biases
-    f1b_ref,      # (1, 1, F2) f32 — fc1 bias chunk
+    sp_ref,       # (1, 12 + F/D, D) f32 — packed layernorms/biases + fc1 bias
     qw_ref, kw_ref, vw_ref, ow_ref,   # (1, D, D) bf16 self-attn weights
     cqw_ref, cow_ref,                 # (1, D, D) bf16 cross q/o weights
     sk_ref, sv_ref,                   # (1, S, D) bf16 self-cache slabs
@@ -282,8 +284,17 @@ def _kernel(
         sp = sp_ref[0]
         x = xs[:]
         ln = _ln(x, sp[9:10], sp[10:11])
+        # fc1 bias chunk lives in the packed rows [12 + c*rpc, 12 + (c+1)*rpc)
+        # (static slices selected by a scalar compare — the chunk index p-2 is
+        # a grid value, so the rows can't be sliced dynamically).
+        f2c = f1_ref.shape[2]
+        rpc = f2c // d
+        f1b = sp[12:12 + rpc].reshape(1, f2c)
+        for c in range(1, n_chunks):
+            alt = sp[12 + c * rpc:12 + (c + 1) * rpc].reshape(1, f2c)
+            f1b = jnp.where(p == 2 + c, alt, f1b)
         h = jnp.dot(ln, f1_ref[0],
-                    preferred_element_type=jnp.float32) + f1b_ref[0]
+                    preferred_element_type=jnp.float32) + f1b
         h = _gelu_f32(h).astype(x.dtype)
         part = jnp.dot(h, f2_ref[0], preferred_element_type=jnp.float32)
 
@@ -341,9 +352,10 @@ def fused_decoder_layers(
     f2 = f // nch
     sp_len = cross_k.shape[-1]
 
-    # Pack the per-layer small params into one streamed (L, 12, D) f32 block
-    # (one DMA per layer instead of a dozen sub-KB ones).
-    sp = jnp.stack([
+    # Pack every per-layer small param (layernorms, biases, fc1 bias as F/D
+    # rows) into one streamed (L, 12 + F/D, D) f32 block — one small DMA per
+    # layer instead of a dozen sub-KB ones.
+    sp = jnp.concatenate([jnp.stack([
         dec_layers["self_ln"]["scale"], dec_layers["self_ln"]["bias"],
         dec_layers["self"]["q_b"], dec_layers["self"]["v_b"],
         dec_layers["self"]["o_b"],
@@ -351,8 +363,8 @@ def fused_decoder_layers(
         dec_layers["cross"]["q_b"], dec_layers["cross"]["o_b"],
         dec_layers["ffn_ln"]["scale"], dec_layers["ffn_ln"]["bias"],
         dec_layers["fc2_b"],
-    ], axis=1).astype(jnp.float32)                       # (L, 12, D)
-    f1b = dec_layers["fc1_b"].astype(jnp.float32)[:, None]  # (L, 1, F)
+    ], axis=1), dec_layers["fc1_b"].reshape(nl, f // d, d)],
+        axis=1).astype(jnp.float32)                      # (L, 12 + F/D, D)
 
     x2 = x[0]
     if t16 != t:
@@ -387,9 +399,8 @@ def fused_decoder_layers(
             pl.BlockSpec((1, 1), lambda l, p: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((t16, 128), lambda l, p: (0, 0)),
-            pl.BlockSpec((1, 12, d), lambda l, p: (at_p0(l, p), 0, 0)),
-            pl.BlockSpec((1, 1, f2),
-                         lambda l, p: (l, 0, jnp.clip(p - 2, 0, nch - 1))),
+            pl.BlockSpec((1, 12 + f // d, d),
+                         lambda l, p: (at_p0(l, p), 0, 0)),
             pl.BlockSpec((1, d, d), lambda l, p: (at_p0(l, p), 0, 0)),  # q
             pl.BlockSpec((1, d, d), lambda l, p: (at_p0(l, p), 0, 0)),  # k
             pl.BlockSpec((1, d, d), lambda l, p: (at_p0(l, p), 0, 0)),  # v
@@ -417,9 +428,9 @@ def fused_decoder_layers(
             jax.ShapeDtypeStruct((nl, s_len, d), x.dtype),
             jax.ShapeDtypeStruct((nl, s_len, d), x.dtype),
         ],
-        # The self-cache slabs are read as pipelined VMEM blocks (args 11/12)
+        # The self-cache slabs are read as pipelined VMEM blocks (args 10/11)
         # and updated in place through the aliased HBM outputs.
-        input_output_aliases={11: 1, 12: 2},
+        input_output_aliases={10: 1, 11: 2},
         scratch_shapes=[
             pltpu.VMEM((t16, d), x.dtype),
             pltpu.VMEM((t16, d), jnp.float32),
@@ -432,7 +443,7 @@ def fused_decoder_layers(
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=_INTERPRET,
     )(
-        x2, off2, cb, sp, f1b,
+        x2, off2, cb, sp,
         dec_layers["self"]["q_w"], dec_layers["self"]["k_w"],
         dec_layers["self"]["v_w"], dec_layers["self"]["o_w"],
         dec_layers["cross"]["q_w"], dec_layers["cross"]["o_w"],
