@@ -167,31 +167,49 @@ def main(batch: int = 1, int8: bool = False):
     bw = next((v for k, v in hbm_gbps.items() if k in str(dev).lower()), 819.0)
 
     medusa_buffers = generate_medusa_buffers(config.medusa.medusa_choices)
-    van_tps, _, van_dt, van_steps = timed(generate_medusa_buffers([1]),
-                                          "vanilla", None, "vanilla greedy")
-
-    # ---- decode-step roofline (VERDICT r1 #3) ----
-    wbytes = 1 if int8 else 2
-    van_ms = van_dt / max(van_steps, 1) * 1e3
-    van_min = decode_step_hbm_bytes(max_length + 2, 1, wbytes) / (bw * 1e9) * 1e3
-    van_roof = 100.0 * van_min / van_ms
-    log(f"vanilla decode: {van_ms:.2f} ms/step, HBM-roofline min {van_min:.2f} ms "
-        f"-> {van_roof:.0f}% of roofline at {bw:.0f} GB/s")
+    van_tps_raw, _, van_dt, van_steps = timed(generate_medusa_buffers([1]),
+                                              "vanilla", None, "vanilla greedy")
 
     # Speedup-vs-accept-rate curve: draft corruption pins the acceptance rate
     # (output-invariant — see decoding/speculative.py).  The headline is the point
     # closest to 2.0 accepted drafts/step, the operating point implied by the
     # reference's published 1.49x (its loop commits E[accept]+1(+1) tokens per two
     # forwards; 1.49x at ~equal per-forward cost implies E[accept] ~= 2).
-    curve = []
-    spec_ms = None
+    raw = []
     for corr in (0.0, 0.3, 0.5, 0.8, 1.0):
         tps, accept, dt, steps = timed(medusa_buffers, "base_head", mp,
                                        f"medusa-10-heads corruption={corr}",
                                        corruption=corr)
-        if spec_ms is None:
-            spec_ms = dt / max(steps, 1) * 1e3   # per-iteration (11-node chunk)
+        raw.append((corr, accept, dt, steps))
+
+    # Every curve point runs the SAME compiled program over identical shapes —
+    # only the step count differs — so a linear fit of call time vs steps
+    # separates the true per-iteration cost (slope) from the per-call
+    # dispatch + tunnel-fetch overhead (intercept, ~25 ms through the remote
+    # axon tunnel; real deployments don't pay it per utterance).
+    xs = np.asarray([s for *_r, s in raw], np.float64)
+    ys = np.asarray([dt for *_r, dt, _s in raw], np.float64)
+    slope = float(((xs - xs.mean()) * (ys - ys.mean())).sum()
+                  / ((xs - xs.mean()) ** 2).sum())
+    overhead = max(0.0, float(ys.mean() - slope * xs.mean()))
+    spec_ms = slope * 1e3
+    log(f"per-call dispatch overhead (fit intercept): {overhead * 1e3:.1f} ms")
+
+    # ---- decode-step roofline (VERDICT r1 #3) ----
+    wbytes = 1 if int8 else 2
+    van_ms = (van_dt - overhead) / max(van_steps, 1) * 1e3
+    van_tps = (van_tps_raw * van_dt) / max(van_dt - overhead, 1e-9)
+    van_min = decode_step_hbm_bytes(max_length + 2, 1, wbytes) / (bw * 1e9) * 1e3
+    van_roof = 100.0 * van_min / van_ms
+    log(f"vanilla decode: {van_ms:.2f} ms/step, HBM-roofline min {van_min:.2f} ms "
+        f"-> {van_roof:.0f}% of roofline at {bw:.0f} GB/s")
+
+    curve = []
+    for (corr, accept, dt, steps) in raw:
+        toks = (accept + 1) * steps          # committed tokens per run
+        tps = toks / max(dt - overhead, 1e-9)
         curve.append((corr, accept, tps, tps / van_tps))
+
     spec_min = decode_step_hbm_bytes(max_length + 13, 11, wbytes) / (bw * 1e9) * 1e3
     log(f"speculative decode: {spec_ms:.2f} ms/iter (11-node chunk), "
         f"HBM-roofline min {spec_min:.2f} ms -> {100 * spec_min / spec_ms:.0f}%")

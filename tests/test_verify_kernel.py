@@ -1,0 +1,139 @@
+"""Parity tests for the fused verification kernel (ops/verify.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from whisper_medusa_tpu.config import (GenerationConfig, MedusaConfig,
+                                       ModelConfig, WhisperDims)
+from whisper_medusa_tpu.decoding.buffers import generate_medusa_buffers
+from whisper_medusa_tpu.decoding.processors import (ProcessorConfig,
+                                                    apply_processors)
+from whisper_medusa_tpu.decoding.speculative import speculative_generate
+from whisper_medusa_tpu.models import medusa as medusa_mod
+from whisper_medusa_tpu.models import whisper
+from whisper_medusa_tpu.ops import verify as verify_mod
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    monkeypatch.setattr(verify_mod, "_INTERPRET", True)
+    monkeypatch.setattr(verify_mod, "_ENABLED", True)
+
+
+@pytest.mark.parametrize("v", [8192, 8192 + 665])
+@pytest.mark.parametrize("decay", [None, (3, 1.2)])
+def test_rows_match_materialized_pipeline(v, decay):
+    d, r = 128, 12
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    hs = (jax.random.normal(k1, (r, d)) * 0.5).astype(jnp.bfloat16)
+    emb = (jax.random.normal(k2, (v, d)) * 0.2).astype(jnp.bfloat16)
+    pos = jnp.asarray([0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11], jnp.int32)
+    gcol = jnp.asarray([5, 17, 99, 0, 1, v - 1, 7, 7, 7, 2, 3, 4], jnp.int32)
+    pcfg = ProcessorConfig(
+        vocab_size=v, suppress_tokens=(3, 10, v - 2),
+        begin_suppress_tokens=(1, 2), begin_index=2,
+        exponential_decay_length_penalty=decay, eos_token_id=7)
+
+    am, mx, lse, gth = verify_mod.verify_rows(
+        hs, emb, pos, gcol, verify_mod.masks_for(pcfg),
+        begin_index=pcfg.begin_index, eos_id=pcfg.eos_token_id, decay=decay)
+
+    # Reference: materialize the logits and run the unfused pipeline.
+    logits = jnp.dot(hs, emb.T, preferred_element_type=jnp.float32)
+    proc = apply_processors(logits, pos, pcfg)
+    ref_am = jnp.argmax(proc, axis=-1)
+    ref_mx = jnp.max(proc, axis=-1)
+    ref_lse = jax.nn.logsumexp(proc, axis=-1)
+    ref_g = jnp.take_along_axis(proc, gcol[:, None], axis=-1)[:, 0]
+
+    np.testing.assert_array_equal(np.asarray(am), np.asarray(ref_am))
+    np.testing.assert_allclose(np.asarray(mx), np.asarray(ref_mx),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_lse),
+                               rtol=1e-4, atol=1e-4)
+    # Gathered value: -inf (suppressed col) maps to the kernel's finite NEG.
+    ref_g = np.asarray(ref_g)
+    got_g = np.asarray(gth)
+    finite = np.isfinite(ref_g)
+    np.testing.assert_allclose(got_g[finite], ref_g[finite],
+                               rtol=1e-5, atol=1e-5)
+    assert (got_g[~finite] < -1e30).all()
+
+
+def _tiny_aligned_model():
+    dims = WhisperDims(
+        vocab_size=8192, num_mel_bins=16, d_model=128,
+        encoder_layers=2, decoder_layers=2,
+        encoder_attention_heads=2, decoder_attention_heads=2,
+        encoder_ffn_dim=256, decoder_ffn_dim=512,
+        max_source_positions=32, max_target_positions=96)
+    med = MedusaConfig(medusa_num_heads=3, medusa_hidden_size=dims.d_model,
+                       medusa_choices=(1, 1, 1, 1), medusa_heads_type="base_head")
+    r1, r2 = jax.random.split(jax.random.PRNGKey(7))
+    wp = whisper.init_whisper_params(r1, dims, jnp.bfloat16)
+    mp = medusa_mod.init_medusa_params(r2, dims, med, wp, jnp.bfloat16)
+    return dims, med, wp, mp
+
+
+def test_spec_loop_fused_matches_unfused():
+    dims, med, wp, mp = _tiny_aligned_model()
+    enc = (jax.random.normal(jax.random.PRNGKey(1), (1, 32, dims.d_model))
+           .astype(jnp.bfloat16))
+    buffers = generate_medusa_buffers(list(med.medusa_choices))
+    pcfg = ProcessorConfig(vocab_size=dims.vocab_size,
+                           suppress_tokens=(5, 6, 7),
+                           begin_suppress_tokens=(11,), begin_index=2,
+                           eos_token_id=3)
+    gen = GenerationConfig(max_length=24, eos_token_id=3, pad_token_id=3)
+    prompt = jnp.asarray([[1, 2]], jnp.int32)
+
+    res_fused = speculative_generate(wp, mp, dims, buffers, pcfg, gen, enc,
+                                     prompt, variant="base_head")
+    old = verify_mod._ENABLED
+    verify_mod._ENABLED = False
+    try:
+        res_ref = speculative_generate(wp, mp, dims, buffers, pcfg, gen, enc,
+                                       prompt, variant="base_head")
+    finally:
+        verify_mod._ENABLED = old
+
+    np.testing.assert_array_equal(np.asarray(res_fused.tokens),
+                                  np.asarray(res_ref.tokens))
+    np.testing.assert_array_equal(np.asarray(res_fused.accepted),
+                                  np.asarray(res_ref.accepted))
+    np.testing.assert_allclose(np.asarray(res_fused.logprobs),
+                               np.asarray(res_ref.logprobs),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_vanilla_loop_fused_matches_unfused():
+    dims, med, wp, mp = _tiny_aligned_model()
+    enc = (jax.random.normal(jax.random.PRNGKey(2), (1, 32, dims.d_model))
+           .astype(jnp.bfloat16))
+    buffers = generate_medusa_buffers([1])
+    pcfg = ProcessorConfig(vocab_size=dims.vocab_size, suppress_tokens=(9,),
+                           begin_suppress_tokens=None, begin_index=2,
+                           eos_token_id=3)
+    gen = GenerationConfig(max_length=16, eos_token_id=3, pad_token_id=3)
+    prompt = jnp.asarray([[1, 2]], jnp.int32)
+
+    res_fused = speculative_generate(wp, None, dims, buffers, pcfg, gen, enc,
+                                     prompt, variant="vanilla")
+    old = verify_mod._ENABLED
+    verify_mod._ENABLED = False
+    try:
+        res_ref = speculative_generate(wp, None, dims, buffers, pcfg, gen, enc,
+                                       prompt, variant="vanilla")
+    finally:
+        verify_mod._ENABLED = old
+    np.testing.assert_array_equal(np.asarray(res_fused.tokens),
+                                  np.asarray(res_ref.tokens))
+
+
+def test_gating():
+    assert not verify_mod.available(300, 51865, 1280, False)  # too many rows
+    assert not verify_mod.available(121, 4096, 1280, False)   # small vocab
+    assert not verify_mod.available(121, 51865, 1283, False)  # unaligned D
+    assert not verify_mod.available(121, 51865, 1280, True)   # quantized embed

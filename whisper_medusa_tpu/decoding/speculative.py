@@ -285,13 +285,15 @@ def speculative_generate(
         return chunk_from_draft_logits(
             root, jnp.swapaxes(head_logits, 0, 1), new_len, step)
 
-    def fused_verify_and_draft_logits(hidden, block_hidden):
-        """One batched vocab projection for verification base logits AND all-node
-        draft-head logits — a single read of the tied embedding per iteration.
-
-        Returns (base (B,N,V), draft_all (K,B,N,V) or None)."""
+    def stack_rows(hidden, block_hidden):
+        """(K+1, B, N, D) hidden rows to score: verification row then drafts."""
         if draft_params is None:
-            return base_fn(hidden), None
+            # base_head with zero draft heads (e.g. chain [1]) still routes
+            # verification through head 0 — mirror _base_logits_fn exactly.
+            if variant == "base_head" and medusa_params is not None:
+                head0 = _head_slice(medusa_params, 0, 1)
+                return medusa_mod.apply_heads(head0, hidden)
+            return hidden[None]
         hsrc = block_hidden if block is not None else hidden
         heads_out = medusa_mod.apply_heads(draft_params, hsrc)    # (K, B, N, D)
         if variant == "base_head":
@@ -299,8 +301,17 @@ def speculative_generate(
             verif_in = medusa_mod.apply_heads(head0, hidden)      # (1, B, N, D)
         else:
             verif_in = hidden[None]
-        stacked = jnp.concatenate([verif_in, heads_out], axis=0)  # (K+1, B, N, D)
+        return jnp.concatenate([verif_in, heads_out], axis=0)
+
+    def fused_verify_and_draft_logits(hidden, block_hidden):
+        """One batched vocab projection for verification base logits AND all-node
+        draft-head logits — a single read of the tied embedding per iteration.
+
+        Returns (base (B,N,V), draft_all (K,B,N,V) or None)."""
+        stacked = stack_rows(hidden, block_hidden)
         logits = whisper.project_logits(params, stacked)          # (K+1, B, N, V)
+        if draft_params is None:
+            return logits[0], None
         return logits[0], logits[1:]
 
     use_ts = pcfg.timestamp_rules
@@ -308,6 +319,20 @@ def speculative_generate(
         raise NotImplementedError(
             "timestamp rules require chain medusa_choices (history is "
             "path-dependent; branching trees not supported with timestamps)")
+
+    # Fused verification (ops/verify.py): projection + processors + argmax/
+    # logsumexp/gather in one embedding stream — replaces ~30 latency-bound
+    # vocab-wide ops per iteration on the chain+greedy path.  Branching trees
+    # (per-level top-k), sampling and timestamp rules keep the unfused path.
+    from whisper_medusa_tpu.ops import verify as verify_mod
+
+    n_score_rows = (num_heads + 1 if draft_params is not None else 1) * n_nodes
+    use_fused_verify = (
+        greedy and not sample and not use_ts and buffers.is_chain and b == 1
+        and verify_mod.available(
+            n_score_rows, dims.vocab_size, dims.d_model,
+            isinstance(params["decoder"]["embed_tokens"], dict)))
+    sup_masks = verify_mod.masks_for(pcfg) if use_fused_verify else None
 
     def ts_val(tok):
         return jnp.where(tok >= pcfg.timestamp_begin, tok, 0)
@@ -375,9 +400,31 @@ def speculative_generate(
             params, dims, s.chunk, s.cache, offsets,
             rel_positions=pos_ids, chunk_mask=chunk_mask, block_params=block)
         hidden = out.hidden                                   # (B, N, D)
-        base, draft_all = fused_verify_and_draft_logits(hidden, out.block_hidden)
-        pred_pos = s.cur_len[:, None] + pos_ids[None, :]
-        proc = apply_processors(base, pred_pos, pcfg)
+        am = mx = lse = gth = draft_all = proc = None
+        kp1 = num_heads + 1 if draft_params is not None else 1
+        if use_fused_verify:
+            stacked = stack_rows(hidden, out.block_hidden)    # (kp1, 1, N, D)
+            rows = stacked.reshape(kp1 * n_nodes, dims.d_model)
+            # Row (k, n) predicts absolute position cur_len + n + k: the k=0
+            # verification row for node n, and — because on a chain the
+            # accepted node IS the accept length — head k's draft lands at
+            # new_len + (k-1) = cur_len + n + k when node n is accepted.
+            pos_rows = (s.cur_len[0] + pos_ids[None, :]
+                        + jnp.arange(kp1, dtype=jnp.int32)[:, None]).reshape(-1)
+            gcol_nodes = jnp.concatenate(
+                [s.chunk[0, 1:], jnp.zeros((1,), jnp.int32)])
+            gcol_rows = jnp.concatenate(
+                [gcol_nodes, jnp.zeros(((kp1 - 1) * n_nodes,), jnp.int32)])
+            am, mx, lse, gth = verify_mod.verify_rows(
+                rows, params["decoder"]["embed_tokens"], pos_rows, gcol_rows,
+                sup_masks, begin_index=pcfg.begin_index,
+                eos_id=pcfg.eos_token_id,
+                decay=pcfg.exponential_decay_length_penalty)
+        else:
+            base, draft_all = fused_verify_and_draft_logits(
+                hidden, out.block_hidden)
+            pred_pos = s.cur_len[:, None] + pos_ids[None, :]
+            proc = apply_processors(base, pred_pos, pcfg)
         if use_ts:
             # Chain-node history: node l's last token is chunk[l], its predecessor
             # chunk[l-1] (prev2 for the root), and the running max timestamp folds
@@ -389,7 +436,10 @@ def speculative_generate(
             proc = apply_timestamp_rules(
                 proc, pred_pos, s.chunk, penult_nodes, node_max_ts, pcfg)
 
-        if greedy:
+        if use_fused_verify:
+            nxt = am[:n_nodes][None].astype(jnp.int32)
+            best, accept, ptok, pnxt = _greedy_accept(s.chunk, nxt, retrieve)
+        elif greedy:
             nxt = jnp.argmax(proc, axis=-1).astype(jnp.int32)
             best, accept, ptok, pnxt = _greedy_accept(s.chunk, nxt, retrieve)
         else:
@@ -427,13 +477,22 @@ def speculative_generate(
 
         # Per-token logprobs of the committed window (output_scores equivalent):
         # committed token i is predicted by path node i's processed logits.
-        lp_all = jax.nn.log_softmax(proc, axis=-1)            # (B, N, V)
-        node_lp = jnp.take_along_axis(
-            lp_all, best_nodes[:, :, None].astype(jnp.int32),
-            axis=1)                                           # (B, Lv, V)
-        win_lp = jnp.take_along_axis(
-            node_lp, jnp.clip(window, 0, None)[:, :, None], axis=-1)[..., 0]
-        win_lp = jnp.where(idx <= accept[:, None], win_lp, 0.0)
+        if use_fused_verify:
+            # Accepted draft i == chunk[i+1] == the gathered column of node i;
+            # the bonus token IS node `accept`'s argmax (its row max).
+            node_base = gth[:n_nodes] - lse[:n_nodes]
+            node_bonus = mx[:n_nodes] - lse[:n_nodes]
+            win_lp = jnp.where(idx[0] < accept[0], node_base,
+                               jnp.take(node_bonus, accept[0]))[None]
+            win_lp = jnp.where(idx <= accept[:, None], win_lp, 0.0)
+        else:
+            lp_all = jax.nn.log_softmax(proc, axis=-1)        # (B, N, V)
+            node_lp = jnp.take_along_axis(
+                lp_all, best_nodes[:, :, None].astype(jnp.int32),
+                axis=1)                                       # (B, Lv, V)
+            win_lp = jnp.take_along_axis(
+                node_lp, jnp.clip(window, 0, None)[:, :, None], axis=-1)[..., 0]
+            win_lp = jnp.where(idx <= accept[:, None], win_lp, 0.0)
         lp_write = jax.vmap(
             lambda buf, w, off: lax.dynamic_update_slice(buf, w, (off,)))(
             s.logprobs, win_lp.astype(jnp.float32), s.cur_len)
@@ -449,7 +508,20 @@ def speculative_generate(
 
         # Drafts for the next iteration: gather the accepted node's pre-computed
         # head logits (no extra matmuls — they came out of the fused projection).
-        if draft_all is not None:
+        if use_fused_verify and draft_params is not None:
+            # Chain: accepted node index == accept; head k's draft is that
+            # node's processed-argmax, already computed in the kernel.
+            draft_am = am[n_nodes:].reshape(kp1 - 1, n_nodes)
+            drafts = jnp.take(draft_am, accept[0], axis=1)[None]  # (1, K)
+            drafts = drafts.astype(jnp.int32)
+            if draft_corruption is not None:
+                u = jax.random.uniform(
+                    jax.random.fold_in(corrupt_key, s.steps + 1), drafts.shape)
+                drafts = jnp.where(u < draft_corruption,
+                                   (drafts + 1) % dims.vocab_size, drafts)
+            flat = jnp.concatenate([bonus[:, None], drafts], axis=1)
+            chunk = flat[:, tree_idx]
+        elif draft_all is not None:
             acc_node = jnp.take_along_axis(best_nodes, accept[:, None], axis=1)[:, 0]
             dsel = jnp.take_along_axis(
                 jnp.swapaxes(draft_all, 0, 1),               # (B, K, N, V)

@@ -1,0 +1,193 @@
+"""Fused verification kernel: vocab projection + processors + row statistics.
+
+One speculative iteration must score (heads+1) x nodes hidden rows against the
+tied embedding and then run the verification pipeline on the (R, V) logits:
+suppress / begin-suppress / exponential-decay processors, per-node argmax (the
+greedy acceptance signal and the next drafts), log-softmax normalizers and the
+draft-token log-probs.  As separate XLA ops that is ~30 vocab-wide kernels per
+iteration — all latency, since the tensors are only a couple of MB — plus a
+25 MB round-trip for the materialized logits.  Measured on v5e it is ~1.4 ms
+of the 4.5 ms speculative iteration (the reference pays the same shape of cost
+through HF's processor stack, whisper_medusa/models/model.py:653-694).
+
+This kernel streams the embedding in row tiles ONCE (the logits matrix never
+exists in HBM) and carries per-row online statistics across tiles:
+
+  * running max + argmax of the *processed* logits  -> greedy tokens & drafts
+  * running logsumexp                               -> token log-probs
+  * the processed logit at one requested column     -> accepted-draft log-probs
+
+Processors are applied tile-locally from two streamed (V,) masks and per-row
+position vectors, reproducing decoding/processors.py::apply_processors exactly
+(suppress, begin-suppress at ``begin_index``, exponential EOS decay).
+
+Scope: the chain + greedy decode path (the reference's default configuration).
+Branching trees need top-k per level and sampling needs full distributions —
+those keep the unfused path.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_ENABLED = os.environ.get("WM_VERIFY_KERNEL", "1") == "1"
+_INTERPRET = os.environ.get("WM_VERIFY_INTERPRET", "0") == "1"
+
+_ROWS_TILE = 2048      # vocab rows per grid step
+_MAX_R = 256
+NEG = -float(np.finfo(np.float32).max) / 2
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def available(r: int, v: int, d: int, embed_is_quantized: bool) -> bool:
+    return (
+        _ENABLED
+        and not embed_is_quantized
+        and r <= _MAX_R
+        and v >= 8192
+        and d % 128 == 0
+        and (_on_tpu() or _INTERPRET)
+    )
+
+
+def _kernel(x_ref, pos_ref, gcol_ref, w_ref, sup_ref, o_max, o_lse, o_arg,
+            o_gth, m_s, s_s, a_s, g_s, *, v: int, rows: int,
+            begin_index: int, eos_id: int, decay, t_begin: int):
+    """One vocab tile: project, process, fold into the running row stats.
+
+    sup_ref: (2, TILE) i8 — row 0 suppress mask, row 1 begin-suppress mask.
+    decay: None or (start, factor) — exponential EOS decay constants.
+    """
+    import jax.experimental.pallas as pl
+
+    i = pl.program_id(0)
+    tile = w_ref.shape[0]
+    col0 = i * tile
+
+    @pl.when(i == 0)
+    def _():
+        m_s[:] = jnp.full_like(m_s, NEG)
+        s_s[:] = jnp.zeros_like(s_s)
+        a_s[:] = jnp.zeros_like(a_s)
+        g_s[:] = jnp.full_like(g_s, NEG)
+
+    x = jax.lax.dot_general(
+        x_ref[:], w_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (R, TILE)
+    cols = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) + col0
+    pos = pos_ref[:, :1]                                 # (R, 1)
+
+    # --- processors (mirrors decoding/processors.py::apply_processors) ---
+    x = jnp.where((sup_ref[0:1] != 0) | (cols >= v), NEG, x)
+    x = jnp.where((sup_ref[1:2] != 0) & (pos == begin_index), NEG, x)
+    if decay is not None:
+        start, factor = decay
+        idx = jnp.maximum(pos - start, 0).astype(jnp.float32)
+        pen = jnp.abs(x) * (jnp.exp(idx * float(np.log(factor))) - 1.0)
+        x = jnp.where((cols == eos_id) & (pos > start), x + pen, x)
+
+    # --- online row statistics ---
+    mt = jnp.max(x, axis=1, keepdims=True)               # (R, 1)
+    at = jnp.argmax(x, axis=1).astype(jnp.int32)[:, None] + col0
+    upd = mt > m_s[:, :1]
+    a_s[:] = jnp.where(upd, at, a_s[:, :1]) + jnp.zeros_like(a_s)
+    m_new = jnp.maximum(m_s[:, :1], mt)
+    s_s[:] = (s_s[:, :1] * jnp.exp(m_s[:, :1] - m_new)
+              + jnp.sum(jnp.exp(x - m_new), axis=1, keepdims=True)
+              ) + jnp.zeros_like(s_s)
+    m_s[:] = m_new + jnp.zeros_like(m_s)
+    gmatch = jnp.max(jnp.where(cols == gcol_ref[:, :1], x, NEG),
+                     axis=1, keepdims=True)
+    g_s[:] = jnp.maximum(g_s[:, :1], gmatch) + jnp.zeros_like(g_s)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        o_max[:] = m_s[:]
+        o_lse[:] = jnp.log(s_s[:]) + m_s[:]
+        o_arg[:] = a_s[:]
+        o_gth[:] = g_s[:]
+
+
+def verify_rows(
+    hs: jnp.ndarray,       # (R, D) bf16 hidden rows to score
+    embed: jnp.ndarray,    # (V, D) bf16 tied embedding
+    pos: jnp.ndarray,      # (R,) i32 absolute predicted position per row
+    gcol: jnp.ndarray,     # (R,) i32 column whose processed logit to return
+    sup_masks: jnp.ndarray,  # (2, V) i8 [suppress; begin-suppress]
+    *,
+    begin_index: int,
+    eos_id: int,
+    decay,                 # None | (start, factor)
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (argmax (R,) i32, max (R,), lse (R,), gathered (R,)) of the
+    processed logits rows — without materializing them."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    r, d = hs.shape
+    v = embed.shape[0]
+    r_pad = max(8, -(-r // 8) * 8)
+    if r_pad != r:
+        hs = jnp.pad(hs, ((0, r_pad - r), (0, 0)))
+        pos = jnp.pad(pos, (0, r_pad - r))
+        gcol = jnp.pad(gcol, (0, r_pad - r))
+    pos2 = jnp.broadcast_to(pos[:, None], (r_pad, 128)).astype(jnp.int32)
+    gcol2 = jnp.broadcast_to(gcol[:, None], (r_pad, 128)).astype(jnp.int32)
+
+    tile = _ROWS_TILE
+    grid = (pl.cdiv(v, tile),)
+    kern = functools.partial(
+        _kernel, v=v, rows=r_pad, begin_index=begin_index, eos_id=eos_id,
+        decay=decay, t_begin=0)
+    stat = lambda dt: jax.ShapeDtypeStruct((r_pad, 128), dt)
+    mx, lse, am, gth = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((r_pad, d), lambda i: (0, 0)),
+            pl.BlockSpec((r_pad, 128), lambda i: (0, 0)),
+            pl.BlockSpec((r_pad, 128), lambda i: (0, 0)),
+            pl.BlockSpec((tile, d), lambda i: (i, 0)),
+            pl.BlockSpec((2, tile), lambda i: (0, i)),
+        ],
+        out_specs=[pl.BlockSpec((r_pad, 128), lambda i: (0, 0))] * 4,
+        out_shape=[stat(jnp.float32), stat(jnp.float32),
+                   stat(jnp.int32), stat(jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((r_pad, 128), jnp.float32),
+            pltpu.VMEM((r_pad, 128), jnp.float32),
+            pltpu.VMEM((r_pad, 128), jnp.int32),
+            pltpu.VMEM((r_pad, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(hs, pos2, gcol2, embed, sup_masks)
+    return (am[:r, 0], mx[:r, 0], lse[:r, 0], gth[:r, 0])
+
+
+def masks_for(pcfg) -> jnp.ndarray:
+    """Build the (2, V) i8 [suppress; begin-suppress] mask pair for a
+    ProcessorConfig (static; hoisted out of decode loops by jit)."""
+    v = pcfg.vocab_size
+    sup = pcfg.suppress_mask()
+    bsup = pcfg.begin_suppress_mask()
+    m = np.zeros((2, v), np.int8)
+    if sup is not None:
+        m[0, sup] = 1
+    if bsup is not None:
+        m[1, bsup] = 1
+    return jnp.asarray(m)
