@@ -258,3 +258,26 @@ def test_large_v3_style_config_decodes():
     feats = log_mel_spectrogram_np(wav, n_mels=128)[..., :dims.num_frames]
     out = model.generate(feats, language="en", max_length=16)
     assert out.sequences.shape[0] == 1
+
+
+def test_longform_batched_matches_sequential(tiny_model):
+    """b>1 longform decodes all examples' windows in one batched call per
+    round; tokens/segments must match the sequential per-example loop."""
+    from whisper_medusa_tpu.ops.mel import log_mel_spectrogram_np
+
+    rng = np.random.default_rng(17)
+    wav = (0.1 * rng.normal(size=(2, 16000 * 65))).astype(np.float32)
+    feats = log_mel_spectrogram_np(
+        wav, n_mels=tiny_model.config.dims.num_mel_bins)
+    out_b = tiny_model.generate(feats, language="en", max_length=20,
+                                return_timestamps=True)
+    seqs, segs = [], []
+    for i in range(2):
+        o = tiny_model.generate(feats[i:i + 1], language="en", max_length=20,
+                                return_timestamps=True)
+        seqs.append(o.sequences[0, :o.lengths[0]])
+        segs.append(o.segments[0])
+    for i in range(2):
+        np.testing.assert_array_equal(
+            out_b.sequences[i, :out_b.lengths[i]], seqs[i])
+        assert out_b.segments[i] == segs[i]

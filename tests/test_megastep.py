@@ -31,9 +31,30 @@ def dims_for(ffn=512):
     )
 
 
+def _randomize_small_params(tree, key):
+    """Give every bias/layernorm leaf a distinct nonzero value.
+
+    At init, biases are zero and layernorm rows identical across layers — a
+    kernel that reads the wrong layer's small-params block would still pass
+    parity.  (Exactly that bug hid in the sp BlockSpec prefetch advance until
+    the int8 scale rows, which DO differ per layer, exposed it.)"""
+    leaves, treedef = jax.tree.flatten(tree)
+    keys = jax.random.split(key, len(leaves))
+    out = []
+    for leaf, k in zip(leaves, keys):
+        if leaf.ndim >= 3 or leaf.dtype != jnp.bfloat16:
+            out.append(leaf)         # matrices / caches stay as initialized
+        else:
+            out.append(leaf + 0.05 * jax.random.normal(
+                k, leaf.shape).astype(leaf.dtype))
+    return jax.tree.unflatten(treedef, out)
+
+
 def setup(ffn=512, max_len=48):
     dims = dims_for(ffn)
     wp = whisper.init_whisper_params(jax.random.PRNGKey(0), dims, jnp.bfloat16)
+    wp["decoder"]["layers"] = _randomize_small_params(
+        wp["decoder"]["layers"], jax.random.PRNGKey(42))
     enc = (jax.random.normal(jax.random.PRNGKey(1), (1, 32, dims.d_model))
            .astype(jnp.bfloat16))
     cache = whisper.init_cache(wp, dims, enc, max_len)
@@ -142,3 +163,34 @@ def test_sequential_decode_matches_teacher_forced():
         off = t1
     inc = jnp.concatenate(hs, axis=1)
     assert_close(inc, full.hidden)
+
+
+@pytest.mark.parametrize("ffn", [512, 2048])
+def test_int8_parity(ffn):
+    """int8 megastep (in-kernel dequant + packed scale rows) == XLA qmm path."""
+    from whisper_medusa_tpu.ops.qmm import quantize_decoder
+
+    dims, wp, cache = setup(ffn=ffn)
+    wq, _ = quantize_decoder(wp)
+    pre = jax.random.randint(jax.random.PRNGKey(2), (1, 5), 0, 255)
+    _, cache = whisper.decode_step(wq, dims, pre, cache,
+                                   jnp.zeros((1,), jnp.int32))
+    tokens = jax.random.randint(jax.random.PRNGKey(3), (1, 4), 0, 255)
+    offsets = jnp.full((1,), 5, jnp.int32)
+    (of, cf), (ox, cx) = both_paths(dims, wq, cache, tokens, offsets)
+    assert_close(of.hidden, ox.hidden)
+    assert_close(cf.self_k[:, :, 5:9], cx.self_k[:, :, 5:9])
+    assert_close(cf.self_v[:, :, 5:9], cx.self_v[:, :, 5:9])
+
+
+def test_int8_gating():
+    from whisper_medusa_tpu.ops.qmm import quantize_decoder
+
+    dims, wp, _ = setup()
+    wq, _ = quantize_decoder(wp)
+    assert megastep.available(wq["decoder"]["layers"], 128, 2, 1, 4, False, 1)
+    # Partially-quantized tree (fc1 left bf16) must fall back to the qmm path.
+    mixed = jax.tree.map(lambda x: x, wq)
+    mixed["decoder"]["layers"]["fc1_w"] = wp["decoder"]["layers"]["fc1_w"]
+    assert not megastep.available(
+        mixed["decoder"]["layers"], 128, 2, 1, 4, False, 1)

@@ -133,7 +133,41 @@ def test_vanilla_loop_fused_matches_unfused():
 
 
 def test_gating():
-    assert not verify_mod.available(300, 51865, 1280, False)  # too many rows
-    assert not verify_mod.available(121, 4096, 1280, False)   # small vocab
-    assert not verify_mod.available(121, 51865, 1283, False)  # unaligned D
-    assert not verify_mod.available(121, 51865, 1280, True)   # quantized embed
+    assert not verify_mod.available(300, 51865, 1280)  # too many rows
+    assert not verify_mod.available(121, 4096, 1280)   # small vocab
+    assert not verify_mod.available(121, 51865, 1283)  # unaligned D
+    assert verify_mod.available(121, 51865, 1280)
+
+
+@pytest.mark.parametrize("v", [8192])
+def test_rows_match_quantized_embedding(v):
+    """int8 embedding mode == materialized qmm_nt_ref pipeline."""
+    from whisper_medusa_tpu.ops.qmm import quantize_array
+
+    d, r = 128, 6
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    hs = (jax.random.normal(k1, (r, d)) * 0.5).astype(jnp.bfloat16)
+    emb = (jax.random.normal(k2, (v, d)) * 0.2).astype(jnp.bfloat16)
+    eq, es = quantize_array(emb, axis=-1)
+    pos = jnp.arange(r, dtype=jnp.int32) + 2
+    gcol = jnp.asarray([5, 17, 99, 0, 1, v - 1], jnp.int32)
+    pcfg = ProcessorConfig(
+        vocab_size=v, suppress_tokens=(3, 10),
+        begin_suppress_tokens=(1,), begin_index=2, eos_token_id=7)
+
+    am, mx, lse, gth = verify_mod.verify_rows(
+        hs, {"q": eq, "s": es}, pos, gcol, verify_mod.masks_for(pcfg),
+        begin_index=pcfg.begin_index, eos_id=pcfg.eos_token_id, decay=None)
+
+    logits = (jnp.dot(hs, eq.astype(jnp.bfloat16).T,
+                      preferred_element_type=jnp.float32)
+              * es.astype(jnp.float32)[None, :])
+    proc = apply_processors(logits, pos, pcfg)
+    np.testing.assert_array_equal(np.asarray(am),
+                                  np.asarray(jnp.argmax(proc, axis=-1)))
+    np.testing.assert_allclose(np.asarray(mx),
+                               np.asarray(jnp.max(proc, axis=-1)),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lse),
+                               np.asarray(jax.nn.logsumexp(proc, axis=-1)),
+                               rtol=1e-4, atol=1e-4)

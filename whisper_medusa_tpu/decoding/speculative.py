@@ -330,8 +330,7 @@ def speculative_generate(
     use_fused_verify = (
         greedy and not sample and not use_ts and buffers.is_chain and b == 1
         and verify_mod.available(
-            n_score_rows, dims.vocab_size, dims.d_model,
-            isinstance(params["decoder"]["embed_tokens"], dict)))
+            n_score_rows, dims.vocab_size, dims.d_model))
     sup_masks = verify_mod.masks_for(pcfg) if use_fused_verify else None
 
     def ts_val(tok):

@@ -473,7 +473,14 @@ class WhisperMedusaModel:
         Each window is decoded *with* timestamp rules so the seek pointer can
         advance to the end of the last complete segment (mel frame = 10 ms,
         timestamp unit = 20 ms); timestamps are stripped from the output unless
-        requested.  Windows reuse the same jitted B=1 decode."""
+        requested.
+
+        Batching: with ``b > 1`` and no previous-context conditioning, each
+        round decodes EVERY example's current window in one batched call —
+        per-example seek pointers advance independently on the host, finished
+        examples ride along (outputs ignored) so shapes stay static.  The
+        conditioned path stays sequential (per-example prompts of different
+        bucketed lengths can't share one prompt tensor)."""
         cfg = self.config
         st = self.special
         b, _, total_frames = feats.shape
@@ -483,6 +490,70 @@ class WhisperMedusaModel:
         all_segments: List[List[dict]] = [[] for _ in range(b)]
         steps_total, accepted_total = 0, 0
 
+        def pad_window(window):
+            if window.shape[-1] < win:
+                floor = float(window.min()) if window.size else 0.0
+                window = np.pad(
+                    window, ((0, 0), (0, 0), (0, win - window.shape[-1])),
+                    constant_values=floor)
+            return window
+
+        def harvest(i, out, row, seek):
+            """Fold one decoded window of example ``i`` into its transcript;
+            returns the seek advance in mel frames."""
+            time_offset = seek * 0.01
+            segs = out.segments[row]
+            for s in segs:
+                all_segments[i].append({
+                    "start": s["start"] + time_offset,
+                    "end": None if s["end"] is None else s["end"] + time_offset,
+                    "tokens": s["tokens"],
+                })
+            complete_ends = [s["end"] for s in segs if s["end"] is not None]
+            if complete_ends and seek + win < total_frames:
+                advance = int(round(complete_ends[-1] / 0.01))
+                advance = advance if advance > 0 else win
+            else:
+                advance = win
+            return min(advance, win)
+
+        if b > 1 and not condition_on_prev_tokens:
+            seeks = [0] * b
+            active = [True] * b
+            guard = 0
+            while any(active) and guard < 4 * (total_frames // win + 2):
+                guard += 1
+                windows = [pad_window(np.asarray(
+                    feats[i: i + 1, :, seeks[i]: seeks[i] + win]))
+                    for i in range(b)]
+                out = self.generate(
+                    np.concatenate(windows, axis=0), language=language,
+                    task=task, max_length=max_length,
+                    medusa_choices=medusa_choices,
+                    disable_medusa=disable_medusa,
+                    exponential_decay_length_penalty=
+                    exponential_decay_length_penalty,
+                    temperature=temperature,
+                    compression_ratio_threshold=compression_ratio_threshold,
+                    logprob_threshold=logprob_threshold,
+                    return_timestamps=True, time_precision=time_precision)
+                steps_total += out.steps
+                accepted_total += int(out.accepted.sum())
+                for i in range(b):
+                    if not active[i]:
+                        continue
+                    toks = out.sequences[i, prompt_len: out.lengths[i]].tolist()
+                    toks = [t for t in toks if t != st.eos]
+                    if not return_timestamps:
+                        toks = [t for t in toks if t < st.timestamp_begin]
+                    all_tokens[i].extend(toks)
+                    seeks[i] += harvest(i, out, i, seeks[i])
+                    if seeks[i] >= total_frames:
+                        active[i] = False
+            return self._longform_output(
+                all_tokens, all_segments, steps_total, accepted_total,
+                return_timestamps)
+
         for i in range(b):
             lang_i = language if (language is None or isinstance(language, str)) \
                 else language[i]
@@ -491,12 +562,8 @@ class WhisperMedusaModel:
             prev_text: List[int] = []
             while seek < total_frames and guard < 4 * (total_frames // win + 2):
                 guard += 1
-                window = np.asarray(feats[i: i + 1, :, seek: seek + win])
-                if window.shape[-1] < win:
-                    floor = float(window.min()) if window.size else 0.0
-                    window = np.pad(window,
-                                    ((0, 0), (0, 0), (0, win - window.shape[-1])),
-                                    constant_values=floor)
+                window = pad_window(
+                    np.asarray(feats[i: i + 1, :, seek: seek + win]))
                 # Previous-context conditioning (reference plumbing:
                 # do_condition_on_prev_tokens; HF semantics).  Prompt lengths are
                 # bucketed so at most 4 decode shapes ever compile.
@@ -521,14 +588,6 @@ class WhisperMedusaModel:
                     prompt_ids=prompt_ids)
                 steps_total += out.steps
                 accepted_total += int(out.accepted.sum())
-                time_offset = seek * 0.01
-                segs = out.segments[0]
-                for s in segs:
-                    all_segments[i].append({
-                        "start": s["start"] + time_offset,
-                        "end": None if s["end"] is None else s["end"] + time_offset,
-                        "tokens": s["tokens"],
-                    })
                 p_len = prompt_len + (len(prompt_ids) if prompt_ids else 0)
                 toks = out.sequences[0, p_len: out.lengths[0]].tolist()
                 toks = [t for t in toks if t != st.eos]
@@ -537,14 +596,16 @@ class WhisperMedusaModel:
                     toks = [t for t in toks if t < st.timestamp_begin]
                 all_tokens[i].extend(toks)
                 # Advance to the end of the last *complete* segment when possible.
-                complete_ends = [s["end"] for s in segs if s["end"] is not None]
-                if complete_ends and seek + win < total_frames:
-                    advance = int(round(complete_ends[-1] / 0.01))
-                    advance = advance if advance > 0 else win
-                else:
-                    advance = win
-                seek += min(advance, win)
+                seek += harvest(i, out, 0, seek)
 
+        return self._longform_output(
+            all_tokens, all_segments, steps_total, accepted_total,
+            return_timestamps)
+
+    def _longform_output(self, all_tokens, all_segments, steps_total,
+                         accepted_total, return_timestamps) -> GenerateOutput:
+        st = self.special
+        b = len(all_tokens)
         max_len_out = max((len(t) for t in all_tokens), default=0) + 1
         sequences = np.full((b, max_len_out), st.eos, np.int32)
         lengths = np.zeros((b,), np.int32)

@@ -32,7 +32,10 @@ approximation as ops/decode_kernels.py) so the fused and scan paths agree to
 bf16 rounding.  Inference-only; autodiff uses the teacher-forced path.
 
 Scope (callers gate via :func:`available`): B == 1, T <= 16 new tokens,
-unquantized bf16 weights, no medusa-block extra layer, no beam folding.
+bf16 weights or the int8 serving mode (ops/qmm.py::quantize_decoder — int8
+tiles dequantize in VMEM and per-output-channel scales ride the packed
+small-params block, halving the dominant weight stream), no medusa-block
+extra layer, no beam folding.
 Batch > 1 amortizes the weight stream across rows, where the XLA scan is the
 better schedule; B == 1 is the latency-serving path this kernel owns.
 
@@ -74,6 +77,12 @@ def _on_tpu() -> bool:
         return False
 
 
+def _streamed_weights(dec_layers: Params):
+    return ([dec_layers["self"][k] for k in ("q_w", "k_w", "v_w", "o_w")]
+            + [dec_layers["cross"][k] for k in ("q_w", "o_w")]
+            + [dec_layers["fc1_w"], dec_layers["fc2_w"]])
+
+
 def available(dec_layers: Params, d_model: int, num_heads: int, b: int, t: int,
               block: bool, cross_beam: int) -> bool:
     """Gate: can the fused kernel handle this decode_step call?"""
@@ -86,13 +95,15 @@ def available(dec_layers: Params, d_model: int, num_heads: int, b: int, t: int,
     # fc1_b is packed into the small-params block as F/D rows of D.
     if dec_layers["fc1_b"].shape[-1] % d_model != 0:
         return False
-    # Quantized (int8 dict) weights use the qmm path.
-    if isinstance(dec_layers["self"]["q_w"], dict) or isinstance(
-            dec_layers["fc1_w"], dict):
-        return False
-    if dec_layers["self"]["q_w"].dtype != jnp.bfloat16:
-        return False
-    return True
+    ws = _streamed_weights(dec_layers)
+    if isinstance(dec_layers["self"]["q_w"], dict):
+        # int8 serving mode (ops/qmm.py::quantize_decoder): every streamed
+        # weight must be quantized — the kernel dequantizes tiles in VMEM and
+        # applies per-output-channel scales from the packed small-params block.
+        return all(isinstance(w, dict) and w["q"].dtype == jnp.int8
+                   for w in ws)
+    return all((not isinstance(w, dict)) and w.dtype == jnp.bfloat16
+               for w in ws)
 
 
 def _n_chunks(ffn_dim: int) -> int:
@@ -149,7 +160,7 @@ def _kernel(
     sems,         # (2,) DMA semaphores
     *,
     num_layers: int, num_heads: int, t16: int, t_real: int, cross_len: int,
-    n_chunks: int, scale: float,
+    n_chunks: int, scale: float, quant: bool,
 ):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -158,6 +169,21 @@ def _kernel(
     d = x_ref.shape[1]
     dh = d // num_heads
     last_p = 1 + n_chunks
+    # int8 mode: per-output-channel scale rows live after the fc1-bias rows in
+    # the packed block — 7 rows (self q/k/v/o, cross q/o, fc2) then fc1's F/D.
+    rpc = f1_ref.shape[2] // d
+    sb = 12 + rpc * n_chunks
+
+    def mm(a, w_ref, sidx):
+        """a @ w with f32 accumulation; int8 weights dequantize on the way into
+        the MXU and the f32 product picks up the per-column scale row."""
+        w = w_ref[0]
+        if quant:
+            w = w.astype(a.dtype)
+        y = jnp.dot(a, w, preferred_element_type=jnp.float32)
+        if quant:
+            y = y * sp_ref[0, sb + sidx:sb + sidx + 1]
+        return y
 
     @pl.when((l == 0) & (p == 0))
     def _():
@@ -169,12 +195,10 @@ def _kernel(
         sp = sp_ref[0]                                   # (12, D) f32
         x = xs[:]
         ln = _ln(x, sp[0:1], sp[1:2])
-        q = (jnp.dot(ln, qw_ref[0], preferred_element_type=jnp.float32)
-             + sp[2:3]).astype(x.dtype) * jnp.asarray(scale, x.dtype)
-        k = jnp.dot(ln, kw_ref[0],
-                    preferred_element_type=jnp.float32).astype(x.dtype)
-        v = (jnp.dot(ln, vw_ref[0], preferred_element_type=jnp.float32)
-             + sp[3:4]).astype(x.dtype)
+        q = (mm(ln, qw_ref, 0) + sp[2:3]).astype(x.dtype) \
+            * jnp.asarray(scale, x.dtype)
+        k = mm(ln, kw_ref, 1).astype(x.dtype)
+        v = (mm(ln, vw_ref, 2) + sp[3:4]).astype(x.dtype)
         slab_k = sk_ref[0]                               # (S, D)
         slab_v = sv_ref[0]
         s_len = slab_k.shape[0]
@@ -246,8 +270,7 @@ def _kernel(
                             preferred_element_type=jnp.float32))
             outs.append(oh.astype(x.dtype))
         attn = jnp.concatenate(outs, axis=1)             # (T16, D)
-        o = (jnp.dot(attn, ow_ref[0], preferred_element_type=jnp.float32)
-             + sp[4:5]).astype(x.dtype)
+        o = (mm(attn, ow_ref, 3) + sp[4:5]).astype(x.dtype)
         xs[:] = x + o
 
     # --------------------------------------------------------- p1: cross-attn
@@ -256,8 +279,8 @@ def _kernel(
         sp = sp_ref[0]
         x = xs[:]
         ln = _ln(x, sp[5:6], sp[6:7])
-        cq = (jnp.dot(ln, cqw_ref[0], preferred_element_type=jnp.float32)
-              + sp[7:8]).astype(x.dtype) * jnp.asarray(scale, x.dtype)
+        cq = (mm(ln, cqw_ref, 4) + sp[7:8]).astype(x.dtype) \
+            * jnp.asarray(scale, x.dtype)
         ck = ck_ref[0]                                   # (H, dh, Sp)
         cv = cv_ref[0]                                   # (H, Sp, dh)
         sp_len = ck.shape[2]
@@ -274,8 +297,7 @@ def _kernel(
             oh = jnp.dot(pb, cv[h], preferred_element_type=jnp.float32)
             outs.append(oh.astype(x.dtype))
         cross = jnp.concatenate(outs, axis=1)
-        o = (jnp.dot(cross, cow_ref[0], preferred_element_type=jnp.float32)
-             + sp[8:9]).astype(x.dtype)
+        o = (mm(cross, cow_ref, 5) + sp[8:9]).astype(x.dtype)
         xs[:] = x + o
 
     # --------------------------------------------------------- p2..: ffn chunk
@@ -288,18 +310,36 @@ def _kernel(
         # (static slices selected by a scalar compare — the chunk index p-2 is
         # a grid value, so the rows can't be sliced dynamically).
         f2c = f1_ref.shape[2]
-        rpc = f2c // d
         f1b = sp[12:12 + rpc].reshape(1, f2c)
         for c in range(1, n_chunks):
             alt = sp[12 + c * rpc:12 + (c + 1) * rpc].reshape(1, f2c)
             f1b = jnp.where(p == 2 + c, alt, f1b)
-        h = jnp.dot(ln, f1_ref[0],
-                    preferred_element_type=jnp.float32) + f1b
-        h = _gelu_f32(h).astype(x.dtype)
-        part = jnp.dot(h, f2_ref[0], preferred_element_type=jnp.float32)
+        f1w = f1_ref[0]
+        f2w = f2_ref[0]
+        if quant:
+            f1w = f1w.astype(x.dtype)
+            f2w = f2w.astype(x.dtype)
+            # fc1's per-column scale chunk, selected like the bias chunk.
+            s0 = sb + 7
+            f1s = sp[s0:s0 + rpc].reshape(1, f2c)
+            for c in range(1, n_chunks):
+                alt = sp[s0 + c * rpc:s0 + (c + 1) * rpc].reshape(1, f2c)
+                f1s = jnp.where(p == 2 + c, alt, f1s)
+        h = jnp.dot(ln, f1w, preferred_element_type=jnp.float32)
+        if quant:
+            h = h * f1s
+        h = _gelu_f32(h + f1b).astype(x.dtype)
+        # fc2's output scale is chunk-invariant (contraction over F), so the
+        # partial sums accumulate unscaled and the scale applies at the end.
+        part = jnp.dot(h, f2w, preferred_element_type=jnp.float32)
+
+        def finish(tot):
+            if quant:
+                tot = tot * sp[sb + 6:sb + 7]
+            return x + (tot + sp[11:12]).astype(x.dtype)
 
         if n_chunks == 1:
-            xs[:] = x + (part + sp[11:12]).astype(x.dtype)
+            xs[:] = finish(part)
         else:
             @pl.when(p == 2)
             def _():
@@ -307,7 +347,7 @@ def _kernel(
 
             @pl.when(p == last_p)
             def _():
-                xs[:] = x + (acc[:] + part + sp[11:12]).astype(x.dtype)
+                xs[:] = finish(acc[:] + part)
 
     @pl.when((l == num_layers - 1) & (p == last_p))
     def _():
@@ -347,15 +387,19 @@ def fused_decoder_layers(
     d = x.shape[-1]
     t = x.shape[1]
     t16 = 8 if t <= 8 else 16
-    f = dec_layers["fc1_w"].shape[2]
+    quant = isinstance(dec_layers["self"]["q_w"], dict)
+    wsel = (lambda w: w["q"]) if quant else (lambda w: w)
+    f = wsel(dec_layers["fc1_w"]).shape[2]
     nch = _n_chunks(f)
     f2 = f // nch
     sp_len = cross_k.shape[-1]
 
     # Pack every per-layer small param (layernorms, biases, fc1 bias as F/D
     # rows) into one streamed (L, 12 + F/D, D) f32 block — one small DMA per
-    # layer instead of a dozen sub-KB ones.
-    sp = jnp.concatenate([jnp.stack([
+    # layer instead of a dozen sub-KB ones.  int8 mode appends the per-output-
+    # channel dequant scales: 7 rows (self q/k/v/o, cross q/o, fc2) + fc1's
+    # F/D rows.
+    blocks = [jnp.stack([
         dec_layers["self_ln"]["scale"], dec_layers["self_ln"]["bias"],
         dec_layers["self"]["q_b"], dec_layers["self"]["v_b"],
         dec_layers["self"]["o_b"],
@@ -363,8 +407,16 @@ def fused_decoder_layers(
         dec_layers["cross"]["q_b"], dec_layers["cross"]["o_b"],
         dec_layers["ffn_ln"]["scale"], dec_layers["ffn_ln"]["bias"],
         dec_layers["fc2_b"],
-    ], axis=1), dec_layers["fc1_b"].reshape(nl, f // d, d)],
-        axis=1).astype(jnp.float32)                      # (L, 12 + F/D, D)
+    ], axis=1), dec_layers["fc1_b"].reshape(nl, f // d, d)]
+    if quant:
+        blocks.append(jnp.stack([
+            dec_layers["self"]["q_w"]["s"], dec_layers["self"]["k_w"]["s"],
+            dec_layers["self"]["v_w"]["s"], dec_layers["self"]["o_w"]["s"],
+            dec_layers["cross"]["q_w"]["s"], dec_layers["cross"]["o_w"]["s"],
+            dec_layers["fc2_w"]["s"],
+        ], axis=1))                                      # (L, 7, D)
+        blocks.append(dec_layers["fc1_w"]["s"].reshape(nl, f // d, d))
+    sp = jnp.concatenate(blocks, axis=1).astype(jnp.float32)
 
     x2 = x[0]
     if t16 != t:
@@ -389,7 +441,8 @@ def fused_decoder_layers(
 
     kern = functools.partial(
         _kernel, num_layers=nl, num_heads=num_heads, t16=t16, t_real=t,
-        cross_len=cross_len, n_chunks=nch, scale=dh ** -0.5)
+        cross_len=cross_len, n_chunks=nch, scale=dh ** -0.5, quant=quant)
+    sp_rows = sp.shape[1]
 
     y, sk_new, sv_new = pl.pallas_call(
         kern,
@@ -399,8 +452,11 @@ def fused_decoder_layers(
             pl.BlockSpec((1, 1), lambda l, p: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((t16, 128), lambda l, p: (0, 0)),
-            pl.BlockSpec((1, 12 + f // d, d),
-                         lambda l, p: (at_p0(l, p), 0, 0)),
+            # sp is read in EVERY phase — its block index must stay on layer l
+            # for the whole layer (an at_p0-style prefetch advance would hand
+            # phases p>=1 the next layer's layernorms/biases/scales; the 14 KB
+            # fetch at the p0 boundary costs nothing).
+            pl.BlockSpec((1, sp_rows, d), lambda l, p: (l, 0, 0)),
             pl.BlockSpec((1, d, d), lambda l, p: (at_p0(l, p), 0, 0)),  # q
             pl.BlockSpec((1, d, d), lambda l, p: (at_p0(l, p), 0, 0)),  # k
             pl.BlockSpec((1, d, d), lambda l, p: (at_p0(l, p), 0, 0)),  # v
@@ -444,14 +500,14 @@ def fused_decoder_layers(
         interpret=_INTERPRET,
     )(
         x2, off2, cb, sp,
-        dec_layers["self"]["q_w"], dec_layers["self"]["k_w"],
-        dec_layers["self"]["v_w"], dec_layers["self"]["o_w"],
-        dec_layers["cross"]["q_w"], dec_layers["cross"]["o_w"],
+        wsel(dec_layers["self"]["q_w"]), wsel(dec_layers["self"]["k_w"]),
+        wsel(dec_layers["self"]["v_w"]), wsel(dec_layers["self"]["o_w"]),
+        wsel(dec_layers["cross"]["q_w"]), wsel(dec_layers["cross"]["o_w"]),
         self_k.reshape(nl, s_len, d), self_v.reshape(nl, s_len, d),
         cross_k.reshape(nl, h, dh, sp_len),
         cross_v.reshape(nl, h, sp_len, dh),
-        dec_layers["fc1_w"],
-        dec_layers["fc2_w"],
+        wsel(dec_layers["fc1_w"]),
+        wsel(dec_layers["fc2_w"]),
     )
     pre_norm = y[None, :t]
     new_self_k = sk_new.reshape(nl, 1, s_len, num_heads, dh)

@@ -51,10 +51,9 @@ def _on_tpu() -> bool:
         return False
 
 
-def available(r: int, v: int, d: int, embed_is_quantized: bool) -> bool:
+def available(r: int, v: int, d: int) -> bool:
     return (
         _ENABLED
-        and not embed_is_quantized
         and r <= _MAX_R
         and v >= 8192
         and d % 128 == 0
@@ -62,12 +61,13 @@ def available(r: int, v: int, d: int, embed_is_quantized: bool) -> bool:
     )
 
 
-def _kernel(x_ref, pos_ref, gcol_ref, w_ref, sup_ref, o_max, o_lse, o_arg,
-            o_gth, m_s, s_s, a_s, g_s, *, v: int, rows: int,
-            begin_index: int, eos_id: int, decay, t_begin: int):
+def _kernel(x_ref, pos_ref, gcol_ref, w_ref, ws_ref, sup_ref, o_max, o_lse,
+            o_arg, o_gth, m_s, s_s, a_s, g_s, *, v: int, rows: int,
+            begin_index: int, eos_id: int, decay, t_begin: int, quant: bool):
     """One vocab tile: project, process, fold into the running row stats.
 
     sup_ref: (2, TILE) i8 — row 0 suppress mask, row 1 begin-suppress mask.
+    ws_ref: (1, TILE) f32 — per-row dequant scales (int8 embedding mode).
     decay: None or (start, factor) — exponential EOS decay constants.
     """
     import jax.experimental.pallas as pl
@@ -84,8 +84,10 @@ def _kernel(x_ref, pos_ref, gcol_ref, w_ref, sup_ref, o_max, o_lse, o_arg,
         g_s[:] = jnp.full_like(g_s, NEG)
 
     x = jax.lax.dot_general(
-        x_ref[:], w_ref[:], (((1,), (1,)), ((), ())),
+        x_ref[:], w_ref[:].astype(x_ref.dtype), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)              # (R, TILE)
+    if quant:
+        x = x * ws_ref[:]                                # per-column scales
     cols = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) + col0
     pos = pos_ref[:, :1]                                 # (R, 1)
 
@@ -122,7 +124,8 @@ def _kernel(x_ref, pos_ref, gcol_ref, w_ref, sup_ref, o_max, o_lse, o_arg,
 
 def verify_rows(
     hs: jnp.ndarray,       # (R, D) bf16 hidden rows to score
-    embed: jnp.ndarray,    # (V, D) bf16 tied embedding
+    embed,                 # (V, D) bf16 tied embedding, or the int8 dict
+                           # {"q": (V, D) i8, "s": (V,) f32} (ops/qmm.py)
     pos: jnp.ndarray,      # (R,) i32 absolute predicted position per row
     gcol: jnp.ndarray,     # (R,) i32 column whose processed logit to return
     sup_masks: jnp.ndarray,  # (2, V) i8 [suppress; begin-suppress]
@@ -136,6 +139,11 @@ def verify_rows(
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    quant = isinstance(embed, dict)
+    if quant:
+        embed, escale = embed["q"], embed["s"].astype(jnp.float32)
+    else:
+        escale = jnp.ones((embed.shape[0],), jnp.float32)
     r, d = hs.shape
     v = embed.shape[0]
     r_pad = max(8, -(-r // 8) * 8)
@@ -150,7 +158,7 @@ def verify_rows(
     grid = (pl.cdiv(v, tile),)
     kern = functools.partial(
         _kernel, v=v, rows=r_pad, begin_index=begin_index, eos_id=eos_id,
-        decay=decay, t_begin=0)
+        decay=decay, t_begin=0, quant=quant)
     stat = lambda dt: jax.ShapeDtypeStruct((r_pad, 128), dt)
     mx, lse, am, gth = pl.pallas_call(
         kern,
@@ -160,6 +168,7 @@ def verify_rows(
             pl.BlockSpec((r_pad, 128), lambda i: (0, 0)),
             pl.BlockSpec((r_pad, 128), lambda i: (0, 0)),
             pl.BlockSpec((tile, d), lambda i: (i, 0)),
+            pl.BlockSpec((1, tile), lambda i: (0, i)),
             pl.BlockSpec((2, tile), lambda i: (0, i)),
         ],
         out_specs=[pl.BlockSpec((r_pad, 128), lambda i: (0, 0))] * 4,
@@ -175,7 +184,7 @@ def verify_rows(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_INTERPRET,
-    )(hs, pos2, gcol2, embed, sup_masks)
+    )(hs, pos2, gcol2, embed, escale[None, :], sup_masks)
     return (am[:r, 0], mx[:r, 0], lse[:r, 0], gth[:r, 0])
 
 
