@@ -122,7 +122,8 @@ def main(batch: int = 1, int8: bool = False):
 
     jits = {}
 
-    def timed(buffers, variant, medusa_params, label, iters=5, corruption=None):
+    def timed(buffers, variant, medusa_params, label, iters=5, corruption=None,
+              weights=None):
         # draft_corruption is a *traced* scalar: one compile serves the whole sweep.
         key = (id(buffers), variant)
         if key not in jits:
@@ -130,12 +131,13 @@ def main(batch: int = 1, int8: bool = False):
                 w, m, dims, buffers, pcfg, gen, e, p, variant=variant,
                 draft_corruption=c))
         fn = jits[key]
+        w = wp if weights is None else weights
         c = jnp.float32(corruption if corruption is not None else 0.0)
-        res = fn(wp, medusa_params, enc, prompt, c)
+        res = fn(w, medusa_params, enc, prompt, c)
         fetch(res.tokens)
         t0 = time.perf_counter()
         for _ in range(iters):
-            res = fn(wp, medusa_params, enc, prompt, c)
+            res = fn(w, medusa_params, enc, prompt, c)
             fetch(res.tokens)
         dt = (time.perf_counter() - t0) / iters
         new_tokens = int(np.asarray(res.lengths).sum()) - batch * prompt.shape[1]
@@ -225,6 +227,35 @@ def main(batch: int = 1, int8: bool = False):
     if not on_tpu:
         log("WARNING: not on TPU — numbers are not meaningful")
 
+    extra = {}
+    import os as _os
+
+    if (not int8 and batch == 1 and on_tpu
+            and _os.environ.get("WM_BENCH_INT8", "1") == "1"):
+        # int8 serving mode mini-sweep (full sweep: `bench.py --int8`).
+        from whisper_medusa_tpu.ops.qmm import quantize_decoder
+
+        t0 = time.perf_counter()
+        wp8, mp8 = quantize_decoder(wp, mp)
+        jax.block_until_ready((wp8, mp8))
+        log(f"int8 decoder quantization: {time.perf_counter() - t0:.1f}s")
+        _, _, q_dt, q_steps = timed(generate_medusa_buffers([1]), "vanilla",
+                                    None, "int8 vanilla greedy", weights=wp8)
+        _, q_acc, s_dt, s_steps = timed(medusa_buffers, "base_head", mp8,
+                                        "int8 medusa corruption=0.3",
+                                        corruption=0.3, weights=wp8)
+        q_ms = (q_dt - overhead) / max(q_steps, 1) * 1e3
+        q_min = decode_step_hbm_bytes(max_length + 2, 1, 1) / (bw * 1e9) * 1e3
+        q_tps = ((q_acc + 1) * s_steps) / max(s_dt - overhead, 1e-9)
+        log(f"int8 vanilla decode: {q_ms:.2f} ms/step, roofline min "
+            f"{q_min:.2f} ms -> {100 * q_min / q_ms:.0f}%; medusa "
+            f"{q_tps:.0f} tok/s at accept {q_acc:.2f}")
+        extra = {
+            "int8_decode_ms_per_step": round(q_ms, 3),
+            "int8_roofline_pct": round(100 * q_min / q_ms, 1),
+            "int8_medusa_tok_s_at_accept2": round(q_tps, 1),
+        }
+
     print(json.dumps({
         "metric": "decode_speedup_vs_vanilla_greedy_at_accept2",
         "value": round(speedup, 4),
@@ -234,6 +265,7 @@ def main(batch: int = 1, int8: bool = False):
         "decode_roofline_pct": round(van_roof, 1),
         "spec_ms_per_iter": round(spec_ms, 3),
         "spec_roofline_pct": round(100 * spec_min / spec_ms, 1),
+        **extra,
     }))
 
 
