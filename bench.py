@@ -156,12 +156,16 @@ def main(batch: int = 1, int8: bool = False):
         the chunk's cache writes are negligible at decode sizes."""
         d, f = dims.d_model, dims.decoder_ffn_dim
         nl, v, s = dims.decoder_layers, dims.vocab_size, dims.max_source_positions
+        nh = dims.decoder_attention_heads
         per_layer = 4 * d * d + 2 * d * d + 2 * d * f
         weights = nl * per_layer + v * d
         # +16: init_cache over-allocates slab rows for the megastep kernel's
         # aligned cache-commit window; the full slab is streamed per step.
-        kv = 2 * nl * batch * (cache_len + 16 + s) * d     # self slab + cross
-        return weights * wbytes + kv * 2                   # kv is bf16
+        kv_self = 2 * nl * batch * (cache_len + 16) * d * 2        # bf16
+        # int8 mode stores the cross cache int8 + per-(head, pos) f32 scales.
+        kv_cross = (2 * nl * batch * s * d * wbytes
+                    + (2 * nl * batch * nh * s * 4 if wbytes == 1 else 0))
+        return weights * wbytes + kv_self + kv_cross
 
     # v5e HBM ~819 GB/s; v4 ~1228; v5p ~2765. Used for the roofline line only.
     hbm_gbps = {"v5 lite": 819.0, "v5e": 819.0, "v4": 1228.0,

@@ -86,3 +86,26 @@ def test_decode_path_with_kernels_matches_without(monkeypatch):
     out, _ = W.decode_step(params, cfg, toks, cache1, off)
     np.testing.assert_allclose(np.asarray(out.hidden), np.asarray(ref.hidden),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_cross_attention_int8_scales_close_to_dequant():
+    """Scaled int8 cross attention == attention over the dequantized tensors."""
+    import jax
+    from whisper_medusa_tpu.models.whisper import quantize_kv_rows
+    from whisper_medusa_tpu.ops import decode_kernels as dk
+
+    b, h, t, d, s = 1, 2, 3, 16, 128
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = (jax.random.normal(k1, (b, h, t, d)) * 0.3).astype(jnp.bfloat16)
+    k = (jax.random.normal(k2, (b, h, d, s))).astype(jnp.bfloat16)
+    v = (jax.random.normal(k3, (b, h, s, d))).astype(jnp.bfloat16)
+    kq, ks = quantize_kv_rows(k, axis=2)
+    vq, vs = quantize_kv_rows(v, axis=3)
+
+    out = dk.cross_attention_decode(q, kq, vq, 100, ks, vs)
+    kd = (kq.astype(jnp.float32) * ks[:, :, None, :]).astype(jnp.bfloat16)
+    vd = (vq.astype(jnp.float32) * vs[:, :, :, None]).astype(jnp.bfloat16)
+    ref = dk.cross_attention_decode(q, kd, vd, 100)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=0.05, atol=0.05)

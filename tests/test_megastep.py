@@ -167,11 +167,17 @@ def test_sequential_decode_matches_teacher_forced():
 
 @pytest.mark.parametrize("ffn", [512, 2048])
 def test_int8_parity(ffn):
-    """int8 megastep (in-kernel dequant + packed scale rows) == XLA qmm path."""
+    """int8 megastep (in-kernel weight dequant + int8 cross cache with scale-
+    on-scores/probs dequant) == XLA qmm/scaled-attention path."""
     from whisper_medusa_tpu.ops.qmm import quantize_decoder
 
-    dims, wp, cache = setup(ffn=ffn)
+    dims, wp, _ = setup(ffn=ffn)
     wq, _ = quantize_decoder(wp)
+    enc = (jax.random.normal(jax.random.PRNGKey(1), (1, 32, dims.d_model))
+           .astype(jnp.bfloat16))
+    cache = whisper.init_cache(wq, dims, enc, 48)
+    assert cache.cross_k.dtype == jnp.int8          # int8 serving cross cache
+    assert cache.cross_k_s is not None
     pre = jax.random.randint(jax.random.PRNGKey(2), (1, 5), 0, 255)
     _, cache = whisper.decode_step(wq, dims, pre, cache,
                                    jnp.zeros((1,), jnp.int32))

@@ -442,6 +442,13 @@ class KVCache:
     self_v: jnp.ndarray
     cross_k: jnp.ndarray
     cross_v: jnp.ndarray
+    # int8 serving mode: cross K/V stored int8 with per-(head, position) f32
+    # scales (L, B, H, S_pad).  Dequant rides the attention math — scores are
+    # scaled by k-scales after the QK matmul, probabilities by v-scales before
+    # the PV matmul — so the bf16 cross tensors never exist in HBM (the cross
+    # cache is the second-largest per-step stream after the weights).
+    cross_k_s: Optional[jnp.ndarray] = None
+    cross_v_s: Optional[jnp.ndarray] = None
 
     @property
     def max_len(self) -> int:
@@ -476,6 +483,10 @@ def init_cache(
     layers = params["decoder"]["layers"]
     s_pad = _cross_pad_len(s)
 
+    # int8 serving mode (quantized cross projections) => int8 cross cache:
+    # per-(head, position) scales over the Dh axis, computed once per utterance.
+    kv_quant = isinstance(layers["cross"]["k_w"], dict)
+
     def cross_kv(lp_cross):
         k = _split_heads(dense(enc_out, lp_cross["k_w"]), nh)
         v = _split_heads(dense(enc_out, lp_cross["v_w"], lp_cross["v_b"]), nh)
@@ -484,22 +495,42 @@ def init_cache(
         if s_pad != s:
             k = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, s_pad - s)))
             v = jnp.pad(v, ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
-        return k, v
+        if kv_quant:
+            k, ks = quantize_kv_rows(k, axis=2)   # scales (B, H, S_pad)
+            v, vs = quantize_kv_rows(v, axis=3)
+            return k, v, ks, vs
+        return k, v, None, None
 
     # lax.map (scan) instead of vmap: the quantized-weight pallas matmul has no
     # batching rule, and this runs once per utterance anyway.
-    cross_k, cross_v = lax.map(cross_kv, layers["cross"])
+    cross_k, cross_v, ck_s, cv_s = lax.map(cross_kv, layers["cross"])
     if extra_layers:
         pad = [(0, extra_layers)] + [(0, 0)] * 4
         cross_k = jnp.pad(cross_k, pad)
         cross_v = jnp.pad(cross_v, pad)
+        if kv_quant:
+            spad = [(0, extra_layers)] + [(0, 0)] * 3
+            ck_s = jnp.pad(ck_s, spad)
+            cv_s = jnp.pad(cv_s, spad)
     sb = self_batch if self_batch is not None else b
     return KVCache(
         self_k=jnp.zeros((nl, sb, max_len, nh, hd), dtype),
         self_v=jnp.zeros((nl, sb, max_len, nh, hd), dtype),
         cross_k=cross_k,
         cross_v=cross_v,
+        cross_k_s=ck_s,
+        cross_v_s=cv_s,
     )
+
+
+def quantize_kv_rows(x: jnp.ndarray, axis: int):
+    """Symmetric int8 quantization along ``axis`` (the head-dim axis of a
+    cross K/V tensor); returns (int8 tensor, f32 scales with axis removed)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=axis, keepdims=True)
+    scale = jnp.where(amax == 0, 1.0, amax / 127.0)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                 -127, 127).astype(jnp.int8)
+    return q, jnp.squeeze(scale, axis=axis)
 
 
 def _cross_pad_len(s: int) -> int:
@@ -526,6 +557,16 @@ def set_block_cross_kv(cache: KVCache, block_params: Params,
     if s_pad != s:
         k = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, s_pad - s)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
+    if cache.cross_k_s is not None:
+        k, ks = quantize_kv_rows(k, axis=2)
+        v, vs = quantize_kv_rows(v, axis=3)
+        return dataclasses.replace(
+            cache,
+            cross_k=cache.cross_k.at[-1].set(k),
+            cross_v=cache.cross_v.at[-1].set(v),
+            cross_k_s=cache.cross_k_s.at[-1].set(ks),
+            cross_v_s=cache.cross_v_s.at[-1].set(vs),
+        )
     return dataclasses.replace(
         cache,
         cross_k=cache.cross_k.at[-1].set(k),
@@ -553,6 +594,8 @@ def decoder_layer_step(
     num_heads: int,
     cross_beam: int = 1,       # h rows = cross rows * cross_beam (dedup'd beams)
     cross_len: Optional[int] = None,  # real cross keys (pad masked); None = all
+    cross_k_s: Optional[jnp.ndarray] = None,  # (B, H, S_pad) int8-mode scales
+    cross_v_s: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One decoder layer over a chunk of T new tokens with cache update.
 
@@ -584,7 +627,8 @@ def decoder_layer_step(
         cq = cq.reshape(bk // cross_beam, cross_beam * t, *cq.shape[2:])
     cqh = jnp.swapaxes(cq, 1, 2)                       # (B, H, T', Dh)
     kv_len = cross_len if cross_len is not None else cross_k.shape[3]
-    out = dk.cross_attention_decode(cqh, cross_k, cross_v, kv_len)
+    out = dk.cross_attention_decode(cqh, cross_k, cross_v, kv_len,
+                                    cross_k_s, cross_v_s)
     cross_out = jnp.swapaxes(out, 1, 2)
     if cross_beam > 1:
         cross_out = cross_out.reshape(bk, t, *cross_out.shape[2:])
@@ -669,7 +713,8 @@ def decode_step(
         pre_norm, self_k, self_v = megastep.fused_decoder_layers(
             dec["layers"], x, cache.self_k, cache.self_v,
             cache.cross_k, cache.cross_v, offsets[0], cbias,
-            cross_len, nh)
+            cross_len, nh,
+            cross_k_s=cache.cross_k_s, cross_v_s=cache.cross_v_s)
         hidden = layer_norm(pre_norm, dec["ln_post"]["scale"],
                             dec["ln_post"]["bias"])
         new_cache = dataclasses.replace(cache, self_k=self_k, self_v=self_v)
@@ -677,12 +722,14 @@ def decode_step(
                              pre_norm=pre_norm, block_hidden=None), new_cache
 
     self_mask = make_step_mask(offsets, t, cache.max_len, chunk_mask)
+    kv_quant = cache.cross_k_s is not None
 
     def layer_fn(h, xs):
-        lp, k_buf, v_buf, ck, cv = xs
+        lp, k_buf, v_buf, ck, cv, ck_s, cv_s = xs
         h, k_buf, v_buf = decoder_layer_step(
             lp, h, k_buf, v_buf, ck, cv, offsets, self_mask, nh,
             cross_beam=cross_beam, cross_len=cross_len,
+            cross_k_s=ck_s, cross_v_s=cv_s,
         )
         return h, (k_buf, v_buf)
 
@@ -690,6 +737,8 @@ def decode_step(
         dec["layers"],
         cache.self_k[:nl], cache.self_v[:nl],
         cache.cross_k[:nl], cache.cross_v[:nl],
+        cache.cross_k_s[:nl] if kv_quant else None,
+        cache.cross_v_s[:nl] if kv_quant else None,
     )
     x, (new_k, new_v) = lax.scan(layer_fn, x, xs)
     pre_norm = x
@@ -712,6 +761,8 @@ def decode_step(
             new_cache.cross_k[-1], new_cache.cross_v[-1],
             offsets, self_mask, nh, cross_beam=cross_beam,
             cross_len=cross_len,
+            cross_k_s=new_cache.cross_k_s[-1] if kv_quant else None,
+            cross_v_s=new_cache.cross_v_s[-1] if kv_quant else None,
         )
         new_cache = dataclasses.replace(
             new_cache,

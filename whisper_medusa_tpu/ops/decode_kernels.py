@@ -94,28 +94,36 @@ def _cross_pallas(q, k, v, kv_len: int):
     )(q, k, v)
 
 
-def _cross_xla(q, k, v, kv_len: int):
-    s = jnp.einsum("bhtd,bhds->bhts", q, k,
+def _cross_xla(q, k, v, kv_len: int, k_s=None, v_s=None):
+    s = jnp.einsum("bhtd,bhds->bhts", q, k.astype(q.dtype),
                    preferred_element_type=jnp.float32)
+    if k_s is not None:
+        s = s * k_s[:, :, None, :]                      # (B, H, 1, S)
     if kv_len < k.shape[3]:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
         s = jnp.where(col < kv_len, s, NEG_BIG)
     p = jax.nn.softmax(s, axis=-1)
-    o = jnp.einsum("bhts,bhsd->bhtd", p.astype(v.dtype), v,
+    if v_s is not None:
+        # Dequant V by scaling the probabilities instead — (T, S) elements
+        # instead of (S, Dh); the int8 V tensor feeds the MXU directly.
+        p = p * v_s[:, :, None, :]
+    o = jnp.einsum("bhts,bhsd->bhtd", p.astype(q.dtype), v.astype(q.dtype),
                    preferred_element_type=jnp.float32)
-    return o.astype(v.dtype)
+    return o.astype(q.dtype)
 
 
 def cross_attention_decode(
     q: jnp.ndarray,       # (B, H, T, Dh), pre-scaled
-    k: jnp.ndarray,       # (B, H, Dh, S_pad) head-major cross keys
+    k: jnp.ndarray,       # (B, H, Dh, S_pad) head-major cross keys (bf16|int8)
     v: jnp.ndarray,       # (B, H, S_pad, Dh)
     kv_len: int,          # real key count (<= S_pad)
+    k_s=None,             # (B, H, S_pad) f32 int8-mode key scales
+    v_s=None,
 ) -> jnp.ndarray:
     s_pad = k.shape[3]
-    if kernels_enabled(s_pad) and s_pad % 128 == 0:
+    if k_s is None and kernels_enabled(s_pad) and s_pad % 128 == 0:
         return _cross_pallas(q, k, v, kv_len)
-    return _cross_xla(q, k, v, kv_len)
+    return _cross_xla(q, k, v, kv_len, k_s, v_s)
 
 
 # --------------------------------------------------------------------- ffn

@@ -144,8 +144,10 @@ def _kernel(
     qw_ref, kw_ref, vw_ref, ow_ref,   # (1, D, D) bf16 self-attn weights
     cqw_ref, cow_ref,                 # (1, D, D) bf16 cross q/o weights
     sk_ref, sv_ref,                   # (1, S, D) bf16 self-cache slabs
-    ck_ref,       # (1, H, dh, Sp) bf16 cross keys (head-major)
-    cv_ref,       # (1, H, Sp, dh) bf16 cross values
+    ck_ref,       # (1, H, dh, Sp) bf16|int8 cross keys (head-major)
+    cv_ref,       # (1, H, Sp, dh) bf16|int8 cross values
+    cks_ref,      # (1, H, Sp) f32 int8-mode key scales (dummy otherwise)
+    cvs_ref,      # (1, H, Sp) f32 int8-mode value scales
     f1_ref,       # (1, D, F2) bf16 fc1 chunk
     f2_ref,       # (1, F2, D) bf16 fc2 chunk
     # outputs
@@ -160,7 +162,7 @@ def _kernel(
     sems,         # (2,) DMA semaphores
     *,
     num_layers: int, num_heads: int, t16: int, t_real: int, cross_len: int,
-    n_chunks: int, scale: float, quant: bool,
+    n_chunks: int, scale: float, quant: bool, kv_quant: bool,
 ):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -289,12 +291,21 @@ def _kernel(
                                jnp.float32(NEG_CROSS))
         outs = []
         for h in range(num_heads):
-            s = jnp.dot(cq[:, h * dh:(h + 1) * dh], ck[h],
-                        preferred_element_type=jnp.float32) + cross_bias
+            s = jnp.dot(cq[:, h * dh:(h + 1) * dh], ck[h].astype(x.dtype),
+                        preferred_element_type=jnp.float32)
+            if kv_quant:
+                # int8 cross K: per-(head, position) scales ride the scores.
+                s = s * cks_ref[0, h:h + 1, :]
+            s = s + cross_bias
             m = jnp.max(s, axis=-1, keepdims=True)
             e = jnp.exp(s - m)
-            pb = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
-            oh = jnp.dot(pb, cv[h], preferred_element_type=jnp.float32)
+            pb = e / jnp.sum(e, axis=-1, keepdims=True)
+            if kv_quant:
+                # int8 cross V: dequant by scaling the probabilities — (T, Sp)
+                # elements instead of (Sp, dh); int8 V feeds the MXU directly.
+                pb = pb * cvs_ref[0, h:h + 1, :]
+            oh = jnp.dot(pb.astype(x.dtype), cv[h].astype(x.dtype),
+                         preferred_element_type=jnp.float32)
             outs.append(oh.astype(x.dtype))
         cross = jnp.concatenate(outs, axis=1)
         o = (mm(cross, cow_ref, 5) + sp[8:9]).astype(x.dtype)
@@ -373,6 +384,8 @@ def fused_decoder_layers(
     chunk_bias: jnp.ndarray,     # (T, T) f32 additive intra-chunk mask
     cross_len: int,
     num_heads: int,
+    cross_k_s: jnp.ndarray = None,  # (L, 1, H, Sp) f32 int8-cross scales
+    cross_v_s: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run all decoder layers over a T-token chunk with the fused kernel.
 
@@ -439,9 +452,19 @@ def fused_decoder_layers(
     def at_p1(l, p):
         return jnp.minimum(l + (p > 1), L_ - 1)
 
+    kv_quant = cross_k_s is not None
+    if kv_quant:
+        cks = cross_k_s.reshape(nl, h, sp_len).astype(jnp.float32)
+        cvs = cross_v_s.reshape(nl, h, sp_len).astype(jnp.float32)
+        s_spec = pl.BlockSpec((1, h, sp_len), lambda l, p: (at_p1(l, p), 0, 0))
+    else:
+        # Unread dummies (kv_quant=False skips them); one minimal f32 tile.
+        cks = cvs = jnp.zeros((nl, 8, 128), jnp.float32)
+        s_spec = pl.BlockSpec((1, 8, 128), lambda l, p: (0, 0, 0))
     kern = functools.partial(
         _kernel, num_layers=nl, num_heads=num_heads, t16=t16, t_real=t,
-        cross_len=cross_len, n_chunks=nch, scale=dh ** -0.5, quant=quant)
+        cross_len=cross_len, n_chunks=nch, scale=dh ** -0.5, quant=quant,
+        kv_quant=kv_quant)
     sp_rows = sp.shape[1]
 
     y, sk_new, sv_new = pl.pallas_call(
@@ -469,6 +492,8 @@ def fused_decoder_layers(
                          lambda l, p: (at_p1(l, p), 0, 0, 0)),
             pl.BlockSpec((1, h, sp_len, dh),
                          lambda l, p: (at_p1(l, p), 0, 0, 0)),
+            s_spec,
+            s_spec,
             pl.BlockSpec((1, d, f2),
                          lambda l, p: (l, 0, jnp.clip(p - 2, 0, nch - 1))),
             pl.BlockSpec((1, f2, d),
@@ -506,6 +531,7 @@ def fused_decoder_layers(
         self_k.reshape(nl, s_len, d), self_v.reshape(nl, s_len, d),
         cross_k.reshape(nl, h, dh, sp_len),
         cross_v.reshape(nl, h, sp_len, dh),
+        cks, cvs,
         wsel(dec_layers["fc1_w"]),
         wsel(dec_layers["fc2_w"]),
     )
