@@ -212,7 +212,7 @@ def main(batch: int = 1, int8: bool = False):
 
     curve = []
     for (corr, accept, dt, steps) in raw:
-        toks = (accept + 1) * steps          # committed tokens per run
+        toks = (accept + 1) * steps * batch  # committed tokens per run
         tps = toks / max(dt - overhead, 1e-9)
         curve.append((corr, accept, tps, tps / van_tps))
 

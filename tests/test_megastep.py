@@ -139,7 +139,8 @@ def test_gating():
         lp, kw.get("d", 128), 2, kw.get("b", 1), kw.get("t", 4),
         kw.get("block", False), kw.get("cb", 1))
     assert ok()
-    assert not ok(b=2)            # batched -> XLA scan path
+    assert ok(b=2)                # small-batch latency serving
+    assert not ok(b=3)            # capped (see available()) -> XLA scan path
     assert not ok(t=17)           # chunk too long
     assert not ok(block=True)     # medusa-block extra layer
     assert not ok(cb=2)           # beam-folded cross attention
@@ -200,3 +201,46 @@ def test_int8_gating():
     mixed["decoder"]["layers"]["fc1_w"] = wp["decoder"]["layers"]["fc1_w"]
     assert not megastep.available(
         mixed["decoder"]["layers"], 128, 2, 1, 4, False, 1)
+
+
+def test_batched_parity_ragged_offsets():
+    """B=2 fused decode with different per-example offsets == XLA scan."""
+    dims, wp, _ = setup()
+    enc = (jax.random.normal(jax.random.PRNGKey(1), (2, 32, dims.d_model))
+           .astype(jnp.bfloat16))
+    cache = whisper.init_cache(wp, dims, enc, 48)
+    # Ragged history: example 0 has 6 committed rows, example 1 has 3.
+    megastep._ENABLED = False
+    try:
+        pre = jax.random.randint(jax.random.PRNGKey(2), (2, 6), 0, 255)
+        _, cache = whisper.decode_step(wp, dims, pre, cache,
+                                       jnp.zeros((2,), jnp.int32))
+    finally:
+        megastep._ENABLED = True
+    offsets = jnp.asarray([6, 3], jnp.int32)
+    tokens = jax.random.randint(jax.random.PRNGKey(3), (2, 4), 0, 255)
+    (of, cf), (ox, cx) = both_paths(dims, wp, cache, tokens, offsets)
+    assert_close(of.hidden, ox.hidden)
+    for i, off in enumerate([6, 3]):
+        assert_close(cf.self_k[:, i, off:off + 4], cx.self_k[:, i, off:off + 4])
+        assert_close(cf.self_v[:, i, off:off + 4], cx.self_v[:, i, off:off + 4])
+
+
+def test_batched_int8_parity(monkeypatch):
+    """B=3 int8 fused decode (int8 weights + int8 cross cache) == XLA path.
+
+    B=3 needs the WM_MEGASTEP_MAX_B override (capped to 2 in production —
+    the interpreter still validates the batched kernel math)."""
+    from whisper_medusa_tpu.ops.qmm import quantize_decoder
+
+    monkeypatch.setenv("WM_MEGASTEP_MAX_B", "4")
+    dims, wp, _ = setup()
+    wq, _ = quantize_decoder(wp)
+    enc = (jax.random.normal(jax.random.PRNGKey(1), (3, 32, dims.d_model))
+           .astype(jnp.bfloat16))
+    cache = whisper.init_cache(wq, dims, enc, 48)
+    offsets = jnp.asarray([0, 0, 0], jnp.int32)
+    tokens = jax.random.randint(jax.random.PRNGKey(3), (3, 5), 0, 255)
+    (of, cf), (ox, cx) = both_paths(dims, wq, cache, tokens, offsets)
+    assert_close(of.hidden, ox.hidden)
+    assert_close(cf.self_k[:, :, :5], cx.self_k[:, :, :5])

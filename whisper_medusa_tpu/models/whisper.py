@@ -712,7 +712,7 @@ def decode_step(
         cbias = jnp.where(cm, jnp.float32(0), jnp.float32(-1e30))
         pre_norm, self_k, self_v = megastep.fused_decoder_layers(
             dec["layers"], x, cache.self_k, cache.self_v,
-            cache.cross_k, cache.cross_v, offsets[0], cbias,
+            cache.cross_k, cache.cross_v, offsets, cbias,
             cross_len, nh,
             cross_k_s=cache.cross_k_s, cross_v_s=cache.cross_v_s)
         hidden = layer_norm(pre_norm, dec["ln_post"]["scale"],

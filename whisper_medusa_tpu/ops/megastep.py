@@ -31,13 +31,16 @@ layernorm/softmax/accumulation, bf16 operands, f32 GELU via the same erf
 approximation as ops/decode_kernels.py) so the fused and scan paths agree to
 bf16 rounding.  Inference-only; autodiff uses the teacher-forced path.
 
-Scope (callers gate via :func:`available`): B == 1, T <= 16 new tokens,
-bf16 weights or the int8 serving mode (ops/qmm.py::quantize_decoder — int8
-tiles dequantize in VMEM and per-output-channel scales ride the packed
-small-params block, halving the dominant weight stream), no medusa-block
-extra layer, no beam folding.
-Batch > 1 amortizes the weight stream across rows, where the XLA scan is the
-better schedule; B == 1 is the latency-serving path this kernel owns.
+Scope (callers gate via :func:`available`): B <= 2 (bf16) / B <= 4 (int8),
+T <= 16 new tokens, bf16 weights or the int8 serving mode
+(ops/qmm.py::quantize_decoder — int8 tiles dequantize in VMEM and
+per-output-channel scales ride the packed small-params block, halving the
+dominant weight stream; the int8 cross cache dequantizes through the
+attention scores/probabilities), no medusa-block extra layer, no beam
+folding.  Small batches share one weight stream — per-row matmuls stack, only
+attention and the cache-commit DMAs loop per example.  Large batches
+amortize the weight stream across rows, where the XLA scan is the better
+schedule.
 
 Replaces the per-step HF decoder forward of the reference
 (reference: whisper_medusa/models/model.py:639-648 -> HF modeling_whisper).
@@ -85,10 +88,18 @@ def _streamed_weights(dec_layers: Params):
 
 def available(dec_layers: Params, d_model: int, num_heads: int, b: int, t: int,
               block: bool, cross_beam: int) -> bool:
-    """Gate: can the fused kernel handle this decode_step call?"""
+    """Gate: can the fused kernel handle this decode_step call?
+
+    Batch: the kernel owns the latency-serving end, B <= 2; larger batches
+    amortize the weight stream across rows in the XLA scan.  (B = 3-4 int8
+    compiles and passes single steps, but the full while_loop program
+    reproducibly faults the v5e TPU worker — cap until root-caused;
+    WM_MEGASTEP_MAX_B overrides for experiments.)
+    """
     if not (_ENABLED and (_on_tpu() or _INTERPRET)):
         return False
-    if b != 1 or t > _MAX_T or block or cross_beam != 1:
+    max_b = int(os.environ.get("WM_MEGASTEP_MAX_B", "2"))
+    if not (1 <= b <= max_b) or t > _MAX_T or block or cross_beam != 1:
         return False
     if d_model % 128 != 0 or d_model % num_heads != 0:
         return False
@@ -136,33 +147,33 @@ def _ln(x, scale2, bias2):
 
 def _kernel(
     # scalar-ish / constant-per-call inputs
-    x_ref,        # (T16, D) bf16 — embedded tokens (+pos), padded rows garbage
-    off_ref,      # (1, 1) i32 SMEM — committed length (first writable slot)
+    x_ref,        # (B*T16, D) bf16 — embedded tokens (+pos), pad rows garbage
+    off_ref,      # (1, B) i32 SMEM — committed length per example
     cbias_ref,    # (T16, 128) f32 — intra-chunk additive mask in cols [0, T16)
     # per-layer streamed inputs
     sp_ref,       # (1, 12 + F/D, D) f32 — packed layernorms/biases + fc1 bias
     qw_ref, kw_ref, vw_ref, ow_ref,   # (1, D, D) bf16 self-attn weights
     cqw_ref, cow_ref,                 # (1, D, D) bf16 cross q/o weights
-    sk_ref, sv_ref,                   # (1, S, D) bf16 self-cache slabs
-    ck_ref,       # (1, H, dh, Sp) bf16|int8 cross keys (head-major)
-    cv_ref,       # (1, H, Sp, dh) bf16|int8 cross values
-    cks_ref,      # (1, H, Sp) f32 int8-mode key scales (dummy otherwise)
-    cvs_ref,      # (1, H, Sp) f32 int8-mode value scales
+    sk_ref, sv_ref,                   # (1, B, S, D) bf16 self-cache slabs
+    ck_ref,       # (1, B, H, dh, Sp) bf16|int8 cross keys (head-major)
+    cv_ref,       # (1, B, H, Sp, dh) bf16|int8 cross values
+    cks_ref,      # (1, B, H, Sp) f32 int8-mode key scales (dummy otherwise)
+    cvs_ref,      # (1, B, H, Sp) f32 int8-mode value scales
     f1_ref,       # (1, D, F2) bf16 fc1 chunk
     f2_ref,       # (1, F2, D) bf16 fc2 chunk
     # outputs
-    y_ref,        # (T16, D) bf16 final pre-norm hidden
-    sko_ref,      # (L, S, D) bf16 in HBM, aliased to sk — cache updated in place
-    svo_ref,      # (L, S, D) bf16 in HBM, aliased to sv
+    y_ref,        # (B*T16, D) bf16 final pre-norm hidden
+    sko_ref,      # (L, B, S, D) bf16 in HBM, aliased to sk — updated in place
+    svo_ref,      # (L, B, S, D) bf16 in HBM, aliased to sv
     # scratch
-    xs,           # (T16, D) bf16 hidden state carried across the grid
-    acc,          # (T16, D) f32 ffn partial accumulator
-    nk_s,         # (T16+8, D) bf16 staging for the cache-window DMA
+    xs,           # (B*T16, D) bf16 hidden state carried across the grid
+    acc,          # (B*T16, D) f32 ffn partial accumulator
+    nk_s,         # (B*(T16+8), D) bf16 staging for the cache-window DMAs
     nv_s,
     sems,         # (2,) DMA semaphores
     *,
     num_layers: int, num_heads: int, t16: int, t_real: int, cross_len: int,
-    n_chunks: int, scale: float, quant: bool, kv_quant: bool,
+    n_chunks: int, scale: float, quant: bool, kv_quant: bool, batch: int,
 ):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -201,12 +212,9 @@ def _kernel(
             * jnp.asarray(scale, x.dtype)
         k = mm(ln, kw_ref, 1).astype(x.dtype)
         v = (mm(ln, vw_ref, 2) + sp[3:4]).astype(x.dtype)
-        slab_k = sk_ref[0]                               # (S, D)
-        slab_v = sv_ref[0]
-        s_len = slab_k.shape[0]
-        off = off_ref[0, 0]
-        # Commit this chunk's K/V rows straight into the HBM cache slab
-        # (aliased output buffer): a ~24-row DMA instead of a whole-slab
+        s_len = sk_ref.shape[2]
+        # Commit each example's chunk K/V rows straight into the HBM cache
+        # slab (aliased output buffer): a ~24-row DMA instead of a whole-slab
         # dynamic_update_slice outside, which XLA lowers to a 2x45 MB copy.
         # Mosaic requires 8-aligned (sublane-tile) slice offsets on both
         # sides, so this is a read-modify-write of the aligned window
@@ -216,62 +224,78 @@ def _kernel(
         # unchanged.  init_cache over-allocates 16 rows so the window stays
         # in bounds for every caller.
         w_rows = t16 + 8
-        off_al = pl.multiple_of((off // 8) * 8, 8)
-        r = off - off_al
         row = jax.lax.broadcasted_iota(jnp.int32, (w_rows, 1), 0)
-        old_k = sk_ref[0, pl.ds(off_al, w_rows)]
-        old_v = sv_ref[0, pl.ds(off_al, w_rows)]
-        # The previous layer's commit DMA reads from the staging buffers —
-        # wait for it (same byte count, so reconstructed copy descriptors
-        # calibrate the semaphore wait) before overwriting them.  One layer
-        # of write latency thus hides under the following phases.
-        @pl.when(l > 0)
-        def _():
+        for bb in range(batch):
+            off = off_ref[0, bb]
+            off_al = pl.multiple_of((off // 8) * 8, 8)
+            r = off - off_al
+            rows_b = slice(bb * t16, bb * t16 + t16)
+            stage = slice(bb * w_rows, bb * w_rows + w_rows)
+            old_k = sk_ref[0, bb, pl.ds(off_al, w_rows)]
+            old_v = sv_ref[0, bb, pl.ds(off_al, w_rows)]
+            # The previous layer's commit DMAs read from the staging buffers —
+            # wait for them (same byte count, so reconstructed copy
+            # descriptors calibrate the semaphore wait) before overwriting.
+            # One layer of write latency thus hides under later phases.
+            @pl.when(l > 0)
+            def _(bb=bb, off_al=off_al, stage=stage):
+                pltpu.make_async_copy(
+                    nk_s.at[stage], sko_ref.at[l, bb, pl.ds(off_al, w_rows), :],
+                    sems.at[0]).wait()
+                pltpu.make_async_copy(
+                    nv_s.at[stage], svo_ref.at[l, bb, pl.ds(off_al, w_rows), :],
+                    sems.at[1]).wait()
+            for rr in range(8):
+                @pl.when(r == rr)
+                def _(rr=rr, rows_b=rows_b, stage=stage, old_k=old_k,
+                      old_v=old_v):
+                    keep = (row >= rr) & (row < rr + t_real)
+                    nk_s[stage] = jnp.where(
+                        keep, jnp.pad(k[rows_b], ((rr, 8 - rr), (0, 0))),
+                        old_k)
+                    nv_s[stage] = jnp.where(
+                        keep, jnp.pad(v[rows_b], ((rr, 8 - rr), (0, 0))),
+                        old_v)
             pltpu.make_async_copy(
-                nk_s, sko_ref.at[l, pl.ds(off_al, w_rows), :],
-                sems.at[0]).wait()
+                nk_s.at[stage], sko_ref.at[l, bb, pl.ds(off_al, w_rows), :],
+                sems.at[0]).start()
             pltpu.make_async_copy(
-                nv_s, svo_ref.at[l, pl.ds(off_al, w_rows), :],
-                sems.at[1]).wait()
-        for rr in range(8):
-            @pl.when(r == rr)
-            def _(rr=rr):
-                keep = (row >= rr) & (row < rr + t_real)
-                nk_s[:] = jnp.where(
-                    keep, jnp.pad(k, ((rr, 8 - rr), (0, 0))), old_k)
-                nv_s[:] = jnp.where(
-                    keep, jnp.pad(v, ((rr, 8 - rr), (0, 0))), old_v)
-        pltpu.make_async_copy(
-            nk_s, sko_ref.at[l, pl.ds(off_al, w_rows), :], sems.at[0]).start()
-        pltpu.make_async_copy(
-            nv_s, svo_ref.at[l, pl.ds(off_al, w_rows), :], sems.at[1]).start()
-        col = jax.lax.broadcasted_iota(jnp.int32, (t16, s_len), 1)
-        hist_bias = jnp.where(col < off, jnp.float32(0), NEG_SELF)
+                nv_s.at[stage], svo_ref.at[l, bb, pl.ds(off_al, w_rows), :],
+                sems.at[1]).start()
         cb = cbias_ref[:, :t16]                          # (T16, T16) f32
+        col = jax.lax.broadcasted_iota(jnp.int32, (t16, s_len), 1)
         outs = []
-        for h in range(num_heads):
-            sl = slice(h * dh, (h + 1) * dh)
-            qh = q[:, sl]
-            s1 = jax.lax.dot_general(
-                qh, slab_k[:, sl], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) + hist_bias
-            s2 = jax.lax.dot_general(
-                qh, k[:, sl], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) + cb
-            m = jnp.maximum(jnp.max(s1, axis=-1, keepdims=True),
-                            jnp.max(s2, axis=-1, keepdims=True))
-            p1 = jnp.exp(s1 - m)
-            p2 = jnp.exp(s2 - m)
-            den = (jnp.sum(p1, axis=-1, keepdims=True)
-                   + jnp.sum(p2, axis=-1, keepdims=True))
-            p1b = (p1 / den).astype(x.dtype)
-            p2b = (p2 / den).astype(x.dtype)
-            oh = (jnp.dot(p1b, slab_v[:, sl],
-                          preferred_element_type=jnp.float32)
-                  + jnp.dot(p2b, v[:, sl],
-                            preferred_element_type=jnp.float32))
-            outs.append(oh.astype(x.dtype))
-        attn = jnp.concatenate(outs, axis=1)             # (T16, D)
+        for bb in range(batch):
+            rows_b = slice(bb * t16, bb * t16 + t16)
+            hist_bias = jnp.where(col < off_ref[0, bb], jnp.float32(0),
+                                  NEG_SELF)
+            slab_k = sk_ref[0, bb]                       # (S, D)
+            slab_v = sv_ref[0, bb]
+            outs_h = []
+            for h in range(num_heads):
+                sl = slice(h * dh, (h + 1) * dh)
+                qh = q[rows_b, sl]
+                s1 = jax.lax.dot_general(
+                    qh, slab_k[:, sl], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) + hist_bias
+                s2 = jax.lax.dot_general(
+                    qh, k[rows_b, sl], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) + cb
+                m = jnp.maximum(jnp.max(s1, axis=-1, keepdims=True),
+                                jnp.max(s2, axis=-1, keepdims=True))
+                p1 = jnp.exp(s1 - m)
+                p2 = jnp.exp(s2 - m)
+                den = (jnp.sum(p1, axis=-1, keepdims=True)
+                       + jnp.sum(p2, axis=-1, keepdims=True))
+                p1b = (p1 / den).astype(x.dtype)
+                p2b = (p2 / den).astype(x.dtype)
+                oh = (jnp.dot(p1b, slab_v[:, sl],
+                              preferred_element_type=jnp.float32)
+                      + jnp.dot(p2b, v[rows_b, sl],
+                                preferred_element_type=jnp.float32))
+                outs_h.append(oh.astype(x.dtype))
+            outs.append(jnp.concatenate(outs_h, axis=1))
+        attn = jnp.concatenate(outs, axis=0)             # (B*T16, D)
         o = (mm(attn, ow_ref, 3) + sp[4:5]).astype(x.dtype)
         xs[:] = x + o
 
@@ -283,31 +307,37 @@ def _kernel(
         ln = _ln(x, sp[5:6], sp[6:7])
         cq = (mm(ln, cqw_ref, 4) + sp[7:8]).astype(x.dtype) \
             * jnp.asarray(scale, x.dtype)
-        ck = ck_ref[0]                                   # (H, dh, Sp)
-        cv = cv_ref[0]                                   # (H, Sp, dh)
-        sp_len = ck.shape[2]
+        sp_len = ck_ref.shape[4]
         col = jax.lax.broadcasted_iota(jnp.int32, (t16, sp_len), 1)
         cross_bias = jnp.where(col < cross_len, jnp.float32(0),
                                jnp.float32(NEG_CROSS))
         outs = []
-        for h in range(num_heads):
-            s = jnp.dot(cq[:, h * dh:(h + 1) * dh], ck[h].astype(x.dtype),
-                        preferred_element_type=jnp.float32)
-            if kv_quant:
-                # int8 cross K: per-(head, position) scales ride the scores.
-                s = s * cks_ref[0, h:h + 1, :]
-            s = s + cross_bias
-            m = jnp.max(s, axis=-1, keepdims=True)
-            e = jnp.exp(s - m)
-            pb = e / jnp.sum(e, axis=-1, keepdims=True)
-            if kv_quant:
-                # int8 cross V: dequant by scaling the probabilities — (T, Sp)
-                # elements instead of (Sp, dh); int8 V feeds the MXU directly.
-                pb = pb * cvs_ref[0, h:h + 1, :]
-            oh = jnp.dot(pb.astype(x.dtype), cv[h].astype(x.dtype),
-                         preferred_element_type=jnp.float32)
-            outs.append(oh.astype(x.dtype))
-        cross = jnp.concatenate(outs, axis=1)
+        for bb in range(batch):
+            rows_b = slice(bb * t16, bb * t16 + t16)
+            ck = ck_ref[0, bb]                           # (H, dh, Sp)
+            cv = cv_ref[0, bb]                           # (H, Sp, dh)
+            outs_h = []
+            for h in range(num_heads):
+                s = jnp.dot(cq[rows_b, h * dh:(h + 1) * dh],
+                            ck[h].astype(x.dtype),
+                            preferred_element_type=jnp.float32)
+                if kv_quant:
+                    # int8 cross K: per-(head, position) scales on the scores.
+                    s = s * cks_ref[0, bb, h:h + 1, :]
+                s = s + cross_bias
+                m = jnp.max(s, axis=-1, keepdims=True)
+                e = jnp.exp(s - m)
+                pb = e / jnp.sum(e, axis=-1, keepdims=True)
+                if kv_quant:
+                    # int8 cross V: dequant by scaling the probabilities —
+                    # (T, Sp) elements instead of (Sp, dh); int8 V feeds the
+                    # MXU directly.
+                    pb = pb * cvs_ref[0, bb, h:h + 1, :]
+                oh = jnp.dot(pb.astype(x.dtype), cv[h].astype(x.dtype),
+                             preferred_element_type=jnp.float32)
+                outs_h.append(oh.astype(x.dtype))
+            outs.append(jnp.concatenate(outs_h, axis=1))
+        cross = jnp.concatenate(outs, axis=0)            # (B*T16, D)
         o = (mm(cross, cow_ref, 5) + sp[8:9]).astype(x.dtype)
         xs[:] = x + o
 
@@ -365,12 +395,16 @@ def _kernel(
         y_ref[:] = xs[:]
         if "self" not in _SKIP:
             # Drain the last layer's outstanding cache-commit DMAs.
-            pltpu.make_async_copy(
-                nk_s, sko_ref.at[num_layers - 1, pl.ds(0, t16 + 8), :],
-                sems.at[0]).wait()
-            pltpu.make_async_copy(
-                nv_s, svo_ref.at[num_layers - 1, pl.ds(0, t16 + 8), :],
-                sems.at[1]).wait()
+            for bb in range(batch):
+                stage = slice(bb * (t16 + 8), (bb + 1) * (t16 + 8))
+                pltpu.make_async_copy(
+                    nk_s.at[stage],
+                    sko_ref.at[num_layers - 1, bb, pl.ds(0, t16 + 8), :],
+                    sems.at[0]).wait()
+                pltpu.make_async_copy(
+                    nv_s.at[stage],
+                    svo_ref.at[num_layers - 1, bb, pl.ds(0, t16 + 8), :],
+                    sems.at[1]).wait()
 
 
 def fused_decoder_layers(
@@ -378,25 +412,25 @@ def fused_decoder_layers(
     x: jnp.ndarray,              # (1, T, D) bf16 embedded inputs
     self_k: jnp.ndarray,         # (L, 1, S, H, dh)
     self_v: jnp.ndarray,
-    cross_k: jnp.ndarray,        # (L, 1, H, dh, Sp) head-major
-    cross_v: jnp.ndarray,        # (L, 1, H, Sp, dh)
-    offset: jnp.ndarray,         # () or (1,) i32 committed length
+    cross_k: jnp.ndarray,        # (L, B, H, dh, Sp) head-major
+    cross_v: jnp.ndarray,        # (L, B, H, Sp, dh)
+    offset: jnp.ndarray,         # (B,) i32 committed length per example
     chunk_bias: jnp.ndarray,     # (T, T) f32 additive intra-chunk mask
     cross_len: int,
     num_heads: int,
-    cross_k_s: jnp.ndarray = None,  # (L, 1, H, Sp) f32 int8-cross scales
+    cross_k_s: jnp.ndarray = None,  # (L, B, H, Sp) f32 int8-cross scales
     cross_v_s: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run all decoder layers over a T-token chunk with the fused kernel.
 
-    Returns (pre_norm (1, T, D), new_self_k (L, 1, S, H, dh), new_self_v ...)
+    Returns (pre_norm (B, T, D), new_self_k (L, B, S, H, dh), new_self_v ...)
     where the returned slabs are the input caches updated in place (aliased
-    buffers) with this chunk's K/V rows at ``offset``.
+    buffers) with each example's chunk K/V rows at its ``offset``.
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    nl, _, s_len, h, dh = self_k.shape
+    nl, b, s_len, h, dh = self_k.shape
     d = x.shape[-1]
     t = x.shape[1]
     t16 = 8 if t <= 8 else 16
@@ -431,9 +465,10 @@ def fused_decoder_layers(
         blocks.append(dec_layers["fc1_w"]["s"].reshape(nl, f // d, d))
     sp = jnp.concatenate(blocks, axis=1).astype(jnp.float32)
 
-    x2 = x[0]
+    x2 = x
     if t16 != t:
-        x2 = jnp.pad(x2, ((0, t16 - t), (0, 0)))
+        x2 = jnp.pad(x2, ((0, 0), (0, t16 - t), (0, 0)))
+    x2 = x2.reshape(b * t16, d)
     cb = jnp.pad(chunk_bias, ((0, t16 - t), (0, 128 - t)))
     # Padding rows/cols carry 0 bias: a padded query row attends causally via
     # garbage but its output is sliced off; padded KEY cols (j >= t) must be
@@ -441,7 +476,7 @@ def fused_decoder_layers(
     col = jax.lax.broadcasted_iota(jnp.int32, (t16, 128), 1)
     cb = jnp.where(col < t, cb, NEG_SELF)
 
-    off2 = jnp.reshape(offset, (1, 1)).astype(jnp.int32)
+    off2 = jnp.reshape(offset, (1, b)).astype(jnp.int32)
 
     grid = (nl, 2 + nch)
     L_ = nl
@@ -454,25 +489,26 @@ def fused_decoder_layers(
 
     kv_quant = cross_k_s is not None
     if kv_quant:
-        cks = cross_k_s.reshape(nl, h, sp_len).astype(jnp.float32)
-        cvs = cross_v_s.reshape(nl, h, sp_len).astype(jnp.float32)
-        s_spec = pl.BlockSpec((1, h, sp_len), lambda l, p: (at_p1(l, p), 0, 0))
+        cks = cross_k_s.reshape(nl, b, h, sp_len).astype(jnp.float32)
+        cvs = cross_v_s.reshape(nl, b, h, sp_len).astype(jnp.float32)
+        s_spec = pl.BlockSpec((1, b, h, sp_len),
+                              lambda l, p: (at_p1(l, p), 0, 0, 0))
     else:
         # Unread dummies (kv_quant=False skips them); one minimal f32 tile.
-        cks = cvs = jnp.zeros((nl, 8, 128), jnp.float32)
-        s_spec = pl.BlockSpec((1, 8, 128), lambda l, p: (0, 0, 0))
+        cks = cvs = jnp.zeros((nl, 1, 8, 128), jnp.float32)
+        s_spec = pl.BlockSpec((1, 1, 8, 128), lambda l, p: (0, 0, 0, 0))
     kern = functools.partial(
         _kernel, num_layers=nl, num_heads=num_heads, t16=t16, t_real=t,
         cross_len=cross_len, n_chunks=nch, scale=dh ** -0.5, quant=quant,
-        kv_quant=kv_quant)
+        kv_quant=kv_quant, batch=b)
     sp_rows = sp.shape[1]
 
     y, sk_new, sv_new = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((t16, d), lambda l, p: (0, 0)),
-            pl.BlockSpec((1, 1), lambda l, p: (0, 0),
+            pl.BlockSpec((b * t16, d), lambda l, p: (0, 0)),
+            pl.BlockSpec((1, b), lambda l, p: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((t16, 128), lambda l, p: (0, 0)),
             # sp is read in EVERY phase — its block index must stay on layer l
@@ -486,12 +522,12 @@ def fused_decoder_layers(
             pl.BlockSpec((1, d, d), lambda l, p: (at_p0(l, p), 0, 0)),  # o
             pl.BlockSpec((1, d, d), lambda l, p: (at_p1(l, p), 0, 0)),  # cq
             pl.BlockSpec((1, d, d), lambda l, p: (at_p1(l, p), 0, 0)),  # co
-            pl.BlockSpec((1, s_len, d), lambda l, p: (at_p0(l, p), 0, 0)),
-            pl.BlockSpec((1, s_len, d), lambda l, p: (at_p0(l, p), 0, 0)),
-            pl.BlockSpec((1, h, dh, sp_len),
-                         lambda l, p: (at_p1(l, p), 0, 0, 0)),
-            pl.BlockSpec((1, h, sp_len, dh),
-                         lambda l, p: (at_p1(l, p), 0, 0, 0)),
+            pl.BlockSpec((1, b, s_len, d), lambda l, p: (at_p0(l, p), 0, 0, 0)),
+            pl.BlockSpec((1, b, s_len, d), lambda l, p: (at_p0(l, p), 0, 0, 0)),
+            pl.BlockSpec((1, b, h, dh, sp_len),
+                         lambda l, p: (at_p1(l, p), 0, 0, 0, 0)),
+            pl.BlockSpec((1, b, h, sp_len, dh),
+                         lambda l, p: (at_p1(l, p), 0, 0, 0, 0)),
             s_spec,
             s_spec,
             pl.BlockSpec((1, d, f2),
@@ -500,23 +536,23 @@ def fused_decoder_layers(
                          lambda l, p: (l, jnp.clip(p - 2, 0, nch - 1), 0)),
         ],
         out_specs=[
-            pl.BlockSpec((t16, d), lambda l, p: (0, 0)),
+            pl.BlockSpec((b * t16, d), lambda l, p: (0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t16, d), x.dtype),
-            jax.ShapeDtypeStruct((nl, s_len, d), x.dtype),
-            jax.ShapeDtypeStruct((nl, s_len, d), x.dtype),
+            jax.ShapeDtypeStruct((b * t16, d), x.dtype),
+            jax.ShapeDtypeStruct((nl, b, s_len, d), x.dtype),
+            jax.ShapeDtypeStruct((nl, b, s_len, d), x.dtype),
         ],
         # The self-cache slabs are read as pipelined VMEM blocks (args 10/11)
         # and updated in place through the aliased HBM outputs.
         input_output_aliases={10: 1, 11: 2},
         scratch_shapes=[
-            pltpu.VMEM((t16, d), x.dtype),
-            pltpu.VMEM((t16, d), jnp.float32),
-            pltpu.VMEM((t16 + 8, d), x.dtype),
-            pltpu.VMEM((t16 + 8, d), x.dtype),
+            pltpu.VMEM((b * t16, d), x.dtype),
+            pltpu.VMEM((b * t16, d), jnp.float32),
+            pltpu.VMEM((b * (t16 + 8), d), x.dtype),
+            pltpu.VMEM((b * (t16 + 8), d), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -528,14 +564,14 @@ def fused_decoder_layers(
         wsel(dec_layers["self"]["q_w"]), wsel(dec_layers["self"]["k_w"]),
         wsel(dec_layers["self"]["v_w"]), wsel(dec_layers["self"]["o_w"]),
         wsel(dec_layers["cross"]["q_w"]), wsel(dec_layers["cross"]["o_w"]),
-        self_k.reshape(nl, s_len, d), self_v.reshape(nl, s_len, d),
-        cross_k.reshape(nl, h, dh, sp_len),
-        cross_v.reshape(nl, h, sp_len, dh),
+        self_k.reshape(nl, b, s_len, d), self_v.reshape(nl, b, s_len, d),
+        cross_k.reshape(nl, b, h, dh, sp_len),
+        cross_v.reshape(nl, b, h, sp_len, dh),
         cks, cvs,
         wsel(dec_layers["fc1_w"]),
         wsel(dec_layers["fc2_w"]),
     )
-    pre_norm = y[None, :t]
-    new_self_k = sk_new.reshape(nl, 1, s_len, num_heads, dh)
-    new_self_v = sv_new.reshape(nl, 1, s_len, num_heads, dh)
+    pre_norm = y.reshape(b, t16, d)[:, :t]
+    new_self_k = sk_new.reshape(nl, b, s_len, num_heads, dh)
+    new_self_v = sv_new.reshape(nl, b, s_len, num_heads, dh)
     return pre_norm, new_self_k, new_self_v
