@@ -313,3 +313,35 @@ def test_fuzz_tree_parity(choices, seed):
         np.testing.assert_array_equal(
             np.asarray(res_t.tokens)[i, :n], np.asarray(res_v.tokens)[i, :n],
             err_msg=f"tree {choices} diverges at lane {i}")
+
+
+@pytest.mark.parametrize("choices,seed", [((1, 2, 1, 3), 3), ((1, 3, 2), 11)])
+def test_tree_timestamps_match_vanilla(choices, seed):
+    """Timestamp rules on branching trees: per-node history comes from the
+    static parent/ancestor arrays; greedy tokens must equal the vanilla loop
+    (which evaluates the same rules one token at a time)."""
+    cfg, params, medusa_params = make_model(
+        "base_head", heads=len(choices) - 1, seed=seed, perturb_heads=0.08)
+    gen = gen_cfg(max_length=40)
+    rng = np.random.default_rng(seed)
+    mel = jnp.asarray(
+        rng.normal(size=(2, cfg.dims.num_mel_bins,
+                         2 * cfg.dims.max_source_positions)), jnp.float32)
+    enc = whisper.encode(params, cfg.dims, mel)
+    prompt = jnp.asarray(
+        np.tile(rng.integers(6, 200, (1, 3)), (2, 1)), jnp.int32)
+    # Tiny-vocab timestamp layout: treat the top quarter as timestamp tokens.
+    ts_begin = int(cfg.dims.vocab_size * 3 // 4)
+    pcfg = pcfg_for(cfg, 3, timestamp_rules=True, timestamp_begin=ts_begin,
+                    max_initial_timestamp_index=10)
+    res_t = speculative_generate(
+        params, medusa_params, cfg.dims, generate_medusa_buffers(list(choices)),
+        pcfg, gen, enc, prompt, variant="base_head")
+    res_v = speculative_generate(
+        params, medusa_params, cfg.dims, generate_medusa_buffers([1]),
+        pcfg, gen, enc, prompt, variant="base_head")
+    for i in range(2):
+        n = int(min(res_t.lengths[i], res_v.lengths[i]))
+        np.testing.assert_array_equal(
+            np.asarray(res_t.tokens)[i, :n], np.asarray(res_v.tokens)[i, :n],
+            err_msg=f"tree {choices} + timestamps diverges at lane {i}")

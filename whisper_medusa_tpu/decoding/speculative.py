@@ -315,10 +315,22 @@ def speculative_generate(
         return logits[0], logits[1:]
 
     use_ts = pcfg.timestamp_rules
+    ts_parents = ts_anc = None
     if use_ts and not buffers.is_chain:
-        raise NotImplementedError(
-            "timestamp rules require chain medusa_choices (history is "
-            "path-dependent; branching trees not supported with timestamps)")
+        # Per-node history on a branching tree is static tree structure:
+        # node n's predecessor token lives at its parent node (the ancestor one
+        # level up), and its running-max timestamp folds every ancestor-or-self
+        # (attn_mask row n).  Both are numpy at trace time.
+        import numpy as _np
+
+        pos_np = _np.asarray(buffers.position_ids)
+        mask_np = _np.asarray(buffers.attn_mask)
+        par = _np.full((n_nodes,), -1, _np.int32)
+        for n in range(1, n_nodes):
+            anc = _np.where(mask_np[n] & (pos_np == pos_np[n] - 1))[0]
+            par[n] = int(anc[0])
+        ts_parents = jnp.asarray(par)
+        ts_anc = jnp.asarray(mask_np)
 
     # Fused verification (ops/verify.py): projection + processors + argmax/
     # logsumexp/gather in one embedding stream — replaces ~30 latency-bound
@@ -425,13 +437,24 @@ def speculative_generate(
             pred_pos = s.cur_len[:, None] + pos_ids[None, :]
             proc = apply_processors(base, pred_pos, pcfg)
         if use_ts:
-            # Chain-node history: node l's last token is chunk[l], its predecessor
-            # chunk[l-1] (prev2 for the root), and the running max timestamp folds
-            # the chain prefix into the committed-state max.
-            penult_nodes = jnp.concatenate(
-                [s.prev2[:, None], s.chunk[:, :-1]], axis=1)
-            node_max_ts = jnp.maximum(
-                s.max_ts[:, None], lax.cummax(ts_val(s.chunk), axis=1))
+            if buffers.is_chain:
+                # Chain-node history: node l's last token is chunk[l], its
+                # predecessor chunk[l-1] (prev2 for the root), and the running
+                # max timestamp folds the chain prefix into the committed max.
+                penult_nodes = jnp.concatenate(
+                    [s.prev2[:, None], s.chunk[:, :-1]], axis=1)
+                node_max_ts = jnp.maximum(
+                    s.max_ts[:, None], lax.cummax(ts_val(s.chunk), axis=1))
+            else:
+                # Tree-node history via the static parent / ancestor arrays.
+                penult_nodes = jnp.where(
+                    ts_parents[None, :] >= 0,
+                    jnp.take(s.chunk, jnp.clip(ts_parents, 0), axis=1),
+                    s.prev2[:, None])
+                ts_chunk = ts_val(s.chunk)                    # (B, N)
+                path_max = jnp.max(
+                    jnp.where(ts_anc[None], ts_chunk[:, None, :], 0), axis=2)
+                node_max_ts = jnp.maximum(s.max_ts[:, None], path_max)
             proc = apply_timestamp_rules(
                 proc, pred_pos, s.chunk, penult_nodes, node_max_ts, pcfg)
 
