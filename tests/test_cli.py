@@ -79,3 +79,21 @@ def test_train_then_eval_cli(data_csv, tmp_path):
     df = pd.read_csv(results)
     assert set(df.columns) >= {"audio", "label", "prediction", "wer", "cer"}
     assert len(df) == 4
+
+    # int8 serving mode through the same CLI surface.
+    results8 = str(tmp_path / "results_int8.csv")
+    summary8 = eval_cli.evaluate_model(type("A", (), dict(
+        model_name=f"{out}/model_components",
+        data_path=data_csv,
+        out_file_path=results8,
+        language="en",
+        batch_size=2,
+        max_length=12,
+        disable_medusa=False,
+        regulation_start=140,
+        regulation_factor=1.0,
+        tokenizer_path=None,
+        param_dtype="float32",
+        int8=True,
+    )))
+    assert summary8["tokens_per_second"] > 0

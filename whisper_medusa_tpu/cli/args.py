@@ -106,4 +106,8 @@ def add_eval_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--param-dtype", default="bfloat16")
     p.add_argument("--num-beams", type=int, default=1,
                    help=">1 switches to vanilla beam search (beyond reference)")
+    p.add_argument("--int8", type=str2bool, default=False,
+                   help="int8 weight-only serving mode (model.quantize(): "
+                        "decoder weights, tied embedding, and cross-KV cache "
+                        "stream from HBM as int8)")
     add_mesh_args(p)

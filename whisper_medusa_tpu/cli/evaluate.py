@@ -30,6 +30,9 @@ def evaluate_model(args) -> dict:
     df = pd.read_csv(args.data_path).fillna("")
     model = WhisperMedusaModel.from_pretrained(args.model_name,
                                                dtype=args.param_dtype)
+    if getattr(args, "int8", False):
+        model = model.quantize()
+        logger.info("int8 weight-only serving mode")
     from whisper_medusa_tpu.cli.args import make_mesh_from_args
 
     mesh = make_mesh_from_args(args)
