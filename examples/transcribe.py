@@ -22,6 +22,9 @@ def main():
                    help="random tiny model + synthetic audio")
     p.add_argument("--timestamps", action="store_true")
     p.add_argument("--stream", action="store_true")
+    p.add_argument("--int8", action="store_true",
+                   help="int8 weight-only serving mode (halves decode HBM "
+                        "traffic; see model.quantize())")
     args = p.parse_args()
 
     from whisper_medusa_tpu import WhisperMedusaModel, WhisperMedusaProcessor, tiny_test_config
@@ -42,6 +45,9 @@ def main():
 
         wav, sr = load_wav(args.audio)
         wav = resample(wav, sr)
+
+    if args.int8:
+        model = model.quantize()
 
     feats = processor(wav)
     if args.demo:

@@ -170,7 +170,8 @@ def _kernel(
     acc,          # (B*T16, D) f32 ffn partial accumulator
     nk_s,         # (B*(T16+8), D) bf16 staging for the cache-window DMAs
     nv_s,
-    sems,         # (2,) DMA semaphores
+    sems,         # (2, B) DMA semaphores — one pair per example, so every
+                  # wait matches exactly the copy it calibrates against
     *,
     num_layers: int, num_heads: int, t16: int, t_real: int, cross_len: int,
     n_chunks: int, scale: float, quant: bool, kv_quant: bool, batch: int,
@@ -241,10 +242,10 @@ def _kernel(
             def _(bb=bb, off_al=off_al, stage=stage):
                 pltpu.make_async_copy(
                     nk_s.at[stage], sko_ref.at[l, bb, pl.ds(off_al, w_rows), :],
-                    sems.at[0]).wait()
+                    sems.at[0, bb]).wait()
                 pltpu.make_async_copy(
                     nv_s.at[stage], svo_ref.at[l, bb, pl.ds(off_al, w_rows), :],
-                    sems.at[1]).wait()
+                    sems.at[1, bb]).wait()
             for rr in range(8):
                 @pl.when(r == rr)
                 def _(rr=rr, rows_b=rows_b, stage=stage, old_k=old_k,
@@ -258,10 +259,10 @@ def _kernel(
                         old_v)
             pltpu.make_async_copy(
                 nk_s.at[stage], sko_ref.at[l, bb, pl.ds(off_al, w_rows), :],
-                sems.at[0]).start()
+                sems.at[0, bb]).start()
             pltpu.make_async_copy(
                 nv_s.at[stage], svo_ref.at[l, bb, pl.ds(off_al, w_rows), :],
-                sems.at[1]).start()
+                sems.at[1, bb]).start()
         cb = cbias_ref[:, :t16]                          # (T16, T16) f32
         col = jax.lax.broadcasted_iota(jnp.int32, (t16, s_len), 1)
         outs = []
@@ -400,11 +401,11 @@ def _kernel(
                 pltpu.make_async_copy(
                     nk_s.at[stage],
                     sko_ref.at[num_layers - 1, bb, pl.ds(0, t16 + 8), :],
-                    sems.at[0]).wait()
+                    sems.at[0, bb]).wait()
                 pltpu.make_async_copy(
                     nv_s.at[stage],
                     svo_ref.at[num_layers - 1, bb, pl.ds(0, t16 + 8), :],
-                    sems.at[1]).wait()
+                    sems.at[1, bb]).wait()
 
 
 def fused_decoder_layers(
@@ -553,7 +554,7 @@ def fused_decoder_layers(
             pltpu.VMEM((b * t16, d), jnp.float32),
             pltpu.VMEM((b * (t16 + 8), d), x.dtype),
             pltpu.VMEM((b * (t16 + 8), d), x.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, b)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
