@@ -171,3 +171,34 @@ def test_rows_match_quantized_embedding(v):
     np.testing.assert_allclose(np.asarray(lse),
                                np.asarray(jax.nn.logsumexp(proc, axis=-1)),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_spec_loop_fused_matches_unfused_batch2():
+    """The fused verification path also covers B=2 (stacked example rows)."""
+    dims, med, wp, mp = _tiny_aligned_model()
+    enc = (jax.random.normal(jax.random.PRNGKey(5), (2, 32, dims.d_model))
+           .astype(jnp.bfloat16))
+    buffers = generate_medusa_buffers(list(med.medusa_choices))
+    pcfg = ProcessorConfig(vocab_size=dims.vocab_size,
+                           suppress_tokens=(5, 6, 7),
+                           begin_suppress_tokens=(11,), begin_index=2,
+                           eos_token_id=3)
+    gen = GenerationConfig(max_length=24, eos_token_id=3, pad_token_id=3)
+    prompt = jnp.asarray([[1, 2], [4, 2]], jnp.int32)
+
+    res_fused = speculative_generate(wp, mp, dims, buffers, pcfg, gen, enc,
+                                     prompt, variant="base_head")
+    old = verify_mod._ENABLED
+    verify_mod._ENABLED = False
+    try:
+        res_ref = speculative_generate(wp, mp, dims, buffers, pcfg, gen, enc,
+                                       prompt, variant="base_head")
+    finally:
+        verify_mod._ENABLED = old
+    np.testing.assert_array_equal(np.asarray(res_fused.tokens),
+                                  np.asarray(res_ref.tokens))
+    np.testing.assert_array_equal(np.asarray(res_fused.accepted),
+                                  np.asarray(res_ref.accepted))
+    np.testing.assert_allclose(np.asarray(res_fused.logprobs),
+                               np.asarray(res_ref.logprobs),
+                               rtol=2e-4, atol=2e-4)

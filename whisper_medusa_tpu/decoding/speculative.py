@@ -338,9 +338,10 @@ def speculative_generate(
     # (per-level top-k), sampling and timestamp rules keep the unfused path.
     from whisper_medusa_tpu.ops import verify as verify_mod
 
-    n_score_rows = (num_heads + 1 if draft_params is not None else 1) * n_nodes
+    n_score_rows = (num_heads + 1 if draft_params is not None
+                    else 1) * n_nodes * b
     use_fused_verify = (
-        greedy and not sample and not use_ts and buffers.is_chain and b == 1
+        greedy and not sample and not use_ts and buffers.is_chain and b <= 2
         and verify_mod.available(
             n_score_rows, dims.vocab_size, dims.d_model))
     sup_masks = verify_mod.masks_for(pcfg) if use_fused_verify else None
@@ -414,23 +415,29 @@ def speculative_generate(
         am = mx = lse = gth = draft_all = proc = None
         kp1 = num_heads + 1 if draft_params is not None else 1
         if use_fused_verify:
-            stacked = stack_rows(hidden, out.block_hidden)    # (kp1, 1, N, D)
-            rows = stacked.reshape(kp1 * n_nodes, dims.d_model)
-            # Row (k, n) predicts absolute position cur_len + n + k: the k=0
-            # verification row for node n, and — because on a chain the
+            stacked = stack_rows(hidden, out.block_hidden)    # (kp1, B, N, D)
+            rows = stacked.reshape(kp1 * b * n_nodes, dims.d_model)
+            # Row (k, e, n) predicts absolute position cur_len[e] + n + k: the
+            # k=0 verification row for node n, and — because on a chain the
             # accepted node IS the accept length — head k's draft lands at
             # new_len + (k-1) = cur_len + n + k when node n is accepted.
-            pos_rows = (s.cur_len[0] + pos_ids[None, :]
-                        + jnp.arange(kp1, dtype=jnp.int32)[:, None]).reshape(-1)
+            pos_rows = (s.cur_len[None, :, None] + pos_ids[None, None, :]
+                        + jnp.arange(kp1, dtype=jnp.int32)[:, None, None]
+                        ).reshape(-1)
             gcol_nodes = jnp.concatenate(
-                [s.chunk[0, 1:], jnp.zeros((1,), jnp.int32)])
+                [s.chunk[:, 1:], jnp.zeros((b, 1), jnp.int32)], axis=1)
             gcol_rows = jnp.concatenate(
-                [gcol_nodes, jnp.zeros(((kp1 - 1) * n_nodes,), jnp.int32)])
+                [gcol_nodes.reshape(-1),
+                 jnp.zeros(((kp1 - 1) * b * n_nodes,), jnp.int32)])
             am, mx, lse, gth = verify_mod.verify_rows(
                 rows, params["decoder"]["embed_tokens"], pos_rows, gcol_rows,
                 sup_masks, begin_index=pcfg.begin_index,
                 eos_id=pcfg.eos_token_id,
                 decay=pcfg.exponential_decay_length_penalty)
+            am = am.reshape(kp1, b, n_nodes)
+            mx = mx.reshape(kp1, b, n_nodes)
+            lse = lse.reshape(kp1, b, n_nodes)
+            gth = gth.reshape(kp1, b, n_nodes)
         else:
             base, draft_all = fused_verify_and_draft_logits(
                 hidden, out.block_hidden)
@@ -459,7 +466,7 @@ def speculative_generate(
                 proc, pred_pos, s.chunk, penult_nodes, node_max_ts, pcfg)
 
         if use_fused_verify:
-            nxt = am[:n_nodes][None].astype(jnp.int32)
+            nxt = am[0].astype(jnp.int32)                     # (B, N)
             best, accept, ptok, pnxt = _greedy_accept(s.chunk, nxt, retrieve)
         elif greedy:
             nxt = jnp.argmax(proc, axis=-1).astype(jnp.int32)
@@ -502,10 +509,11 @@ def speculative_generate(
         if use_fused_verify:
             # Accepted draft i == chunk[i+1] == the gathered column of node i;
             # the bonus token IS node `accept`'s argmax (its row max).
-            node_base = gth[:n_nodes] - lse[:n_nodes]
-            node_bonus = mx[:n_nodes] - lse[:n_nodes]
-            win_lp = jnp.where(idx[0] < accept[0], node_base,
-                               jnp.take(node_bonus, accept[0]))[None]
+            node_base = gth[0] - lse[0]                       # (B, N)
+            node_bonus = mx[0] - lse[0]
+            bonus_lp = jnp.take_along_axis(
+                node_bonus, accept[:, None], axis=1)          # (B, 1)
+            win_lp = jnp.where(idx < accept[:, None], node_base, bonus_lp)
             win_lp = jnp.where(idx <= accept[:, None], win_lp, 0.0)
         else:
             lp_all = jax.nn.log_softmax(proc, axis=-1)        # (B, N, V)
@@ -533,8 +541,9 @@ def speculative_generate(
         if use_fused_verify and draft_params is not None:
             # Chain: accepted node index == accept; head k's draft is that
             # node's processed-argmax, already computed in the kernel.
-            draft_am = am[n_nodes:].reshape(kp1 - 1, n_nodes)
-            drafts = jnp.take(draft_am, accept[0], axis=1)[None]  # (1, K)
+            draft_am = jnp.transpose(am[1:], (1, 0, 2))       # (B, K, N)
+            drafts = jnp.take_along_axis(
+                draft_am, accept[:, None, None], axis=2)[:, :, 0]  # (B, K)
             drafts = drafts.astype(jnp.int32)
             if draft_corruption is not None:
                 u = jax.random.uniform(
