@@ -31,7 +31,7 @@ layernorm/softmax/accumulation, bf16 operands, f32 GELU via the same erf
 approximation as ops/decode_kernels.py) so the fused and scan paths agree to
 bf16 rounding.  Inference-only; autodiff uses the teacher-forced path.
 
-Scope (callers gate via :func:`available`): B <= 2 (bf16) / B <= 4 (int8),
+Scope (callers gate via :func:`available`): B <= 2,
 T <= 16 new tokens, bf16 weights or the int8 serving mode
 (ops/qmm.py::quantize_decoder — int8 tiles dequantize in VMEM and
 per-output-channel scales ride the packed small-params block, halving the
