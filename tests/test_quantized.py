@@ -109,3 +109,16 @@ def test_quantized_streaming():
     chunks = list(qmodel.generate_stream(f, language="en", max_length=20,
                                          chunk_tokens=5))
     assert chunks[-1][2]  # finished
+
+
+def test_quantized_beam_search_runs():
+    """int8 serving mode composes with beam search — the beam loop reads the
+    int8 cross cache (per-example scales, beam-folded queries)."""
+    cfg = tiny_test_config(vocab_size=51865, medusa_num_heads=3)
+    model = WhisperMedusaModel.from_random(cfg, seed=0).quantize()
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(2, cfg.dims.num_mel_bins,
+                             cfg.dims.num_frames)).astype(np.float32)
+    out = model.generate(feats, language="en", max_length=16, num_beams=2)
+    assert out.sequences.shape[0] == 2
+    assert (out.lengths > 4).all()
