@@ -122,3 +122,22 @@ def test_quantized_beam_search_runs():
     out = model.generate(feats, language="en", max_length=16, num_beams=2)
     assert out.sequences.shape[0] == 2
     assert (out.lengths > 4).all()
+
+
+def test_quantized_longform_timestamps():
+    """int8 serving mode composes with the longform seek loop + timestamps
+    (each 30 s window builds a fresh int8 cross cache)."""
+    from whisper_medusa_tpu.ops.mel import log_mel_spectrogram_np
+
+    cfg = tiny_test_config(vocab_size=51865, medusa_num_heads=3)
+    model = WhisperMedusaModel.from_random(cfg, seed=2).quantize()
+    rng = np.random.default_rng(5)
+    # tiny config: num_frames windows << 30 s, so a few windows of audio
+    n = cfg.dims.num_frames
+    wav = (0.1 * rng.normal(size=(1, 160 * (3 * n + n // 2)))).astype(np.float32)
+    feats = log_mel_spectrogram_np(wav, n_mels=cfg.dims.num_mel_bins)
+    assert feats.shape[-1] > n
+    out = model.generate(feats, language="en", max_length=16,
+                         return_timestamps=True)
+    assert out.segments is not None
+    assert out.sequences.shape[0] == 1

@@ -93,7 +93,8 @@ def available(dec_layers: Params, d_model: int, num_heads: int, b: int, t: int,
     Batch: the kernel owns the latency-serving end, B <= 2; larger batches
     amortize the weight stream across rows in the XLA scan.  (B = 3-4 int8
     compiles and passes single steps, but the full while_loop program
-    reproducibly faults the v5e TPU worker — cap until root-caused;
+    reproducibly faults the v5e TPU worker — per-example semaphores and a
+    reduced WM_MEGASTEP_VMEM_MB both ruled out; cap until root-caused.
     WM_MEGASTEP_MAX_B overrides for experiments.)
     """
     if not (_ENABLED and (_on_tpu() or _INTERPRET)):
@@ -558,7 +559,8 @@ def fused_decoder_layers(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=128 * 1024 * 1024),
+            vmem_limit_bytes=int(os.environ.get(
+                "WM_MEGASTEP_VMEM_MB", "128")) * 1024 * 1024),
         interpret=_INTERPRET,
     )(
         x2, off2, cb, sp,
