@@ -208,3 +208,50 @@ def test_trainer_runs_on_mesh(tmp_path):
         tr.train()
         losses[name] = [s.get("loss") for _, s in tr.history if "loss" in s]
     np.testing.assert_allclose(losses["single"], losses["mesh"], rtol=1e-5)
+
+
+def test_sharded_quantized_decode_matches_single_device():
+    """int8 serving mode + DP/TP mesh: the {"q","s"} weight dicts get
+    quantization-aware specs (scales keep the surviving sharded axis)."""
+    from whisper_medusa_tpu.ops.qmm import quantize_decoder
+
+    mesh = mesh_mod.make_mesh(8)
+    tp = mesh.devices.shape[1]
+    cfg, params = _model_for_mesh(tp)
+    wq, mq = quantize_decoder(params["whisper"], params["medusa"])
+    qparams = {"whisper": wq, "medusa": mq}
+    rng = np.random.default_rng(1)
+    b = 2
+    feats = jnp.asarray(
+        rng.normal(size=(b, cfg.dims.num_mel_bins, cfg.dims.num_frames)),
+        jnp.float32)
+    prompt = jnp.asarray(np.tile(rng.integers(6, 64, (1, 3)), (b, 1)), jnp.int32)
+    pcfg = ProcessorConfig(vocab_size=cfg.dims.vocab_size, begin_index=3,
+                           eos_token_id=5)
+    from whisper_medusa_tpu.config import GenerationConfig
+    gen = GenerationConfig(max_length=24, eos_token_id=5, pad_token_id=5,
+                           suppress_tokens=None, begin_suppress_tokens=None)
+    buffers = generate_medusa_buffers(cfg.medusa.medusa_choices)
+
+    enc = whisper.encode(wq, cfg.dims, feats)
+    res_single = speculative_generate(
+        wq, mq, cfg.dims, buffers, pcfg, gen, enc, prompt,
+        variant="base_head")
+
+    sharded = mesh_mod.shard_params(qparams, mesh)
+    dsh = mesh_mod.data_sharding(mesh)
+    feats_s = jax.device_put(feats, dsh)
+    prompt_s = jax.device_put(prompt, dsh)
+
+    @jax.jit
+    def run(wp, mp, feats, prompt):
+        enc = whisper.encode(wp, cfg.dims, feats)
+        return speculative_generate(
+            wp, mp, cfg.dims, buffers, pcfg, gen, enc, prompt,
+            variant="base_head")
+
+    with jax.set_mesh(mesh):
+        res_sharded = run(sharded["whisper"], sharded["medusa"],
+                          feats_s, prompt_s)
+    np.testing.assert_array_equal(
+        np.asarray(res_single.tokens), np.asarray(res_sharded.tokens))

@@ -108,6 +108,8 @@ def whisper_param_specs(params: Params, tp: int = 1) -> Params:
     vocab = None
     if params:
         emb = params.get("decoder", {}).get("embed_tokens")
+        if isinstance(emb, dict):          # int8 serving mode ({"q","s"})
+            emb = emb["q"]
         if emb is not None:
             vocab = emb.shape[0]
     embed_spec = P(MODEL_AXIS, None) if (vocab is None or tp <= 1
@@ -155,11 +157,46 @@ def model_param_specs(params: Params, tp: int = 1) -> Params:
     return specs
 
 
+def _is_qdict(x) -> bool:
+    return isinstance(x, dict) and set(x.keys()) == {"q", "s"}
+
+
+def _quantized_specs(params, specs):
+    """Expand weight specs over int8 ``{"q", "s"}`` dicts (ops/qmm.py).
+
+    The int8 tensor keeps the full-precision weight's spec; the scale vector
+    keeps whichever of those axes survive in its (contraction-axis-dropped)
+    shape — e.g. a head-sharded ``q_w`` (L, D, D*)@(None, None, model) gets
+    scales (L, D*)@(None, model), while the row-quantized embedding drops the
+    trailing axis."""
+    if isinstance(specs, P):
+        if _is_qdict(params):
+            q, s = params["q"], params["s"]
+            padded = list(specs) + [None] * (q.ndim - len(specs))
+            if q.shape[:-2] + q.shape[-1:] == s.shape:      # weights: drop -2
+                s_spec = P(*(padded[:-2] + padded[-1:]))
+            elif q.shape[:-1] == s.shape:                   # embedding: drop -1
+                s_spec = P(*padded[:-1])
+            else:
+                s_spec = P()
+            return {"q": specs, "s": s_spec}
+        return specs
+    if isinstance(specs, dict):
+        return {k: _quantized_specs(
+            params.get(k) if isinstance(params, dict) else None, v)
+            for k, v in specs.items()}
+    return specs
+
+
 def shard_params(params: Params, mesh: Mesh) -> Params:
-    """Place a params pytree onto the mesh with the standard TP shardings."""
+    """Place a params pytree onto the mesh with the standard TP shardings.
+
+    Handles both the bf16 tree and the int8 serving-mode tree (weights as
+    ``{"q", "s"}`` dicts)."""
     tp = int(mesh.devices.shape[1])
     specs = model_param_specs(params, tp) if "whisper" in params else \
         whisper_param_specs(params, tp)
+    specs = _quantized_specs(params, specs)
     return jax.tree.map(
         lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), params, specs,
         is_leaf=lambda x: not isinstance(x, dict))
