@@ -255,3 +255,18 @@ def test_sharded_quantized_decode_matches_single_device():
                           feats_s, prompt_s)
     np.testing.assert_array_equal(
         np.asarray(res_single.tokens), np.asarray(res_sharded.tokens))
+
+
+def test_model_quantize_then_shard_api():
+    """Product surface: model.quantize().shard(dp=, tp=) places the int8 tree."""
+    from whisper_medusa_tpu.config import tiny_test_config
+    from whisper_medusa_tpu.models.api import WhisperMedusaModel
+
+    cfg = tiny_test_config(vocab_size=51865, medusa_num_heads=3)
+    model = WhisperMedusaModel.from_random(cfg, seed=0).quantize()
+    model.shard(dp=4, tp=2)
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(4, cfg.dims.num_mel_bins,
+                             cfg.dims.num_frames)).astype(np.float32)
+    out = model.generate(feats, language="en", max_length=12)
+    assert out.sequences.shape[0] == 4
