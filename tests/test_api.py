@@ -281,3 +281,60 @@ def test_longform_batched_matches_sequential(tiny_model):
         np.testing.assert_array_equal(
             out_b.sequences[i, :out_b.lengths[i]], seqs[i])
         assert out_b.segments[i] == segs[i]
+
+
+def test_fallback_subset_retry_and_provenance(tiny_model):
+    """Mixed-keep batch: the example kept at rung 0 must return rung-0 tokens,
+    logprobs, accepted counts, and steps; the retry decodes ONLY the failing
+    subset (reference subset retry, model.py:1991-2005)."""
+    f = _feats(tiny_model.config, seed=29)
+    base = tiny_model.generate(f, language="en", max_length=20)
+    lo, hi = sorted(np.asarray(base.avg_logprobs, np.float64))
+    if hi - lo < 1e-5:
+        pytest.skip("examples' avg logprobs coincide; cannot split the batch")
+    mid = float((lo + hi) / 2)
+    pass_i = int(np.argmax(base.avg_logprobs))
+    fail_i = 1 - pass_i
+    before = set(tiny_model._jit_cache)
+    out = tiny_model.generate(f, language="en", max_length=20,
+                              temperature=(0.0, 0.5), logprob_threshold=mid,
+                              seed=7)
+    # Rung-0 provenance for the kept example: identical to the single-rung run.
+    np.testing.assert_array_equal(out.sequences[pass_i], base.sequences[pass_i])
+    np.testing.assert_array_equal(out.token_logprobs[pass_i],
+                                  base.token_logprobs[pass_i])
+    assert out.accepted[pass_i] == base.accepted[pass_i]
+    assert out.steps_per_example[pass_i] == base.steps
+    # Total steps spans both rungs; per-example steps come from each own rung.
+    assert out.steps >= int(out.steps_per_example.max())
+    # avg_logprobs must be recomputed from each example's OWN rung logprobs.
+    for i in (pass_i, fail_i):
+        gen_lp = out.token_logprobs[i, 4: out.lengths[i]]
+        manual = gen_lp.mean() if gen_lp.size else 0.0
+        np.testing.assert_allclose(out.avg_logprobs[i], manual, rtol=1e-5)
+    # The retry rung decoded a batch-1 (sampled) subset, not the full batch.
+    new = set(tiny_model._jit_cache) - before
+    assert any(isinstance(k, tuple) and k and k[0] == "decode"
+               and k[5][0] == 1 and k[-1] is True for k in new), new
+
+
+def test_longform_no_speech_threshold(tiny_model):
+    """no_speech_threshold composes with the >30s seek loop: silent windows are
+    skipped (full-window advance, no tokens, no segments)."""
+    from whisper_medusa_tpu.ops.mel import log_mel_spectrogram_np
+
+    rng = np.random.default_rng(31)
+    wav = (0.1 * rng.normal(size=(1, 16000 * 90))).astype(np.float32)
+    feats = log_mel_spectrogram_np(
+        wav, n_mels=tiny_model.config.dims.num_mel_bins)
+    assert feats.shape[-1] == 9000
+    voiced = tiny_model.generate(feats, language="en", max_length=20)
+    assert voiced.lengths[0] > 0
+    # Threshold below every probability -> every window silent -> empty output.
+    silent = tiny_model.generate(feats, language="en", max_length=20,
+                                 no_speech_threshold=-1.0)
+    assert silent.lengths[0] == 0
+    silent_ts = tiny_model.generate(feats, language="en", max_length=20,
+                                    no_speech_threshold=-1.0,
+                                    return_timestamps=True)
+    assert silent_ts.segments == [[]]

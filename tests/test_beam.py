@@ -146,3 +146,22 @@ def test_cross_kv_deduped_across_beams():
     out_rep, _ = w.decode_step(params, cfg.dims, toks, cache_rep, off)
     np.testing.assert_allclose(np.asarray(out_fold.hidden),
                                np.asarray(out_rep.hidden), atol=1e-5)
+
+
+def test_beam_per_example_language():
+    """A per-example language list reaches each beam row's init tokens
+    (the greedy path has handled this all along; beams must match)."""
+    from whisper_medusa_tpu.config import language_token_id
+    from whisper_medusa_tpu.models.api import WhisperMedusaModel
+
+    cfg = tiny_test_config(vocab_size=51865, medusa_num_heads=2)
+    model = WhisperMedusaModel.from_random(cfg, seed=2)
+    rng = np.random.default_rng(2)
+    f = rng.normal(size=(2, cfg.dims.num_mel_bins, cfg.dims.num_frames)).astype(
+        np.float32)
+    out = model.generate(f, language=["en", "fr"], max_length=16, num_beams=2)
+    st = model.special
+    assert out.sequences[0, 1] == language_token_id("en", st)
+    assert out.sequences[1, 1] == language_token_id("fr", st)
+    with pytest.raises(ValueError):
+        model.generate(f, language=["en"], max_length=16, num_beams=2)

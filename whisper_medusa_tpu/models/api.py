@@ -49,7 +49,7 @@ Params = Dict[str, Any]
 class GenerateOutput:
     sequences: np.ndarray          # (B, <=max_length) int32, EOS backfilled
     lengths: np.ndarray            # (B,)
-    steps: int                     # decoder loop iterations (last fallback round)
+    steps: int                     # decoder loop iterations (all fallback rounds)
     accepted: np.ndarray           # (B,) accepted draft tokens
     mean_accept_length: float      # accepted drafts per step — *the* speedup metric
     detected_language: Optional[List[str]] = None
@@ -57,6 +57,10 @@ class GenerateOutput:
     no_speech_probs: Optional[np.ndarray] = None  # (B,) prob of <|nospeech|>
     token_logprobs: Optional[np.ndarray] = None   # (B, max_length) per-token scores
     avg_logprobs: Optional[np.ndarray] = None     # (B,) mean generated-token logprob
+    # Loop iterations of the fallback rung that produced each kept sequence —
+    # per-example provenance for accepted/token_logprobs (the reference keeps
+    # per-segment scores the same way, model.py:1929-1969).
+    steps_per_example: Optional[np.ndarray] = None  # (B,)
 
 
 class WhisperMedusaModel:
@@ -310,6 +314,7 @@ class WhisperMedusaModel:
                 temperature=temperature,
                 compression_ratio_threshold=compression_ratio_threshold,
                 logprob_threshold=logprob_threshold,
+                no_speech_threshold=no_speech_threshold,
                 return_timestamps=return_timestamps,
                 time_precision=time_precision,
                 condition_on_prev_tokens=condition_on_prev_tokens)
@@ -380,10 +385,18 @@ class WhisperMedusaModel:
 
         temps = (temperature,) if isinstance(temperature, (int, float)) else tuple(temperature)
 
-        result = None
+        # Temperature-fallback ladder with *subset retry* and per-example result
+        # provenance (the reference re-generates only the failing sequences and
+        # keeps per-segment scores, model.py:1991-2005, 1929-1969): after the
+        # first rung only the still-failing examples are re-decoded — gathered
+        # into a power-of-two bucket so the jit cache stays bounded — and every
+        # returned metric (tokens, lengths, logprobs, accepted, steps, no-speech
+        # logits) comes from the rung that produced that example's kept sequence.
         keep = np.zeros((b,), bool)
-        final_tokens = None
+        merged: Dict[str, np.ndarray] = {}
+        steps_total = 0
         for t_i, temp in enumerate(temps):
+            fail = np.arange(b) if t_i == 0 else np.where(~keep)[0]
             gen = GenerationConfig(
                 max_length=max_length,
                 temperature=float(temp),
@@ -401,39 +414,61 @@ class WhisperMedusaModel:
             # stochastic retry can escape the failure mode that triggered fallback.
             rng = (jax.random.fold_in(jax.random.PRNGKey(seed), t_i)
                    if float(temp) > 0.0 else None)
-            result = self._run_decode(choices, variant, pcfg, gen, enc_out,
-                                      jnp.asarray(prompt), rng=rng)
-            toks = np.asarray(result.tokens)
-            if final_tokens is None:
-                final_tokens = toks.copy()
-                lengths = np.asarray(result.lengths).copy()
+            if t_i == 0:
+                sub_enc, sub_prompt = enc_out, prompt
             else:
-                final_tokens[~keep] = toks[~keep]
-                lengths[~keep] = np.asarray(result.lengths)[~keep]
-            avg_lp = _avg_from_captured(
-                np.asarray(result.logprobs), np.asarray(result.lengths),
-                prompt.shape[1])
-            ok = ~_needs_fallback(
-                toks, np.asarray(result.lengths), prompt.shape[1],
+                bucket = 1 << (len(fail) - 1).bit_length()
+                rows_idx = np.concatenate(
+                    [fail, np.full((bucket - len(fail),), fail[0])])
+                sub_enc = jnp.take(enc_out, rows_idx, axis=0)
+                sub_prompt = prompt[rows_idx]
+            result = self._run_decode(choices, variant, pcfg, gen, sub_enc,
+                                      jnp.asarray(sub_prompt), rng=rng)
+            steps_total += int(result.steps)
+            rows = {
+                "tokens": np.asarray(result.tokens),
+                "lengths": np.asarray(result.lengths),
+                "logprobs": np.asarray(result.logprobs),
+                "accepted": np.asarray(result.accepted),
+                "steps": np.full((np.asarray(result.lengths).shape[0],),
+                                 int(result.steps), np.int64),
+            }
+            if result.first_logits is not None:
+                rows["first_logits"] = np.asarray(result.first_logits,
+                                                  np.float32)
+            if t_i == 0:
+                merged = {k: v.copy() for k, v in rows.items()}
+            else:
+                for k, v in rows.items():
+                    merged[k][fail] = v[: len(fail)]
+            avg_lp = _avg_from_captured(rows["logprobs"], rows["lengths"],
+                                        prompt.shape[1])
+            bad = _needs_fallback(
+                rows["tokens"], rows["lengths"], prompt.shape[1],
                 compression_ratio_threshold, avg_lp, logprob_threshold,
                 vocab_size=cfg.dims.vocab_size)
-            keep |= ok
-            if keep.all() or t_i == len(temps) - 1:
+            keep[fail] = ~bad[: len(fail)]
+            if keep.all():
                 break
 
-        mean_acc = float(np.asarray(result.accepted).sum()) / max(int(result.steps), 1)
+        final_tokens = merged["tokens"]
+        lengths = merged["lengths"]
+        # Accepted drafts per step, each example scored against its own rung's
+        # loop count (collapses to accepted.sum()/steps when no fallback ran).
+        mean_acc = float(np.sum(merged["accepted"]
+                                / np.maximum(merged["steps"], 1)))
         # No-speech detection (the reference raises NotImplementedError here,
         # model.py:1201-1205): prob of <|nospeech|> at the first decode position;
         # a segment counts as silence when it exceeds the threshold and the average
         # logprob is below logprob_threshold (HF semantics).
         no_speech_probs = None
-        if result.first_logits is not None:
-            fl = np.asarray(result.first_logits, np.float32)
+        if "first_logits" in merged:
+            fl = merged["first_logits"]
             p = np.exp(fl - fl.max(-1, keepdims=True))
             p /= p.sum(-1, keepdims=True)
             no_speech_probs = p[:, st.no_speech]
         final_avg_lp = _avg_from_captured(
-            np.asarray(result.logprobs), lengths, prompt.shape[1])
+            merged["logprobs"], lengths, prompt.shape[1])
         if no_speech_threshold is not None and no_speech_probs is not None:
             silent = no_speech_probs > no_speech_threshold
             if logprob_threshold is not None:
@@ -451,21 +486,23 @@ class WhisperMedusaModel:
         return GenerateOutput(
             sequences=final_tokens,
             lengths=lengths,
-            steps=int(result.steps),
-            accepted=np.asarray(result.accepted),
+            steps=steps_total,
+            accepted=merged["accepted"],
             mean_accept_length=mean_acc,
             detected_language=detected,
             segments=segments,
             no_speech_probs=no_speech_probs,
-            token_logprobs=np.asarray(result.logprobs),
+            token_logprobs=merged["logprobs"],
             avg_logprobs=final_avg_lp,
+            steps_per_example=merged["steps"],
         )
 
     def _generate_longform(
         self, feats, *, language, task, max_length, medusa_choices,
         disable_medusa, exponential_decay_length_penalty, temperature,
-        compression_ratio_threshold, logprob_threshold, return_timestamps,
-        time_precision, condition_on_prev_tokens: bool = False,
+        compression_ratio_threshold, logprob_threshold,
+        no_speech_threshold=None, return_timestamps=False,
+        time_precision=0.02, condition_on_prev_tokens: bool = False,
     ) -> GenerateOutput:
         """Sequential seek loop over 30 s windows (reference scaffolding:
         model.py:1591-1703, unreachable there for >30 s inputs).
@@ -475,12 +512,24 @@ class WhisperMedusaModel:
         timestamp unit = 20 ms); timestamps are stripped from the output unless
         requested.
 
+        ``no_speech_threshold`` composes (HF longform semantics): a window whose
+        <|nospeech|> probability exceeds the threshold (and, when
+        ``logprob_threshold`` is also set, whose avg logprob is below it) is
+        skipped — the seek pointer advances a full window and no tokens or
+        segments are emitted for it.  The inner shortform call does the
+        blanking; an emptied window naturally yields no segments here.
+
         Batching: with ``b > 1`` and no previous-context conditioning, each
         round decodes EVERY example's current window in one batched call —
         per-example seek pointers advance independently on the host, finished
         examples ride along (outputs ignored) so shapes stay static.  The
         conditioned path stays sequential (per-example prompts of different
-        bucketed lengths can't share one prompt tensor)."""
+        bucketed lengths can't share one prompt tensor).
+
+        Metrics: ``steps`` counts decode-loop iterations summed over rounds
+        (each batched round serves every active example at once, so it is not
+        comparable to the sequential path's per-example sum); ``accepted`` /
+        ``mean_accept_length`` are accumulated over *active* examples only."""
         cfg = self.config
         st = self.special
         b, _, total_frames = feats.shape
@@ -520,8 +569,8 @@ class WhisperMedusaModel:
         if b > 1 and not condition_on_prev_tokens:
             seeks = [0] * b
             active = [True] * b
-            guard = 0
-            while any(active) and guard < 4 * (total_frames // win + 2):
+            guard, guard_max = 0, 4 * (total_frames // win + 2)
+            while any(active) and guard < guard_max:
                 guard += 1
                 windows = [pad_window(np.asarray(
                     feats[i: i + 1, :, seeks[i]: seeks[i] + win]))
@@ -536,9 +585,13 @@ class WhisperMedusaModel:
                     temperature=temperature,
                     compression_ratio_threshold=compression_ratio_threshold,
                     logprob_threshold=logprob_threshold,
+                    no_speech_threshold=no_speech_threshold,
                     return_timestamps=True, time_precision=time_precision)
                 steps_total += out.steps
-                accepted_total += int(out.accepted.sum())
+                # Finished 'rider' rows decode too (static shapes) but their
+                # accepted counts must not inflate the speedup metric.
+                accepted_total += int(sum(
+                    out.accepted[i] for i in range(b) if active[i]))
                 for i in range(b):
                     if not active[i]:
                         continue
@@ -550,6 +603,9 @@ class WhisperMedusaModel:
                     seeks[i] += harvest(i, out, i, seeks[i])
                     if seeks[i] >= total_frames:
                         active[i] = False
+            if any(active):
+                _warn_longform_truncation(
+                    [(i, seeks[i], total_frames) for i in range(b) if active[i]])
             return self._longform_output(
                 all_tokens, all_segments, steps_total, accepted_total,
                 return_timestamps)
@@ -558,9 +614,9 @@ class WhisperMedusaModel:
             lang_i = language if (language is None or isinstance(language, str)) \
                 else language[i]
             seek = 0
-            guard = 0
+            guard, guard_max = 0, 4 * (total_frames // win + 2)
             prev_text: List[int] = []
-            while seek < total_frames and guard < 4 * (total_frames // win + 2):
+            while seek < total_frames and guard < guard_max:
                 guard += 1
                 window = pad_window(
                     np.asarray(feats[i: i + 1, :, seek: seek + win]))
@@ -583,6 +639,7 @@ class WhisperMedusaModel:
                     temperature=temperature,
                     compression_ratio_threshold=compression_ratio_threshold,
                     logprob_threshold=logprob_threshold,
+                    no_speech_threshold=no_speech_threshold,
                     return_timestamps=True,
                     time_precision=time_precision,
                     prompt_ids=prompt_ids)
@@ -597,6 +654,8 @@ class WhisperMedusaModel:
                 all_tokens[i].extend(toks)
                 # Advance to the end of the last *complete* segment when possible.
                 seek += harvest(i, out, 0, seek)
+            if seek < total_frames:
+                _warn_longform_truncation([(i, seek, total_frames)])
 
         return self._longform_output(
             all_tokens, all_segments, steps_total, accepted_total,
@@ -722,9 +781,13 @@ class WhisperMedusaModel:
         enc_out = self.encode(feats)
         if language is None:
             lang_ids = self.detect_language(enc_out)
+        elif isinstance(language, str):
+            lang_ids = np.full((b,), language_token_id(language, st), np.int64)
         else:
-            lang = language if isinstance(language, str) else language[0]
-            lang_ids = np.full((b,), language_token_id(lang, st), np.int64)
+            # Per-example languages work on beams exactly like the greedy path.
+            if len(language) != b:
+                raise ValueError("per-example language list length != batch size")
+            lang_ids = np.array([language_token_id(l, st) for l in language])
         task_id = st.transcribe if task == "transcribe" else st.translate
         cols = [np.full((b,), st.sot), lang_ids, np.full((b,), task_id)]
         if not return_timestamps:
@@ -820,6 +883,19 @@ class WhisperMedusaModel:
 
 
 # ---------------------------------------------------------------------------
+
+
+def _warn_longform_truncation(dropped: List[Tuple[int, int, int]]) -> None:
+    """Loud (non-fatal) report when the longform guard loop trips: the seek
+    pointer stopped advancing (pathological zero-advance windows) and the
+    remaining audio was dropped rather than transcribed."""
+    import logging
+
+    for i, seek, total in dropped:
+        logging.getLogger("whisper_medusa_tpu").warning(
+            "longform guard tripped for example %d: seek stalled at mel frame "
+            "%d of %d — audio beyond %.1f s was dropped", i, seek, total,
+            seek * 0.01)
 
 
 def _detect_language(params, enc_out, dims, special: SpecialTokens):

@@ -229,7 +229,14 @@ def _kernel(
         row = jax.lax.broadcasted_iota(jnp.int32, (w_rows, 1), 0)
         for bb in range(batch):
             off = off_ref[0, bb]
-            off_al = pl.multiple_of((off // 8) * 8, 8)
+            # Clamp the aligned window so the HBM DMA stays in bounds even for
+            # an overfull/foreign cache (fused_decoder_layers rejects slabs
+            # without the +16 init_cache slack; this is the in-kernel
+            # backstop).  A clamped window makes r >= 8: no merge branch
+            # fires, the staging keeps the old rows, and the commit becomes a
+            # harmless round-trip instead of out-of-bounds corruption.
+            off_al = pl.multiple_of(
+                jnp.minimum((off // 8) * 8, sk_ref.shape[2] - w_rows), 8)
             r = off - off_al
             rows_b = slice(bb * t16, bb * t16 + t16)
             stage = slice(bb * w_rows, bb * w_rows + w_rows)
@@ -247,6 +254,9 @@ def _kernel(
                 pltpu.make_async_copy(
                     nv_s.at[stage], svo_ref.at[l, bb, pl.ds(off_al, w_rows), :],
                     sems.at[1, bb]).wait()
+            # Default (r >= 8, clamped window): round-trip the old rows.
+            nk_s[stage] = old_k
+            nv_s[stage] = old_v
             for rr in range(8):
                 @pl.when(r == rr)
                 def _(rr=rr, rows_b=rows_b, stage=stage, old_k=old_k,
@@ -436,6 +446,17 @@ def fused_decoder_layers(
     d = x.shape[-1]
     t = x.shape[1]
     t16 = 8 if t <= 8 else 16
+    # The aligned cache-commit DMA reads/writes a (t16 + 8)-row window at an
+    # 8-aligned offset; init_cache over-allocates 16 slack rows so the window
+    # stays in bounds for every legal offset (off + t <= s_len - 16).  Reject
+    # slabs that cannot satisfy that invariant instead of relying on the
+    # in-kernel clamp (which degrades the commit to a no-op round-trip).
+    if s_len % 8 != 0 or s_len < t16 + 16:
+        raise ValueError(
+            f"self-cache slab length {s_len} lacks the 8-aligned +16-row "
+            f"slack the fused cache-commit DMA requires (need s_len % 8 == 0 "
+            f"and s_len >= {t16 + 16}); build caches with "
+            "models/whisper.py::init_cache")
     quant = isinstance(dec_layers["self"]["q_w"], dict)
     wsel = (lambda w: w["q"]) if quant else (lambda w: w)
     f = wsel(dec_layers["fc1_w"]).shape[2]

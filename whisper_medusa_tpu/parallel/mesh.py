@@ -161,29 +161,32 @@ def _is_qdict(x) -> bool:
     return isinstance(x, dict) and set(x.keys()) == {"q", "s"}
 
 
-def _quantized_specs(params, specs):
+def _quantized_specs(params, specs, key=None):
     """Expand weight specs over int8 ``{"q", "s"}`` dicts (ops/qmm.py).
 
     The int8 tensor keeps the full-precision weight's spec; the scale vector
     keeps whichever of those axes survive in its (contraction-axis-dropped)
     shape — e.g. a head-sharded ``q_w`` (L, D, D*)@(None, None, model) gets
     scales (L, D*)@(None, model), while the row-quantized embedding drops the
-    trailing axis."""
+    trailing axis.  The dropped axis is decided by the param *name* — only
+    ``embed_tokens`` is row-quantized (quantize_decoder, axis=-1) — never by
+    shape equality, which is ambiguous for square tensors."""
     if isinstance(specs, P):
         if _is_qdict(params):
             q, s = params["q"], params["s"]
             padded = list(specs) + [None] * (q.ndim - len(specs))
-            if q.shape[:-2] + q.shape[-1:] == s.shape:      # weights: drop -2
-                s_spec = P(*(padded[:-2] + padded[-1:]))
-            elif q.shape[:-1] == s.shape:                   # embedding: drop -1
-                s_spec = P(*padded[:-1])
+            drop = -1 if key == "embed_tokens" else -2
+            expect = q.shape[:q.ndim + drop] + q.shape[q.ndim + drop + 1:]
+            if s.shape == expect:
+                s_spec = P(*(padded[:q.ndim + drop]
+                             + padded[q.ndim + drop + 1:]))
             else:
                 s_spec = P()
             return {"q": specs, "s": s_spec}
         return specs
     if isinstance(specs, dict):
         return {k: _quantized_specs(
-            params.get(k) if isinstance(params, dict) else None, v)
+            params.get(k) if isinstance(params, dict) else None, v, k)
             for k, v in specs.items()}
     return specs
 
