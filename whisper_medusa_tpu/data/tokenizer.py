@@ -1,19 +1,34 @@
-"""Tokenizer access — HF Whisper tokenizer when local files exist, else a
-character-level stand-in for tests/smoke runs.
+"""Tokenizer access — first-party byte-level BPE when the checkpoint ships its
+vocab files, HF tokenizer as a compatibility path, and a character-level
+stand-in for tests/smoke runs.
 
-The reference uses ``WhisperProcessor.from_pretrained`` (reference: trainer.py:21-23,
-eval_whisper_medusa.py:27-29), which needs downloaded vocab files; this environment
-has no network, so loading is gated and tests use :class:`CharTokenizer`.
+The reference uses ``WhisperProcessor.from_pretrained`` for all ids<->text
+conversion (reference: trainer.py:21-23, eval_whisper_medusa.py:27-29); the
+product path here is :class:`whisper_medusa_tpu.data.bpe.WhisperBPETokenizer`
+(no ``transformers`` import needed), parity-tested against HF.
 """
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Sequence
 
 
 def load_tokenizer(name_or_path: str, language: Optional[str] = None,
                    task: str = "transcribe"):
-    """Load the HF Whisper tokenizer from a local path/cache (no network)."""
+    """Load a tokenizer for a checkpoint dir or model name.
+
+    Preference order: the first-party BPE tokenizer (``vocab.json`` +
+    ``merges.txt`` in the directory — every Whisper checkpoint ships them),
+    then the HF tokenizer from the local cache (compat path for bare model
+    names; no network)."""
+    if os.path.isdir(name_or_path):
+        from whisper_medusa_tpu.data.bpe import WhisperBPETokenizer
+
+        try:
+            return WhisperBPETokenizer.from_pretrained(name_or_path)
+        except FileNotFoundError:
+            pass
     from transformers import WhisperTokenizer
 
     return WhisperTokenizer.from_pretrained(
