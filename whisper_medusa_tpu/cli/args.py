@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 import argparse
+import os
 
 
 def str2bool(v: str) -> bool:
@@ -42,19 +43,50 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
 
 def add_mesh_args(p: argparse.ArgumentParser) -> None:
     """DP/TP device-mesh flags (parallel/mesh.py) — the reference's accelerate DP
-    equivalent, surfaced explicitly."""
+    equivalent, surfaced explicitly — plus the multi-process bootstrap
+    (parallel/distributed.py; the reference's `accelerate launch` role)."""
     p.add_argument("--dp", type=int, default=0,
                    help="data-parallel mesh size (0 = single device)")
     p.add_argument("--tp", type=int, default=0,
                    help="tensor-parallel mesh size (0 = single device)")
+    p.add_argument("--coordinator-address", default=None,
+                   help="host:port of process 0 for multi-host runs "
+                        "(omit on TPU pods: auto-discovered)")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="total process count for multi-host runs")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="this process's index for multi-host runs")
+
+
+def maybe_init_distributed(args) -> None:
+    """Join the jax.distributed runtime when multi-process flags (or JAX_* env
+    vars) are present.  Must run before any JAX backend use."""
+    from whisper_medusa_tpu.parallel import distributed
+
+    if (getattr(args, "coordinator_address", None)
+            or getattr(args, "num_processes", None)
+            or os.environ.get("JAX_COORDINATOR_ADDRESS")):
+        distributed.initialize(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes,
+            process_id=args.process_id)
 
 
 def make_mesh_from_args(args):
-    """Build the (dp, tp) mesh requested by --dp/--tp, or None when unset."""
+    """Build the (dp, tp) mesh requested by --dp/--tp, or None when unset.
+
+    Multi-process runs get the global mesh (data axis across processes/DCN,
+    model axis within each process/ICI)."""
     dp = getattr(args, "dp", 0) or 0
     tp = getattr(args, "tp", 0) or 0
     if dp <= 0 and tp <= 0:
         return None
+    import jax
+
+    if jax.process_count() > 1:
+        from whisper_medusa_tpu.parallel import distributed
+
+        return distributed.global_mesh(dp=dp or None, tp=tp or None)
     from whisper_medusa_tpu.parallel import mesh as mesh_mod
 
     return mesh_mod.make_mesh((dp or 1) * (tp or 1), dp=dp or 1, tp=tp or 1)

@@ -114,6 +114,8 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     add_eval_args(parser)
     args = parser.parse_args(argv)
+    from whisper_medusa_tpu.cli.args import maybe_init_distributed
+    maybe_init_distributed(args)
     set_logger()
     evaluate_model(args)
 

@@ -53,6 +53,8 @@ def main(argv=None):
     add_training_args(parser)
     args = parser.parse_args(argv)
 
+    from whisper_medusa_tpu.cli.args import maybe_init_distributed
+    maybe_init_distributed(args)
     set_logger()
     set_seed(args.seed)
     model = get_model(args)

@@ -195,14 +195,28 @@ def shard_params(params: Params, mesh: Mesh) -> Params:
     """Place a params pytree onto the mesh with the standard TP shardings.
 
     Handles both the bf16 tree and the int8 serving-mode tree (weights as
-    ``{"q", "s"}`` dicts)."""
+    ``{"q", "s"}`` dicts).  On a multi-process (multi-host) mesh the target
+    shardings span non-addressable devices, so each process contributes its
+    own shards via ``make_array_from_callback`` (every process holds the same
+    host value; no cross-host copies)."""
+    import numpy as _np
+
     tp = int(mesh.devices.shape[1])
     specs = model_param_specs(params, tp) if "whisper" in params else \
         whisper_param_specs(params, tp)
     specs = _quantized_specs(params, specs)
-    return jax.tree.map(
-        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), params, specs,
-        is_leaf=lambda x: not isinstance(x, dict))
+    multiprocess = jax.process_count() > 1
+
+    def put(a, s):
+        sh = NamedSharding(mesh, s)
+        if not multiprocess:
+            return jax.device_put(a, sh)
+        host = _np.asarray(a)
+        return jax.make_array_from_callback(host.shape, sh,
+                                            lambda idx: host[idx])
+
+    return jax.tree.map(put, params, specs,
+                        is_leaf=lambda x: not isinstance(x, dict))
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:
