@@ -51,6 +51,34 @@ def fetch(x):
 
 
 def main(batch: int = 1, int8: bool = False):
+    import os as _os
+
+    # Full-scale checkpoint smoke (VERDICT r2 #9): real large-v2 shapes through
+    # from_pretrained -> generate (bf16 + int8) on this round's device, BEFORE
+    # the parent claims the TPU (the subprocess exits and frees its HBM).
+    smoke = None
+    if (batch == 1 and not int8
+            and _os.environ.get("WM_BENCH_SMOKE", "1") == "1"):
+        import subprocess
+
+        t0 = time.perf_counter()
+        repo = _os.path.dirname(_os.path.abspath(__file__))
+        env = dict(_os.environ)
+        env["WM_RUN_SLOW"] = "1"
+        try:
+            r = subprocess.run(
+                [sys.executable, "-m", "pytest", "-x", "-q",
+                 "tests/test_fullscale_checkpoint.py"],
+                env=env, cwd=repo, capture_output=True, text=True,
+                timeout=2400)
+            smoke = "ok" if r.returncode == 0 else "fail"
+            if r.returncode != 0:
+                log("fullscale smoke FAILED:\n" + r.stdout[-1500:])
+        except subprocess.TimeoutExpired:
+            smoke = "timeout"
+        log(f"fullscale checkpoint smoke: {smoke} "
+            f"({time.perf_counter() - t0:.0f}s)")
+
     from whisper_medusa_tpu.config import (EOS_TOKEN_ID, GenerationConfig,
                                            ModelConfig)
     from whisper_medusa_tpu.decoding.buffers import generate_medusa_buffers
@@ -145,7 +173,7 @@ def main(batch: int = 1, int8: bool = False):
         accept = int(res.accepted.sum()) / max(steps * batch, 1)
         log(f"{label}: {dt * 1e3:.1f} ms, {new_tokens} tokens, {steps} steps, "
             f"{new_tokens / dt:.1f} tok/s, accept/step={accept:.2f}")
-        return new_tokens / dt, accept, dt, steps
+        return new_tokens / dt, accept, dt, steps, new_tokens
 
     def decode_step_hbm_bytes(cache_len: int, chunk: int, wbytes: int) -> int:
         """Modeled HBM bytes one decode step must move (weight + cache reads).
@@ -173,8 +201,8 @@ def main(batch: int = 1, int8: bool = False):
     bw = next((v for k, v in hbm_gbps.items() if k in str(dev).lower()), 819.0)
 
     medusa_buffers = generate_medusa_buffers(config.medusa.medusa_choices)
-    van_tps_raw, _, van_dt, van_steps = timed(generate_medusa_buffers([1]),
-                                              "vanilla", None, "vanilla greedy")
+    van_tps_raw, _, van_dt, van_steps, van_toks = timed(
+        generate_medusa_buffers([1]), "vanilla", None, "vanilla greedy")
 
     # Speedup-vs-accept-rate curve: draft corruption pins the acceptance rate
     # (output-invariant — see decoding/speculative.py).  The headline is the point
@@ -183,18 +211,21 @@ def main(batch: int = 1, int8: bool = False):
     # forwards; 1.49x at ~equal per-forward cost implies E[accept] ~= 2).
     raw = []
     for corr in (0.0, 0.3, 0.5, 0.8, 1.0):
-        tps, accept, dt, steps = timed(medusa_buffers, "base_head", mp,
-                                       f"medusa-10-heads corruption={corr}",
-                                       corruption=corr)
-        raw.append((corr, accept, dt, steps))
+        tps, accept, dt, steps, toks = timed(medusa_buffers, "base_head", mp,
+                                             f"medusa-10-heads corruption={corr}",
+                                             corruption=corr)
+        raw.append((corr, accept, dt, steps, toks))
 
     # Every curve point runs the SAME compiled program over identical shapes —
     # only the step count differs — so a linear fit of call time vs steps
     # separates the true per-iteration cost (slope) from the per-call
     # dispatch + tunnel-fetch overhead (intercept, ~25 ms through the remote
-    # axon tunnel; real deployments don't pay it per utterance).
-    xs = np.asarray([s for *_r, s in raw], np.float64)
-    ys = np.asarray([dt for *_r, dt, _s in raw], np.float64)
+    # axon tunnel; real deployments don't pay it per utterance).  The
+    # intercept is fitted on the speculative program; applying it to the
+    # vanilla run is an approximation (same dispatch machinery, one fetch),
+    # so RAW numbers are reported alongside every corrected one.
+    xs = np.asarray([s for *_r, s, _t in raw], np.float64)
+    ys = np.asarray([dt for *_r, dt, _s, _t in raw], np.float64)
     slope = float(((xs - xs.mean()) * (ys - ys.mean())).sum()
                   / ((xs - xs.mean()) ** 2).sum())
     overhead = max(0.0, float(ys.mean() - slope * xs.mean()))
@@ -203,16 +234,18 @@ def main(batch: int = 1, int8: bool = False):
 
     # ---- decode-step roofline (VERDICT r1 #3) ----
     wbytes = 1 if int8 else 2
+    van_ms_raw = van_dt / max(van_steps, 1) * 1e3
     van_ms = (van_dt - overhead) / max(van_steps, 1) * 1e3
-    van_tps = (van_tps_raw * van_dt) / max(van_dt - overhead, 1e-9)
+    van_tps = van_toks / max(van_dt - overhead, 1e-9)
     van_min = decode_step_hbm_bytes(max_length + 2, 1, wbytes) / (bw * 1e9) * 1e3
     van_roof = 100.0 * van_min / van_ms
-    log(f"vanilla decode: {van_ms:.2f} ms/step, HBM-roofline min {van_min:.2f} ms "
-        f"-> {van_roof:.0f}% of roofline at {bw:.0f} GB/s")
+    log(f"vanilla decode: {van_ms:.2f} ms/step overhead-corrected "
+        f"({van_ms_raw:.2f} raw incl. dispatch), HBM-roofline min "
+        f"{van_min:.2f} ms -> {van_roof:.0f}% of roofline at {bw:.0f} GB/s")
 
     curve = []
-    for (corr, accept, dt, steps) in raw:
-        toks = (accept + 1) * steps * batch  # committed tokens per run
+    for (corr, accept, dt, steps, toks) in raw:
+        # Measured committed-token counts (lengths sum), not modeled ones.
         tps = toks / max(dt - overhead, 1e-9)
         curve.append((corr, accept, tps, tps / van_tps))
 
@@ -232,7 +265,33 @@ def main(batch: int = 1, int8: bool = False):
         log("WARNING: not on TPU — numbers are not meaningful")
 
     extra = {}
-    import os as _os
+
+    if (not int8 and batch == 1 and on_tpu
+            and _os.environ.get("WM_BENCH_BLOCK", "1") == "1"):
+        # Medusa-Block variant (the reference's second headline architecture,
+        # model.py:1349-1417): the extra decoder layer rides the fused kernel
+        # as one more grid layer — target within ~10% of base_head (it runs
+        # L+1 layers, ~3% more weight bytes).
+        from whisper_medusa_tpu.config import MedusaConfig
+
+        mc_b = MedusaConfig(
+            medusa_num_heads=10, medusa_hidden_size=dims.d_model,
+            medusa_heads_type="medusa_block",
+            medusa_choices=(1,) * 11)
+        mp_b = medusa_mod.init_medusa_params(
+            jax.random.PRNGKey(2), dims, mc_b, wp, jnp.bfloat16)
+        jax.block_until_ready(mp_b)
+        _, _, b_dt, b_steps, _ = timed(
+            medusa_buffers, "medusa_block", mp_b,
+            "medusa-block corruption=0.3", corruption=0.3)
+        block_ms = (b_dt - overhead) / max(b_steps, 1) * 1e3
+        log(f"medusa-block decode: {block_ms:.2f} ms/iter "
+            f"({100 * block_ms / spec_ms:.0f}% of base_head's "
+            f"{spec_ms:.2f} ms)")
+        extra.update({
+            "block_ms_per_iter": round(block_ms, 3),
+            "block_vs_base_head_pct": round(100 * block_ms / spec_ms, 1),
+        })
 
     if (not int8 and batch == 1 and on_tpu
             and _os.environ.get("WM_BENCH_INT8", "1") == "1"):
@@ -243,22 +302,22 @@ def main(batch: int = 1, int8: bool = False):
         wp8, mp8 = quantize_decoder(wp, mp)
         jax.block_until_ready((wp8, mp8))
         log(f"int8 decoder quantization: {time.perf_counter() - t0:.1f}s")
-        _, _, q_dt, q_steps = timed(generate_medusa_buffers([1]), "vanilla",
-                                    None, "int8 vanilla greedy", weights=wp8)
-        _, q_acc, s_dt, s_steps = timed(medusa_buffers, "base_head", mp8,
-                                        "int8 medusa corruption=0.3",
-                                        corruption=0.3, weights=wp8)
+        _, _, q_dt, q_steps, _ = timed(generate_medusa_buffers([1]), "vanilla",
+                                       None, "int8 vanilla greedy", weights=wp8)
+        _, q_acc, s_dt, s_steps, s_toks = timed(
+            medusa_buffers, "base_head", mp8, "int8 medusa corruption=0.3",
+            corruption=0.3, weights=wp8)
         q_ms = (q_dt - overhead) / max(q_steps, 1) * 1e3
         q_min = decode_step_hbm_bytes(max_length + 2, 1, 1) / (bw * 1e9) * 1e3
-        q_tps = ((q_acc + 1) * s_steps) / max(s_dt - overhead, 1e-9)
+        q_tps = s_toks / max(s_dt - overhead, 1e-9)
         log(f"int8 vanilla decode: {q_ms:.2f} ms/step, roofline min "
             f"{q_min:.2f} ms -> {100 * q_min / q_ms:.0f}%; medusa "
             f"{q_tps:.0f} tok/s at accept {q_acc:.2f}")
-        extra = {
+        extra.update({
             "int8_decode_ms_per_step": round(q_ms, 3),
             "int8_roofline_pct": round(100 * q_min / q_ms, 1),
             "int8_medusa_tok_s_at_accept2": round(q_tps, 1),
-        }
+        })
 
     print(json.dumps({
         "metric": "decode_speedup_vs_vanilla_greedy_at_accept2",
@@ -266,9 +325,11 @@ def main(batch: int = 1, int8: bool = False):
         "unit": "x",
         "vs_baseline": round(speedup / 1.49, 4),
         "decode_ms_per_step": round(van_ms, 3),
+        "decode_ms_per_step_raw": round(van_ms_raw, 3),
         "decode_roofline_pct": round(van_roof, 1),
         "spec_ms_per_iter": round(spec_ms, 3),
         "spec_roofline_pct": round(100 * spec_min / spec_ms, 1),
+        **({"fullscale_smoke": smoke} if smoke is not None else {}),
         **extra,
     }))
 

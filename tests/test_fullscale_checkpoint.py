@@ -109,3 +109,11 @@ def test_fullscale_large_v2_load_and_decode(tmp_path):
     assert out.sequences.shape[0] == 1
     assert int(out.lengths[0]) > 4                  # prompt + >=1 generated
     assert np.isfinite(out.avg_logprobs).all()
+
+    # int8 serving leg: quantize the loaded checkpoint and decode again so the
+    # full-size load->quantize->serve path is exercised each round (VERDICT r2
+    # #9 asks for bf16 + int8 at real large-v2 shapes).
+    q = model.quantize()
+    out8 = q.generate(feats, language="en", max_length=10)
+    assert out8.sequences.shape[0] == 1
+    assert int(out8.lengths[0]) > 4

@@ -140,9 +140,9 @@ def test_gating():
         kw.get("block", False), kw.get("cb", 1))
     assert ok()
     assert ok(b=2)                # small-batch latency serving
+    assert ok(block=True)         # medusa-block extra layer is fused too
     assert not ok(b=3)            # capped (see available()) -> XLA scan path
     assert not ok(t=17)           # chunk too long
-    assert not ok(block=True)     # medusa-block extra layer
     assert not ok(cb=2)           # beam-folded cross attention
     assert not ok(d=130)          # unaligned model dim
 
@@ -244,3 +244,83 @@ def test_batched_int8_parity(monkeypatch):
     (of, cf), (ox, cx) = both_paths(dims, wq, cache, tokens, offsets)
     assert_close(of.hidden, ox.hidden)
     assert_close(cf.self_k[:, :, :5], cx.self_k[:, :, :5])
+
+
+def _block_setup(quantize=False, max_len=48):
+    """Model + medusa block layer + (nl+1)-slot cache (block serving path)."""
+    from whisper_medusa_tpu.config import MedusaConfig
+    from whisper_medusa_tpu.models import medusa as medusa_mod
+
+    dims = dims_for()
+    wp = whisper.init_whisper_params(jax.random.PRNGKey(0), dims, jnp.bfloat16)
+    wp["decoder"]["layers"] = _randomize_small_params(
+        wp["decoder"]["layers"], jax.random.PRNGKey(42))
+    mc = MedusaConfig(medusa_num_heads=2, medusa_hidden_size=dims.d_model,
+                      medusa_heads_type="medusa_block",
+                      medusa_choices=(1, 1, 1))
+    mp = medusa_mod.init_medusa_params(jax.random.PRNGKey(7), dims, mc, wp,
+                                       jnp.bfloat16)
+    block = _randomize_small_params(mp["block"], jax.random.PRNGKey(43))
+    if quantize:
+        from whisper_medusa_tpu.ops.qmm import quantize_decoder
+
+        wp, mp2 = quantize_decoder(wp, {"block": block})
+        block = mp2["block"]
+    enc = (jax.random.normal(jax.random.PRNGKey(1), (1, 32, dims.d_model))
+           .astype(jnp.bfloat16))
+    cache = whisper.init_cache(wp, dims, enc, max_len, extra_layers=1)
+    cache = whisper.set_block_cross_kv(cache, block, enc,
+                                       dims.decoder_attention_heads)
+    return dims, wp, block, cache
+
+
+@pytest.mark.parametrize("quantize", [False, True])
+def test_block_variant_parity(quantize):
+    """medusa_block fused decode (extra grid layer + ln_post transition + last
+    cache slot) == scan path: hidden, block_hidden, and both cache slabs."""
+    dims, wp, block, cache = _block_setup(quantize)
+    ext = whisper.extend_layers_with_block(wp["decoder"]["layers"], block)
+    assert megastep.available(ext, dims.d_model,
+                              dims.decoder_attention_heads, 1, 4, True, 1)
+    pre = jax.random.randint(jax.random.PRNGKey(2), (1, 5), 0, 255)
+    kw = dict(block_params=block, fused_block_layers=ext)
+    _, cache = whisper.decode_step(wp, dims, pre, cache,
+                                   jnp.zeros((1,), jnp.int32), **kw)
+    tokens = jax.random.randint(jax.random.PRNGKey(3), (1, 4), 0, 255)
+    offsets = jnp.full((1,), 5, jnp.int32)
+    of, cf = whisper.decode_step(wp, dims, tokens, cache, offsets, **kw)
+    old = megastep._ENABLED
+    megastep._ENABLED = False
+    try:
+        ox, cx = whisper.decode_step(wp, dims, tokens, cache, offsets, **kw)
+    finally:
+        megastep._ENABLED = old
+    assert of.block_hidden is not None and ox.block_hidden is not None
+    assert_close(of.hidden, ox.hidden)
+    assert_close(of.block_hidden, ox.block_hidden)
+    # Every slab slot — including the block layer's (last) — must agree.
+    assert_close(cf.self_k[:, :, 5:9], cx.self_k[:, :, 5:9])
+    assert_close(cf.self_v[:, :, 5:9], cx.self_v[:, :, 5:9])
+    assert_close(cf.self_k[-1, :, :5], cx.self_k[-1, :, :5])
+
+
+def test_block_variant_generate_parity():
+    """End-to-end speculative decode tokens agree fused vs scan for the
+    medusa_block variant (the engine path the reference serves by default)."""
+    from whisper_medusa_tpu.config import tiny_test_config
+    from whisper_medusa_tpu.models.api import WhisperMedusaModel
+
+    cfg = tiny_test_config(vocab_size=51865, medusa_num_heads=3,
+                           medusa_heads_type="medusa_block")
+    model = WhisperMedusaModel.from_random(cfg, seed=3)
+    rng = np.random.default_rng(5)
+    f = rng.normal(size=(1, cfg.dims.num_mel_bins,
+                         cfg.dims.num_frames)).astype(np.float32)
+    a = model.generate(f, language="en", max_length=20)
+    megastep._ENABLED = False
+    try:
+        model._jit_cache.clear()
+        b = model.generate(f, language="en", max_length=20)
+    finally:
+        megastep._ENABLED = True
+    np.testing.assert_array_equal(a.sequences, b.sequences)

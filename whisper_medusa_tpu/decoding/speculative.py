@@ -349,6 +349,14 @@ def speculative_generate(
     def ts_val(tok):
         return jnp.where(tok >= pcfg.timestamp_begin, tok, 0)
 
+    # Medusa-block serving: stack the block layer onto the decoder layers ONCE
+    # (outside the while_loop — leaf concats must not repeat per step) so the
+    # fused megastep kernel can run it as one more grid layer.  Unused traces
+    # (scan path) are dead code XLA eliminates.
+    fused_block_layers = (
+        whisper.extend_layers_with_block(params["decoder"]["layers"], block)
+        if block is not None else None)
+
     # ---------------- prefill (skipped when resuming a streamed segment) ------
     if resume_state is None:
         cache = whisper.init_cache(
@@ -359,7 +367,7 @@ def speculative_generate(
                 cache, block, enc_out, dims.decoder_attention_heads)
         out, cache = whisper.decode_step(
             params, dims, prompt, cache, jnp.zeros((b,), jnp.int32),
-            block_params=block)
+            block_params=block, fused_block_layers=fused_block_layers)
 
         h_last = out.hidden[:, -1]                                   # (B, D)
         base = base_fn(h_last)                                       # (B, V) f32
@@ -410,7 +418,8 @@ def speculative_generate(
         offsets = s.cur_len - 1
         out, cache = whisper.decode_step(
             params, dims, s.chunk, s.cache, offsets,
-            rel_positions=pos_ids, chunk_mask=chunk_mask, block_params=block)
+            rel_positions=pos_ids, chunk_mask=chunk_mask, block_params=block,
+            fused_block_layers=fused_block_layers)
         hidden = out.hidden                                   # (B, N, D)
         am = mx = lse = gth = draft_all = proc = None
         kp1 = num_heads + 1 if draft_params is not None else 1

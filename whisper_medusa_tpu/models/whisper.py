@@ -671,6 +671,20 @@ def make_step_mask(
     return hist | intra
 
 
+def extend_layers_with_block(dec_layers: Params, block_params: Params) -> Params:
+    """Stack the medusa block layer onto the decoder layer stack as layer L.
+
+    Feeds the fused megastep kernel, which runs the block layer as one more
+    grid layer (its cache/cross slots already live at index L — init_cache
+    extra_layers=1).  One concatenation per tree leaf: callers compute this
+    OUTSIDE the decode while_loop (speculative_generate does) so the copies
+    happen once per generate call, not per step."""
+    return jax.tree.map(
+        lambda a, b: jnp.concatenate([a, b[None]], axis=0),
+        dec_layers, block_params,
+        is_leaf=lambda x: not isinstance(x, dict))
+
+
 def decode_step(
     params: Params,
     dims: WhisperDims,
@@ -681,6 +695,7 @@ def decode_step(
     chunk_mask: Optional[jnp.ndarray] = None,     # (T, T) ancestor mask; None=causal
     block_params: Optional[Params] = None,        # medusa block layer (uses last cache slot)
     cross_beam: int = 1,                          # beams per shared cross-KV row
+    fused_block_layers: Optional[Params] = None,  # extend_layers_with_block output
 ) -> Tuple[DecoderOutput, KVCache]:
     """Incremental decoder pass over T new tokens.
 
@@ -704,22 +719,31 @@ def decode_step(
 
     from whisper_medusa_tpu.ops import megastep
 
-    if cache.self_k.shape[0] == nl and megastep.available(
-            dec["layers"], dims.d_model, nh, b, t,
-            block_params is not None, cross_beam):
+    want_block = block_params is not None
+    if want_block and fused_block_layers is not None \
+            and cache.self_k.shape[0] == nl + 1:
+        fused_layers = fused_block_layers
+        fused_shape_ok = True
+    else:
+        fused_layers = dec["layers"]
+        fused_shape_ok = not want_block and cache.self_k.shape[0] == nl
+    if fused_shape_ok and megastep.available(
+            fused_layers, dims.d_model, nh, b, t, want_block, cross_beam):
         cm = chunk_mask if chunk_mask is not None else jnp.tril(
             jnp.ones((t, t), jnp.bool_))
         cbias = jnp.where(cm, jnp.float32(0), jnp.float32(-1e30))
-        pre_norm, self_k, self_v = megastep.fused_decoder_layers(
-            dec["layers"], x, cache.self_k, cache.self_v,
+        pre_norm, block_hidden, self_k, self_v = megastep.fused_decoder_layers(
+            fused_layers, x, cache.self_k, cache.self_v,
             cache.cross_k, cache.cross_v, offsets, cbias,
             cross_len, nh,
-            cross_k_s=cache.cross_k_s, cross_v_s=cache.cross_v_s)
+            cross_k_s=cache.cross_k_s, cross_v_s=cache.cross_v_s,
+            ln_post=dec["ln_post"] if want_block else None)
         hidden = layer_norm(pre_norm, dec["ln_post"]["scale"],
                             dec["ln_post"]["bias"])
         new_cache = dataclasses.replace(cache, self_k=self_k, self_v=self_v)
         return DecoderOutput(hidden=hidden, penultimate=None,
-                             pre_norm=pre_norm, block_hidden=None), new_cache
+                             pre_norm=pre_norm,
+                             block_hidden=block_hidden), new_cache
 
     self_mask = make_step_mask(offsets, t, cache.max_len, chunk_mask)
     kv_quant = cache.cross_k_s is not None

@@ -36,11 +36,14 @@ T <= 16 new tokens, bf16 weights or the int8 serving mode
 (ops/qmm.py::quantize_decoder — int8 tiles dequantize in VMEM and
 per-output-channel scales ride the packed small-params block, halving the
 dominant weight stream; the int8 cross cache dequantizes through the
-attention scores/probabilities), no medusa-block extra layer, no beam
-folding.  Small batches share one weight stream — per-row matmuls stack, only
-attention and the cache-commit DMAs loop per example.  Large batches
-amortize the weight stream across rows, where the XLA scan is the better
-schedule.
+attention scores/probabilities), no beam folding.  The medusa-block variant
+IS fused: the extra layer rides the grid as layer L (its weights stacked on
+by models/whisper.py::extend_layers_with_block; at the transition the kernel
+saves the main stack's pre-norm output and applies ln_post before the block
+layer's own phases — reference architecture: model.py:1349-1417).  Small
+batches share one weight stream — per-row matmuls stack, only attention and
+the cache-commit DMAs loop per example.  Large batches amortize the weight
+stream across rows, where the XLA scan is the better schedule.
 
 Replaces the per-step HF decoder forward of the reference
 (reference: whisper_medusa/models/model.py:639-648 -> HF modeling_whisper).
@@ -96,11 +99,17 @@ def available(dec_layers: Params, d_model: int, num_heads: int, b: int, t: int,
     reproducibly faults the v5e TPU worker — per-example semaphores and a
     reduced WM_MEGASTEP_VMEM_MB both ruled out; cap until root-caused.
     WM_MEGASTEP_MAX_B overrides for experiments.)
+
+    The medusa_block extra layer is fused too: callers stack it onto the
+    decoder layers (models/whisper.py::extend_layers_with_block) and the
+    kernel runs it as one more grid layer — after snapshotting the main
+    stack's pre-norm output and applying ln_post (reference architecture:
+    model.py:1349-1417).
     """
     if not (_ENABLED and (_on_tpu() or _INTERPRET)):
         return False
     max_b = int(os.environ.get("WM_MEGASTEP_MAX_B", "2"))
-    if not (1 <= b <= max_b) or t > _MAX_T or block or cross_beam != 1:
+    if not (1 <= b <= max_b) or t > _MAX_T or cross_beam != 1:
         return False
     if d_model % 128 != 0 or d_model % num_heads != 0:
         return False
@@ -163,7 +172,8 @@ def _kernel(
     f1_ref,       # (1, D, F2) bf16 fc1 chunk
     f2_ref,       # (1, F2, D) bf16 fc2 chunk
     # outputs
-    y_ref,        # (B*T16, D) bf16 final pre-norm hidden
+    y_ref,        # (B*T16, D) bf16 final pre-norm hidden (main stack)
+    y2_ref,       # (B*T16, D) bf16 medusa-block layer output (garbage if absent)
     sko_ref,      # (L, B, S, D) bf16 in HBM, aliased to sk — updated in place
     svo_ref,      # (L, B, S, D) bf16 in HBM, aliased to sv
     # scratch
@@ -176,6 +186,7 @@ def _kernel(
     *,
     num_layers: int, num_heads: int, t16: int, t_real: int, cross_len: int,
     n_chunks: int, scale: float, quant: bool, kv_quant: bool, batch: int,
+    has_block: bool,
 ):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -184,10 +195,13 @@ def _kernel(
     d = x_ref.shape[1]
     dh = d // num_heads
     last_p = 1 + n_chunks
-    # int8 mode: per-output-channel scale rows live after the fc1-bias rows in
-    # the packed block — 7 rows (self q/k/v/o, cross q/o, fc2) then fc1's F/D.
+    # Packed small-params row layout: 12 base rows, then (block variant only)
+    # ln_post's scale/bias, then fc1's F/D bias rows per chunk; int8 mode
+    # appends per-output-channel scale rows — 7 (self q/k/v/o, cross q/o, fc2)
+    # then fc1's F/D.
     rpc = f1_ref.shape[2] // d
-    sb = 12 + rpc * n_chunks
+    base = 14 if has_block else 12
+    sb = base + rpc * n_chunks
 
     def mm(a, w_ref, sidx):
         """a @ w with f32 accumulation; int8 weights dequantize on the way into
@@ -203,6 +217,17 @@ def _kernel(
     @pl.when((l == 0) & (p == 0))
     def _():
         xs[:] = x_ref[:]
+
+    if has_block:
+        # Entering the medusa-block grid layer: the main stack is done — save
+        # its pre-norm output, then hand the block layer ln_post(hidden) as
+        # its input (scan-path equivalent: decoder_layer_step(block_params,
+        # ln_post(x), ...) in models/whisper.py::decode_step).
+        @pl.when((l == num_layers - 1) & (p == 0))
+        def _():
+            y_ref[:] = xs[:]
+            sp = sp_ref[0]
+            xs[:] = _ln(xs[:], sp[12:13], sp[13:14])
 
     # ---------------------------------------------------------- p0: self-attn
     @pl.when((p == 0) & ("self" not in _SKIP))
@@ -359,13 +384,13 @@ def _kernel(
         sp = sp_ref[0]
         x = xs[:]
         ln = _ln(x, sp[9:10], sp[10:11])
-        # fc1 bias chunk lives in the packed rows [12 + c*rpc, 12 + (c+1)*rpc)
-        # (static slices selected by a scalar compare — the chunk index p-2 is
-        # a grid value, so the rows can't be sliced dynamically).
+        # fc1 bias chunk lives in the packed rows [base + c*rpc, base +
+        # (c+1)*rpc) (static slices selected by a scalar compare — the chunk
+        # index p-2 is a grid value, so the rows can't be sliced dynamically).
         f2c = f1_ref.shape[2]
-        f1b = sp[12:12 + rpc].reshape(1, f2c)
+        f1b = sp[base:base + rpc].reshape(1, f2c)
         for c in range(1, n_chunks):
-            alt = sp[12 + c * rpc:12 + (c + 1) * rpc].reshape(1, f2c)
+            alt = sp[base + c * rpc:base + (c + 1) * rpc].reshape(1, f2c)
             f1b = jnp.where(p == 2 + c, alt, f1b)
         f1w = f1_ref[0]
         f2w = f2_ref[0]
@@ -404,7 +429,10 @@ def _kernel(
 
     @pl.when((l == num_layers - 1) & (p == last_p))
     def _():
-        y_ref[:] = xs[:]
+        if has_block:
+            y2_ref[:] = xs[:]
+        else:
+            y_ref[:] = xs[:]
         if "self" not in _SKIP:
             # Drain the last layer's outstanding cache-commit DMAs.
             for bb in range(batch):
@@ -432,12 +460,18 @@ def fused_decoder_layers(
     num_heads: int,
     cross_k_s: jnp.ndarray = None,  # (L, B, H, Sp) f32 int8-cross scales
     cross_v_s: jnp.ndarray = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    ln_post: Params = None,      # medusa_block: final-layernorm params; marks
+                                 # dec_layers' LAST stacked entry as the block
+                                 # layer (extend_layers_with_block)
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run all decoder layers over a T-token chunk with the fused kernel.
 
-    Returns (pre_norm (B, T, D), new_self_k (L, B, S, H, dh), new_self_v ...)
-    where the returned slabs are the input caches updated in place (aliased
-    buffers) with each example's chunk K/V rows at its ``offset``.
+    Returns (pre_norm (B, T, D), block_hidden (B, T, D) | None, new_self_k
+    (L, B, S, H, dh), new_self_v ...) where the returned slabs are the input
+    caches updated in place (aliased buffers) with each example's chunk K/V
+    rows at its ``offset``.  With ``ln_post`` set, the last stacked layer is
+    the medusa-block extra layer: it consumes ln_post(pre_norm) and its
+    output is returned as ``block_hidden`` (reference: model.py:1349-1417).
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -469,6 +503,7 @@ def fused_decoder_layers(
     # layer instead of a dozen sub-KB ones.  int8 mode appends the per-output-
     # channel dequant scales: 7 rows (self q/k/v/o, cross q/o, fc2) + fc1's
     # F/D rows.
+    has_block = ln_post is not None
     blocks = [jnp.stack([
         dec_layers["self_ln"]["scale"], dec_layers["self_ln"]["bias"],
         dec_layers["self"]["q_b"], dec_layers["self"]["v_b"],
@@ -477,7 +512,14 @@ def fused_decoder_layers(
         dec_layers["cross"]["q_b"], dec_layers["cross"]["o_b"],
         dec_layers["ffn_ln"]["scale"], dec_layers["ffn_ln"]["bias"],
         dec_layers["fc2_b"],
-    ], axis=1), dec_layers["fc1_b"].reshape(nl, f // d, d)]
+    ], axis=1)]
+    if has_block:
+        # ln_post rows ride every layer's packed block (identical copies; the
+        # kernel reads them only at the block-layer transition).
+        blocks.append(jnp.broadcast_to(
+            jnp.stack([ln_post["scale"], ln_post["bias"]])[None],
+            (nl, 2, d)))
+    blocks.append(dec_layers["fc1_b"].reshape(nl, f // d, d))
     if quant:
         blocks.append(jnp.stack([
             dec_layers["self"]["q_w"]["s"], dec_layers["self"]["k_w"]["s"],
@@ -523,10 +565,10 @@ def fused_decoder_layers(
     kern = functools.partial(
         _kernel, num_layers=nl, num_heads=num_heads, t16=t16, t_real=t,
         cross_len=cross_len, n_chunks=nch, scale=dh ** -0.5, quant=quant,
-        kv_quant=kv_quant, batch=b)
+        kv_quant=kv_quant, batch=b, has_block=has_block)
     sp_rows = sp.shape[1]
 
-    y, sk_new, sv_new = pl.pallas_call(
+    y, y2, sk_new, sv_new = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
@@ -560,17 +602,19 @@ def fused_decoder_layers(
         ],
         out_specs=[
             pl.BlockSpec((b * t16, d), lambda l, p: (0, 0)),
+            pl.BlockSpec((b * t16, d), lambda l, p: (0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_shape=[
+            jax.ShapeDtypeStruct((b * t16, d), x.dtype),
             jax.ShapeDtypeStruct((b * t16, d), x.dtype),
             jax.ShapeDtypeStruct((nl, b, s_len, d), x.dtype),
             jax.ShapeDtypeStruct((nl, b, s_len, d), x.dtype),
         ],
         # The self-cache slabs are read as pipelined VMEM blocks (args 10/11)
         # and updated in place through the aliased HBM outputs.
-        input_output_aliases={10: 1, 11: 2},
+        input_output_aliases={10: 2, 11: 3},
         scratch_shapes=[
             pltpu.VMEM((b * t16, d), x.dtype),
             pltpu.VMEM((b * t16, d), jnp.float32),
@@ -596,6 +640,7 @@ def fused_decoder_layers(
         wsel(dec_layers["fc2_w"]),
     )
     pre_norm = y.reshape(b, t16, d)[:, :t]
+    block_hidden = y2.reshape(b, t16, d)[:, :t] if has_block else None
     new_self_k = sk_new.reshape(nl, b, s_len, num_heads, dh)
     new_self_v = sv_new.reshape(nl, b, s_len, num_heads, dh)
-    return pre_norm, new_self_k, new_self_v
+    return pre_norm, block_hidden, new_self_k, new_self_v
