@@ -173,7 +173,7 @@ def beam_search(
         # Reorder the beam-flattened cache by parent beam.
         flat_parent = (jnp.arange(b)[:, None] * k + a_parent).reshape(-1)  # (BK,)
 
-        def reorder(buf_arr):  # (L, BK, S, H, Dh)
+        def reorder(buf_arr):  # (L, BK, S, D) head-flat slabs
             return jnp.take(buf_arr, flat_parent, axis=1)
 
         cache = dataclasses.replace(

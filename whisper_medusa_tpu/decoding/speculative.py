@@ -115,10 +115,10 @@ def _compact_tree_cache(cache: KVCache, offsets: jnp.ndarray,
     """
     lv = path_nodes.shape[1]
 
-    def fix(buf):  # (L, B, S, H, Dh)
-        def per_example(buf_b, off_b, nodes_b):  # (L, S, H, Dh)
-            src = jnp.take(buf_b, off_b + nodes_b, axis=1)  # (L, Lv, H, Dh)
-            return lax.dynamic_update_slice(buf_b, src, (0, off_b, 0, 0))
+    def fix(buf):  # (L, B, S, D) head-flat slabs (models/whisper.py::KVCache)
+        def per_example(buf_b, off_b, nodes_b):  # (L, S, D)
+            src = jnp.take(buf_b, off_b + nodes_b, axis=1)  # (L, Lv, D)
+            return lax.dynamic_update_slice(buf_b, src, (0, off_b, 0))
         return jax.vmap(per_example, in_axes=(1, 0, 0), out_axes=1)(
             buf, offsets, path_nodes)
 

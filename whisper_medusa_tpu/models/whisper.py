@@ -426,8 +426,14 @@ def project_logits(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
 class KVCache:
     """Pre-allocated decoder cache.
 
-    self_k/self_v: (L, B, max_len, H, Dh) — written incrementally at per-example
-    offsets.  cross_k: (L, B, H, Dh, S_pad) and cross_v: (L, B, H, S_pad, Dh) —
+    self_k/self_v: (L, B, max_len, D) — written incrementally at per-example
+    offsets, stored HEAD-FLAT: the fused decode kernel streams (S, D) slabs
+    and slices heads on the lane axis, and a (S, H, Dh) layout would force a
+    tiled-layout copy of both slabs EVERY decode step at the kernel boundary
+    (profiler-measured ~0.26 ms/step — the reshape between (.., H, Dh) tiles
+    padded to (24, 128) and flat (.., 1280) is physical).  The scan path
+    splits heads per layer instead (one small per-layer reshape).
+    cross_k: (L, B, H, Dh, S_pad) and cross_v: (L, B, H, S_pad, Dh) —
     computed once at init, **head-major** so each head's matrix is contiguous
     and the per-step cross-attention matvec streams at full HBM bandwidth
     (the (S, H, Dh) layout strided across heads and ran ~3x off the roofline).
@@ -514,8 +520,8 @@ def init_cache(
             cv_s = jnp.pad(cv_s, spad)
     sb = self_batch if self_batch is not None else b
     return KVCache(
-        self_k=jnp.zeros((nl, sb, max_len, nh, hd), dtype),
-        self_v=jnp.zeros((nl, sb, max_len, nh, hd), dtype),
+        self_k=jnp.zeros((nl, sb, max_len, d), dtype),
+        self_v=jnp.zeros((nl, sb, max_len, d), dtype),
         cross_k=cross_k,
         cross_v=cross_v,
         cross_k_s=ck_s,
@@ -576,16 +582,17 @@ def set_block_cross_kv(cache: KVCache, block_params: Params,
 
 def _write_cache_chunk(buf: jnp.ndarray, new: jnp.ndarray,
                        offsets: jnp.ndarray) -> jnp.ndarray:
-    """Write (B, T, H, Dh) `new` into (B, max_len, H, Dh) `buf` at per-example offsets."""
+    """Write (B, T, D) `new` into (B, max_len, D) `buf` at per-example offsets."""
     def write_one(buf_b, new_b, off_b):
-        return lax.dynamic_update_slice(buf_b, new_b, (off_b, 0, 0))
+        return lax.dynamic_update_slice(
+            buf_b, new_b, (off_b,) + (0,) * (buf_b.ndim - 1))
     return jax.vmap(write_one)(buf, new, offsets)
 
 
 def decoder_layer_step(
     lp: Params,
     h: jnp.ndarray,            # (B, T, D) current hidden
-    k_buf: jnp.ndarray,        # (B, max_len, H, Dh) cache slab for this layer
+    k_buf: jnp.ndarray,        # (B, max_len, D) head-flat cache slab, this layer
     v_buf: jnp.ndarray,
     cross_k: jnp.ndarray,      # (B, H, Dh, S_pad) head-major
     cross_v: jnp.ndarray,      # (B, H, S_pad, Dh)
@@ -608,15 +615,19 @@ def decoder_layer_step(
     from whisper_medusa_tpu.ops import decode_kernels as dk
 
     head_dim = h.shape[-1] // num_heads
-    # Self attention.
+    # Self attention.  The cache slab is head-flat (B, S, D) — see KVCache —
+    # so new rows are written unsplit and heads split per layer for the
+    # attention einsum (a small per-layer reshape; the flat layout is what
+    # keeps the fused kernel path copy-free at the pallas boundary).
     sx = layer_norm(h, lp["self_ln"]["scale"], lp["self_ln"]["bias"])
     q = _split_heads(dense(sx, lp["self"]["q_w"], lp["self"]["q_b"]), num_heads)
     q = q * (head_dim ** -0.5)
-    k = _split_heads(dense(sx, lp["self"]["k_w"]), num_heads)
-    v = _split_heads(dense(sx, lp["self"]["v_w"], lp["self"]["v_b"]), num_heads)
-    k_buf = _write_cache_chunk(k_buf, k, offsets)
-    v_buf = _write_cache_chunk(v_buf, v, offsets)
-    attn_out = attention(q, k_buf, v_buf, self_mask)
+    k_flat = dense(sx, lp["self"]["k_w"])
+    v_flat = dense(sx, lp["self"]["v_w"], lp["self"]["v_b"])
+    k_buf = _write_cache_chunk(k_buf, k_flat, offsets)
+    v_buf = _write_cache_chunk(v_buf, v_flat, offsets)
+    attn_out = attention(q, _split_heads(k_buf, num_heads),
+                         _split_heads(v_buf, num_heads), self_mask)
     h = h + dense(_merge_heads(attn_out), lp["self"]["o_w"], lp["self"]["o_b"])
     # Cross attention (K/V precomputed, head-major; fused kernel on TPU).
     cx = layer_norm(h, lp["cross_ln"]["scale"], lp["cross_ln"]["bias"])

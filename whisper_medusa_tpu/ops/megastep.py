@@ -69,6 +69,20 @@ _INTERPRET = os.environ.get("WM_MEGASTEP_INTERPRET", "0") == "1"
 _SKIP = frozenset(
     s for s in os.environ.get("WM_MEGASTEP_SKIP", "").split(",") if s)
 
+
+def _w8a8() -> bool:
+    """int8 serving mode: feed the int8 weight tiles STRAIGHT to the MXU.
+
+    The default int8 path (W8A16) dequantizes every weight tile to bf16 on
+    the VPU before the matmul — ~0.5 G casts per decode step that stopped
+    hiding under the halved DMA stream (BENCH_r02: 67% of roofline vs bf16's
+    79%).  With W8A8 the kernel quantizes the activations per row (amax/127,
+    a few K elements), runs native s8 x s8 MXU matmuls, and folds
+    row x column scales into the f32 output — no large casts at all.
+    Attention stays bf16.  Default ON; WM_MEGASTEP_W8A8=0 restores the
+    conservative W8A16 kernel."""
+    return os.environ.get("WM_MEGASTEP_W8A8", "1") == "1"
+
 _MAX_T = 16
 NEG_SELF = -1e30   # matches models/whisper.py::attention
 NEG_CROSS = -0.7 * float(jnp.finfo(jnp.float32).max)  # matches decode_kernels
@@ -127,7 +141,17 @@ def available(dec_layers: Params, d_model: int, num_heads: int, b: int, t: int,
                for w in ws)
 
 
-def _n_chunks(ffn_dim: int) -> int:
+def _n_chunks(ffn_dim: int, quant: bool = False) -> int:
+    """FFN streaming chunks per layer.
+
+    bf16 must split large FFNs to stay inside the ~128 MB VMEM budget
+    (every pipelined input is double-buffered).  int8 halves every block, so
+    the whole FFN rides ONE phase — phase-stub profiling showed the int8
+    kernel is pure DMA-bound and its half-size DMAs amortize fixed per-phase
+    costs worse (1.96 ms/step with ALL compute stubbed): fewer, bigger DMAs
+    are the lever, not compute."""
+    if quant:
+        return 1
     return 2 if (ffn_dim % 256 == 0 and ffn_dim >= 2048) else 1
 
 
@@ -186,7 +210,7 @@ def _kernel(
     *,
     num_layers: int, num_heads: int, t16: int, t_real: int, cross_len: int,
     n_chunks: int, scale: float, quant: bool, kv_quant: bool, batch: int,
-    has_block: bool,
+    has_block: bool, w8a8: bool,
 ):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -203,10 +227,27 @@ def _kernel(
     base = 14 if has_block else 12
     sb = base + rpc * n_chunks
 
+    def quant_rows(a):
+        """Per-row symmetric int8 activation quantization (W8A8 path)."""
+        a32 = a.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(a32), axis=-1, keepdims=True)
+        ascale = jnp.maximum(amax, 1e-30) / 127.0
+        a8 = jnp.clip(jnp.round(a32 / ascale), -127, 127).astype(jnp.int8)
+        return a8, ascale
+
     def mm(a, w_ref, sidx):
-        """a @ w with f32 accumulation; int8 weights dequantize on the way into
-        the MXU and the f32 product picks up the per-column scale row."""
+        """a @ w with f32 accumulation.  int8 weights either feed the MXU
+        directly (W8A8: activations quantized per row, s8 x s8 -> s32, row and
+        column scales folded into the f32 product) or dequantize on the way in
+        (W8A16); either way the per-column scale row applies at the output."""
         w = w_ref[0]
+        if quant and w8a8:
+            a8, ascale = quant_rows(a)
+            y = jax.lax.dot_general(
+                a8, w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            return (y.astype(jnp.float32) * ascale
+                    * sp_ref[0, sb + sidx:sb + sidx + 1])
         if quant:
             w = w.astype(a.dtype)
         y = jnp.dot(a, w, preferred_element_type=jnp.float32)
@@ -260,8 +301,9 @@ def _kernel(
             # backstop).  A clamped window makes r >= 8: no merge branch
             # fires, the staging keeps the old rows, and the commit becomes a
             # harmless round-trip instead of out-of-bounds corruption.
+            s_cap = ((sk_ref.shape[2] - w_rows) // 8) * 8
             off_al = pl.multiple_of(
-                jnp.minimum((off // 8) * 8, sk_ref.shape[2] - w_rows), 8)
+                jnp.minimum((off // 8) * 8, s_cap), 8)
             r = off - off_al
             rows_b = slice(bb * t16, bb * t16 + t16)
             stage = slice(bb * w_rows, bb * w_rows + w_rows)
@@ -395,21 +437,37 @@ def _kernel(
         f1w = f1_ref[0]
         f2w = f2_ref[0]
         if quant:
-            f1w = f1w.astype(x.dtype)
-            f2w = f2w.astype(x.dtype)
             # fc1's per-column scale chunk, selected like the bias chunk.
             s0 = sb + 7
             f1s = sp[s0:s0 + rpc].reshape(1, f2c)
             for c in range(1, n_chunks):
                 alt = sp[s0 + c * rpc:s0 + (c + 1) * rpc].reshape(1, f2c)
                 f1s = jnp.where(p == 2 + c, alt, f1s)
-        h = jnp.dot(ln, f1w, preferred_element_type=jnp.float32)
-        if quant:
-            h = h * f1s
+        if quant and w8a8:
+            ln8, lns = quant_rows(ln)
+            h = jax.lax.dot_general(
+                ln8, f1w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+            h = h * lns * f1s
+        else:
+            if quant:
+                f1w = f1w.astype(x.dtype)
+            h = jnp.dot(ln, f1w, preferred_element_type=jnp.float32)
+            if quant:
+                h = h * f1s
         h = _gelu_f32(h + f1b).astype(x.dtype)
         # fc2's output scale is chunk-invariant (contraction over F), so the
-        # partial sums accumulate unscaled and the scale applies at the end.
-        part = jnp.dot(h, f2w, preferred_element_type=jnp.float32)
+        # partial sums accumulate unscaled and the scale applies at the end
+        # (W8A8: each chunk's activation row scale applies to its own part).
+        if quant and w8a8:
+            h8, hs = quant_rows(h)
+            part = jax.lax.dot_general(
+                h8, f2w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32) * hs
+        else:
+            if quant:
+                f2w = f2w.astype(x.dtype)
+            part = jnp.dot(h, f2w, preferred_element_type=jnp.float32)
 
         def finish(tot):
             if quant:
@@ -450,7 +508,9 @@ def _kernel(
 def fused_decoder_layers(
     dec_layers: Params,          # stacked decoder layer params (models/whisper.py)
     x: jnp.ndarray,              # (1, T, D) bf16 embedded inputs
-    self_k: jnp.ndarray,         # (L, 1, S, H, dh)
+    self_k: jnp.ndarray,         # (L, B, S, D) head-flat (KVCache layout —
+                                 # a (.., H, dh) slab would cost a physical
+                                 # tiled-layout copy per step at this boundary)
     self_v: jnp.ndarray,
     cross_k: jnp.ndarray,        # (L, B, H, dh, Sp) head-major
     cross_v: jnp.ndarray,        # (L, B, H, Sp, dh)
@@ -467,7 +527,7 @@ def fused_decoder_layers(
     """Run all decoder layers over a T-token chunk with the fused kernel.
 
     Returns (pre_norm (B, T, D), block_hidden (B, T, D) | None, new_self_k
-    (L, B, S, H, dh), new_self_v ...) where the returned slabs are the input
+    (L, B, S, D), new_self_v ...) where the returned slabs are the input
     caches updated in place (aliased buffers) with each example's chunk K/V
     rows at its ``offset``.  With ``ln_post`` set, the last stacked layer is
     the medusa-block extra layer: it consumes ln_post(pre_norm) and its
@@ -476,25 +536,26 @@ def fused_decoder_layers(
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    nl, b, s_len, h, dh = self_k.shape
+    nl, b, s_len, _d = self_k.shape
+    h = num_heads
+    dh = x.shape[-1] // num_heads
     d = x.shape[-1]
     t = x.shape[1]
     t16 = 8 if t <= 8 else 16
     # The aligned cache-commit DMA reads/writes a (t16 + 8)-row window at an
     # 8-aligned offset; init_cache over-allocates 16 slack rows so the window
     # stays in bounds for every legal offset (off + t <= s_len - 16).  Reject
-    # slabs that cannot satisfy that invariant instead of relying on the
-    # in-kernel clamp (which degrades the commit to a no-op round-trip).
-    if s_len % 8 != 0 or s_len < t16 + 16:
+    # slabs that cannot possibly satisfy that invariant instead of relying on
+    # the in-kernel clamp (which degrades the commit to a no-op round-trip).
+    if s_len < t16 + 16:
         raise ValueError(
-            f"self-cache slab length {s_len} lacks the 8-aligned +16-row "
-            f"slack the fused cache-commit DMA requires (need s_len % 8 == 0 "
-            f"and s_len >= {t16 + 16}); build caches with "
-            "models/whisper.py::init_cache")
+            f"self-cache slab length {s_len} lacks the +16-row slack the "
+            f"fused cache-commit DMA requires (need s_len >= {t16 + 16}); "
+            "build caches with models/whisper.py::init_cache")
     quant = isinstance(dec_layers["self"]["q_w"], dict)
     wsel = (lambda w: w["q"]) if quant else (lambda w: w)
     f = wsel(dec_layers["fc1_w"]).shape[2]
-    nch = _n_chunks(f)
+    nch = _n_chunks(f, quant)
     f2 = f // nch
     sp_len = cross_k.shape[-1]
 
@@ -565,7 +626,8 @@ def fused_decoder_layers(
     kern = functools.partial(
         _kernel, num_layers=nl, num_heads=num_heads, t16=t16, t_real=t,
         cross_len=cross_len, n_chunks=nch, scale=dh ** -0.5, quant=quant,
-        kv_quant=kv_quant, batch=b, has_block=has_block)
+        kv_quant=kv_quant, batch=b, has_block=has_block,
+        w8a8=quant and _w8a8())
     sp_rows = sp.shape[1]
 
     y, y2, sk_new, sv_new = pl.pallas_call(
@@ -632,7 +694,7 @@ def fused_decoder_layers(
         wsel(dec_layers["self"]["q_w"]), wsel(dec_layers["self"]["k_w"]),
         wsel(dec_layers["self"]["v_w"]), wsel(dec_layers["self"]["o_w"]),
         wsel(dec_layers["cross"]["q_w"]), wsel(dec_layers["cross"]["o_w"]),
-        self_k.reshape(nl, b, s_len, d), self_v.reshape(nl, b, s_len, d),
+        self_k, self_v,
         cross_k.reshape(nl, b, h, dh, sp_len),
         cross_v.reshape(nl, b, h, sp_len, dh),
         cks, cvs,
@@ -641,6 +703,4 @@ def fused_decoder_layers(
     )
     pre_norm = y.reshape(b, t16, d)[:, :t]
     block_hidden = y2.reshape(b, t16, d)[:, :t] if has_block else None
-    new_self_k = sk_new.reshape(nl, b, s_len, num_heads, dh)
-    new_self_v = sv_new.reshape(nl, b, s_len, num_heads, dh)
-    return pre_norm, block_hidden, new_self_k, new_self_v
+    return pre_norm, block_hidden, sk_new, sv_new
