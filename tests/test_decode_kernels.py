@@ -26,7 +26,7 @@ def test_cross_kernel_matches_xla(kv_len, t):
     rng = np.random.default_rng(kv_len + t)
     q = jnp.asarray(rng.normal(size=(2, 4, t, 64)), jnp.float32)
     k = jnp.asarray(rng.normal(size=(2, 4, 64, 640)), jnp.float32)
-    v = jnp.asarray(rng.normal(size=(2, 4, 640, 64)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(2, 640, 4 * 64)), jnp.float32)  # head-flat
     out = DK._cross_pallas(q, k, v, kv_len)
     ref = DK._cross_xla(q, k, v, kv_len)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
@@ -94,17 +94,21 @@ def test_cross_attention_int8_scales_close_to_dequant():
     from whisper_medusa_tpu.models.whisper import quantize_kv_rows
     from whisper_medusa_tpu.ops import decode_kernels as dk
 
+    from whisper_medusa_tpu.models.whisper import quantize_v_flat
+
     b, h, t, d, s = 1, 2, 3, 16, 128
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
     q = (jax.random.normal(k1, (b, h, t, d)) * 0.3).astype(jnp.bfloat16)
     k = (jax.random.normal(k2, (b, h, d, s))).astype(jnp.bfloat16)
-    v = (jax.random.normal(k3, (b, h, s, d))).astype(jnp.bfloat16)
+    v = (jax.random.normal(k3, (b, s, h * d))).astype(jnp.bfloat16)  # head-flat
     kq, ks = quantize_kv_rows(k, axis=2)
-    vq, vs = quantize_kv_rows(v, axis=3)
+    vq, vs = quantize_v_flat(v, h)            # vq (B,S,D) int8, vs (B,H,S)
 
     out = dk.cross_attention_decode(q, kq, vq, 100, ks, vs)
     kd = (kq.astype(jnp.float32) * ks[:, :, None, :]).astype(jnp.bfloat16)
-    vd = (vq.astype(jnp.float32) * vs[:, :, :, None]).astype(jnp.bfloat16)
+    # Dequant the flat V: each head's 64-lane chunk gets its (B, H, S) scale.
+    vs_flat = jnp.repeat(jnp.transpose(vs, (0, 2, 1)), d, axis=-1)  # (B,S,D)
+    vd = (vq.astype(jnp.float32) * vs_flat).astype(jnp.bfloat16)
     ref = dk.cross_attention_decode(q, kd, vd, 100)
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32),

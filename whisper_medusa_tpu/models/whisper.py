@@ -433,10 +433,14 @@ class KVCache:
     (profiler-measured ~0.26 ms/step — the reshape between (.., H, Dh) tiles
     padded to (24, 128) and flat (.., 1280) is physical).  The scan path
     splits heads per layer instead (one small per-layer reshape).
-    cross_k: (L, B, H, Dh, S_pad) and cross_v: (L, B, H, S_pad, Dh) —
-    computed once at init, **head-major** so each head's matrix is contiguous
-    and the per-step cross-attention matvec streams at full HBM bandwidth
-    (the (S, H, Dh) layout strided across heads and ran ~3x off the roofline).
+    cross_k: (L, B, H, Dh, S_pad) — computed once at init, **head-major** so
+    each head's matrix is contiguous and the per-step cross-attention matvec
+    streams at full HBM bandwidth (the (S, H, Dh) layout strided across heads
+    and ran ~3x off the roofline).  cross_v: (L, B, S_pad, D) **head-flat**:
+    a head-major (.., S_pad, Dh=64) V would pad its 64-lane minor dim to 128
+    in the tiled HBM layout, doubling the V stream's bytes every decode step
+    (~126 MB/step at large-v2 bf16); the flat layout is unpadded and the
+    kernels slice each head's 64 lanes from the (S_pad, D) block.
     S may be padded to the decode kernel's lane alignment; the real length is
     ``dims.max_source_positions`` (masked inside attention).
 
@@ -495,15 +499,14 @@ def init_cache(
 
     def cross_kv(lp_cross):
         k = _split_heads(dense(enc_out, lp_cross["k_w"]), nh)
-        v = _split_heads(dense(enc_out, lp_cross["v_w"], lp_cross["v_b"]), nh)
         k = jnp.transpose(k, (0, 2, 3, 1))      # (B, H, Dh, S)
-        v = jnp.transpose(v, (0, 2, 1, 3))      # (B, H, S, Dh)
+        v = dense(enc_out, lp_cross["v_w"], lp_cross["v_b"])  # (B, S, D) flat
         if s_pad != s:
             k = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, s_pad - s)))
-            v = jnp.pad(v, ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
+            v = jnp.pad(v, ((0, 0), (0, s_pad - s), (0, 0)))
         if kv_quant:
             k, ks = quantize_kv_rows(k, axis=2)   # scales (B, H, S_pad)
-            v, vs = quantize_kv_rows(v, axis=3)
+            v, vs = quantize_v_flat(v, nh)        # scales (B, H, S_pad)
             return k, v, ks, vs
         return k, v, None, None
 
@@ -511,9 +514,8 @@ def init_cache(
     # batching rule, and this runs once per utterance anyway.
     cross_k, cross_v, ck_s, cv_s = lax.map(cross_kv, layers["cross"])
     if extra_layers:
-        pad = [(0, extra_layers)] + [(0, 0)] * 4
-        cross_k = jnp.pad(cross_k, pad)
-        cross_v = jnp.pad(cross_v, pad)
+        cross_k = jnp.pad(cross_k, [(0, extra_layers)] + [(0, 0)] * 4)
+        cross_v = jnp.pad(cross_v, [(0, extra_layers)] + [(0, 0)] * 3)
         if kv_quant:
             spad = [(0, extra_layers)] + [(0, 0)] * 3
             ck_s = jnp.pad(ck_s, spad)
@@ -539,6 +541,20 @@ def quantize_kv_rows(x: jnp.ndarray, axis: int):
     return q, jnp.squeeze(scale, axis=axis)
 
 
+def quantize_v_flat(v: jnp.ndarray, num_heads: int):
+    """int8-quantize a head-flat (B, S, D) cross-V with one scale per
+    (position, head) 64-lane chunk; scales returned (B, H, S) to match the
+    kernels' prob-scaling interface."""
+    b, s, d = v.shape
+    dh = d // num_heads
+    v32 = v.astype(jnp.float32).reshape(b, s, num_heads, dh)
+    amax = jnp.max(jnp.abs(v32), axis=-1, keepdims=True)
+    scale = jnp.where(amax == 0, 1.0, amax / 127.0)
+    q = jnp.clip(jnp.round(v32 / scale), -127, 127).astype(jnp.int8)
+    return (q.reshape(b, s, d),
+            jnp.transpose(scale[..., 0], (0, 2, 1)))   # (B, H, S)
+
+
 def _cross_pad_len(s: int) -> int:
     """Cross-cache sequence padding for the fused decode kernels' alignment.
 
@@ -556,16 +572,15 @@ def set_block_cross_kv(cache: KVCache, block_params: Params,
     s = enc_out.shape[1]
     s_pad = cache.cross_k.shape[4]
     k = _split_heads(dense(enc_out, block_params["cross"]["k_w"]), num_heads)
-    v = _split_heads(dense(enc_out, block_params["cross"]["v_w"],
-                           block_params["cross"]["v_b"]), num_heads)
     k = jnp.transpose(k, (0, 2, 3, 1))
-    v = jnp.transpose(v, (0, 2, 1, 3))
+    v = dense(enc_out, block_params["cross"]["v_w"],
+              block_params["cross"]["v_b"])          # (B, S, D) head-flat
     if s_pad != s:
         k = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, s_pad - s)))
-        v = jnp.pad(v, ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, s_pad - s), (0, 0)))
     if cache.cross_k_s is not None:
         k, ks = quantize_kv_rows(k, axis=2)
-        v, vs = quantize_kv_rows(v, axis=3)
+        v, vs = quantize_v_flat(v, num_heads)
         return dataclasses.replace(
             cache,
             cross_k=cache.cross_k.at[-1].set(k),
@@ -595,7 +610,7 @@ def decoder_layer_step(
     k_buf: jnp.ndarray,        # (B, max_len, D) head-flat cache slab, this layer
     v_buf: jnp.ndarray,
     cross_k: jnp.ndarray,      # (B, H, Dh, S_pad) head-major
-    cross_v: jnp.ndarray,      # (B, H, S_pad, Dh)
+    cross_v: jnp.ndarray,      # (B, S_pad, D) head-flat
     offsets: jnp.ndarray,      # (B,) int32 — first cache slot for this chunk
     self_mask: jnp.ndarray,    # (B, 1, T, max_len) bool
     num_heads: int,
@@ -629,7 +644,7 @@ def decoder_layer_step(
     attn_out = attention(q, _split_heads(k_buf, num_heads),
                          _split_heads(v_buf, num_heads), self_mask)
     h = h + dense(_merge_heads(attn_out), lp["self"]["o_w"], lp["self"]["o_b"])
-    # Cross attention (K/V precomputed, head-major; fused kernel on TPU).
+    # Cross attention (K/V precomputed: K head-major, V head-flat).
     cx = layer_norm(h, lp["cross_ln"]["scale"], lp["cross_ln"]["bias"])
     cq = _split_heads(dense(cx, lp["cross"]["q_w"], lp["cross"]["q_b"]), num_heads)
     cq = cq * (head_dim ** -0.5)

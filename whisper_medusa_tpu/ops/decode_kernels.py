@@ -56,19 +56,23 @@ def kernels_enabled(kv_or_ffn: int) -> bool:
 
 # ------------------------------------------------------------ cross attention
 
-def _cross_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int):
-    q = q_ref[0, 0]                                   # (T, D)
-    k = k_ref[0, 0]                                   # (D, S_pad)
-    v = v_ref[0, 0]                                   # (S_pad, D)
-    s = jnp.dot(q, k, preferred_element_type=jnp.float32)   # (T, S_pad)
-    if kv_len < k.shape[1]:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < kv_len, s, NEG_BIG)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
-    o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-    o_ref[0, 0] = o.astype(o_ref.dtype)
+def _cross_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, num_heads: int):
+    q = q_ref[0]                                      # (H, T, Dh)
+    dh = q.shape[2]
+    col = jax.lax.broadcasted_iota(jnp.int32, (q.shape[1], k_ref.shape[3]), 1)
+    for h in range(num_heads):
+        s = jnp.dot(q[h], k_ref[0, h],                # (T, S_pad)
+                    preferred_element_type=jnp.float32)
+        if kv_len < k_ref.shape[3]:
+            s = jnp.where(col < kv_len, s, NEG_BIG)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        # Head h's values are the static 64-lane slice of the head-flat
+        # (S_pad, D) block (unpadded stream; see models/whisper.py::KVCache).
+        o = jnp.dot(p.astype(v_ref.dtype), v_ref[0, :, h * dh:(h + 1) * dh],
+                    preferred_element_type=jnp.float32)
+        o_ref[0, h] = o.astype(o_ref.dtype)
 
 
 def _cross_pallas(q, k, v, kv_len: int):
@@ -77,24 +81,26 @@ def _cross_pallas(q, k, v, kv_len: int):
 
     b, h, t, d = q.shape
     s_pad = k.shape[3]
-    kern = functools.partial(_cross_kernel, kv_len=kv_len)
+    d_full = v.shape[2]
+    kern = functools.partial(_cross_kernel, kv_len=kv_len, num_heads=h)
     return pl.pallas_call(
         kern,
-        grid=(b, h),
+        grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, 1, t, d), lambda b_, h_: (b_, h_, 0, 0)),
-            pl.BlockSpec((1, 1, d, s_pad), lambda b_, h_: (b_, h_, 0, 0)),
-            pl.BlockSpec((1, 1, s_pad, d), lambda b_, h_: (b_, h_, 0, 0)),
+            pl.BlockSpec((1, h, t, d), lambda b_: (b_, 0, 0, 0)),
+            pl.BlockSpec((1, h, d, s_pad), lambda b_: (b_, 0, 0, 0)),
+            pl.BlockSpec((1, s_pad, d_full), lambda b_: (b_, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, t, d), lambda b_, h_: (b_, h_, 0, 0)),
+        out_specs=pl.BlockSpec((1, h, t, d), lambda b_: (b_, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+            dimension_semantics=("parallel",)),
         interpret=_INTERPRET,
     )(q, k, v)
 
 
 def _cross_xla(q, k, v, kv_len: int, k_s=None, v_s=None):
+    b, h, t, dh = q.shape
     s = jnp.einsum("bhtd,bhds->bhts", q, k.astype(q.dtype),
                    preferred_element_type=jnp.float32)
     if k_s is not None:
@@ -107,7 +113,10 @@ def _cross_xla(q, k, v, kv_len: int, k_s=None, v_s=None):
         # Dequant V by scaling the probabilities instead — (T, S) elements
         # instead of (S, Dh); the int8 V tensor feeds the MXU directly.
         p = p * v_s[:, :, None, :]
-    o = jnp.einsum("bhts,bhsd->bhtd", p.astype(q.dtype), v.astype(q.dtype),
+    # v is head-flat (B, S_pad, D): heads are split by a free minor-dim
+    # reshape; the contraction runs over s with h as a batch dim.
+    vh = v.reshape(b, v.shape[1], h, dh)
+    o = jnp.einsum("bhts,bshd->bhtd", p.astype(q.dtype), vh.astype(q.dtype),
                    preferred_element_type=jnp.float32)
     return o.astype(q.dtype)
 
@@ -115,7 +124,7 @@ def _cross_xla(q, k, v, kv_len: int, k_s=None, v_s=None):
 def cross_attention_decode(
     q: jnp.ndarray,       # (B, H, T, Dh), pre-scaled
     k: jnp.ndarray,       # (B, H, Dh, S_pad) head-major cross keys (bf16|int8)
-    v: jnp.ndarray,       # (B, H, S_pad, Dh)
+    v: jnp.ndarray,       # (B, S_pad, D) head-flat cross values (bf16|int8)
     kv_len: int,          # real key count (<= S_pad)
     k_s=None,             # (B, H, S_pad) f32 int8-mode key scales
     v_s=None,

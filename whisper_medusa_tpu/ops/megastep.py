@@ -66,22 +66,24 @@ _ENABLED = os.environ.get("WM_MEGASTEP", "1") == "1"
 _INTERPRET = os.environ.get("WM_MEGASTEP_INTERPRET", "0") == "1"
 # Debug: comma-list of phases ("self", "cross", "ffn") whose compute is
 # stubbed out (weight DMAs still run) — isolates compute vs stream cost.
+# "commit" stubs only the in-kernel cache-commit DMAs (attention still runs)
+# — the isolation knob for the B>=3 fault hunt.
 _SKIP = frozenset(
     s for s in os.environ.get("WM_MEGASTEP_SKIP", "").split(",") if s)
 
 
 def _w8a8() -> bool:
-    """int8 serving mode: feed the int8 weight tiles STRAIGHT to the MXU.
+    """Experimental: feed the int8 weight tiles STRAIGHT to the MXU (W8A8).
 
-    The default int8 path (W8A16) dequantizes every weight tile to bf16 on
-    the VPU before the matmul — ~0.5 G casts per decode step that stopped
-    hiding under the halved DMA stream (BENCH_r02: 67% of roofline vs bf16's
-    79%).  With W8A8 the kernel quantizes the activations per row (amax/127,
-    a few K elements), runs native s8 x s8 MXU matmuls, and folds
-    row x column scales into the f32 output — no large casts at all.
-    Attention stays bf16.  Default ON; WM_MEGASTEP_W8A8=0 restores the
-    conservative W8A16 kernel."""
-    return os.environ.get("WM_MEGASTEP_W8A8", "1") == "1"
+    Quantizes activations per row (amax/127) and runs native s8 x s8 MXU
+    matmuls with row x column scales folded into the f32 output, eliminating
+    the per-tile dequant casts of the default W8A16 path.  Measured on v5e it
+    is perf-NEUTRAL — phase-stub profiling showed the int8 kernel is DMA-
+    bound, not cast-bound (the real round-3 win was the head-flat cache
+    layout + single-phase FFN stream) — while the activation quantization
+    adds ~0.4%/matmul noise that can shift draft-acceptance behavior.
+    Default OFF; WM_MEGASTEP_W8A8=1 enables it (parity-tested both ways)."""
+    return os.environ.get("WM_MEGASTEP_W8A8", "0") == "1"
 
 _MAX_T = 16
 NEG_SELF = -1e30   # matches models/whisper.py::attention
@@ -190,7 +192,9 @@ def _kernel(
     cqw_ref, cow_ref,                 # (1, D, D) bf16 cross q/o weights
     sk_ref, sv_ref,                   # (1, B, S, D) bf16 self-cache slabs
     ck_ref,       # (1, B, H, dh, Sp) bf16|int8 cross keys (head-major)
-    cv_ref,       # (1, B, H, Sp, dh) bf16|int8 cross values
+    cv_ref,       # (1, B, Sp, D) bf16|int8 cross values (head-flat — a
+                  # head-major (.., Sp, dh=64) block would pad its minor dim
+                  # to 128 lanes in the tiled layout and double the V stream)
     cks_ref,      # (1, B, H, Sp) f32 int8-mode key scales (dummy otherwise)
     cvs_ref,      # (1, B, H, Sp) f32 int8-mode value scales
     f1_ref,       # (1, D, F2) bf16 fc1 chunk
@@ -293,7 +297,7 @@ def _kernel(
         # in bounds for every caller.
         w_rows = t16 + 8
         row = jax.lax.broadcasted_iota(jnp.int32, (w_rows, 1), 0)
-        for bb in range(batch):
+        for bb in range(batch) if "commit" not in _SKIP else ():
             off = off_ref[0, bb]
             # Clamp the aligned window so the HBM DMA stays in bounds even for
             # an overfull/foreign cache (fused_decoder_layers rejects slabs
@@ -394,7 +398,7 @@ def _kernel(
         for bb in range(batch):
             rows_b = slice(bb * t16, bb * t16 + t16)
             ck = ck_ref[0, bb]                           # (H, dh, Sp)
-            cv = cv_ref[0, bb]                           # (H, Sp, dh)
+            cv = cv_ref[0, bb]                           # (Sp, D) head-flat
             outs_h = []
             for h in range(num_heads):
                 s = jnp.dot(cq[rows_b, h * dh:(h + 1) * dh],
@@ -412,7 +416,10 @@ def _kernel(
                     # (T, Sp) elements instead of (Sp, dh); int8 V feeds the
                     # MXU directly.
                     pb = pb * cvs_ref[0, bb, h:h + 1, :]
-                oh = jnp.dot(pb.astype(x.dtype), cv[h].astype(x.dtype),
+                # Head h's values are the static 64-lane slice of the flat
+                # block (same pattern as the self-attn slab above).
+                oh = jnp.dot(pb.astype(x.dtype),
+                             cv[:, h * dh:(h + 1) * dh].astype(x.dtype),
                              preferred_element_type=jnp.float32)
                 outs_h.append(oh.astype(x.dtype))
             outs.append(jnp.concatenate(outs_h, axis=1))
@@ -491,7 +498,7 @@ def _kernel(
             y2_ref[:] = xs[:]
         else:
             y_ref[:] = xs[:]
-        if "self" not in _SKIP:
+        if "self" not in _SKIP and "commit" not in _SKIP:
             # Drain the last layer's outstanding cache-commit DMAs.
             for bb in range(batch):
                 stage = slice(bb * (t16 + 8), (bb + 1) * (t16 + 8))
@@ -513,7 +520,7 @@ def fused_decoder_layers(
                                  # tiled-layout copy per step at this boundary)
     self_v: jnp.ndarray,
     cross_k: jnp.ndarray,        # (L, B, H, dh, Sp) head-major
-    cross_v: jnp.ndarray,        # (L, B, H, Sp, dh)
+    cross_v: jnp.ndarray,        # (L, B, Sp, D) head-flat (KVCache layout)
     offset: jnp.ndarray,         # (B,) i32 committed length per example
     chunk_bias: jnp.ndarray,     # (T, T) f32 additive intra-chunk mask
     cross_len: int,
@@ -653,8 +660,8 @@ def fused_decoder_layers(
             pl.BlockSpec((1, b, s_len, d), lambda l, p: (at_p0(l, p), 0, 0, 0)),
             pl.BlockSpec((1, b, h, dh, sp_len),
                          lambda l, p: (at_p1(l, p), 0, 0, 0, 0)),
-            pl.BlockSpec((1, b, h, sp_len, dh),
-                         lambda l, p: (at_p1(l, p), 0, 0, 0, 0)),
+            pl.BlockSpec((1, b, sp_len, d),
+                         lambda l, p: (at_p1(l, p), 0, 0, 0)),
             s_spec,
             s_spec,
             pl.BlockSpec((1, d, f2),
@@ -696,7 +703,7 @@ def fused_decoder_layers(
         wsel(dec_layers["cross"]["q_w"]), wsel(dec_layers["cross"]["o_w"]),
         self_k, self_v,
         cross_k.reshape(nl, b, h, dh, sp_len),
-        cross_v.reshape(nl, b, h, sp_len, dh),
+        cross_v.reshape(nl, b, sp_len, d),
         cks, cvs,
         wsel(dec_layers["fc1_w"]),
         wsel(dec_layers["fc2_w"]),
