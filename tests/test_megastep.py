@@ -141,7 +141,8 @@ def test_gating():
     assert ok()
     assert ok(b=2)                # small-batch latency serving
     assert ok(block=True)         # medusa-block extra layer is fused too
-    assert not ok(b=3)            # capped (see available()) -> XLA scan path
+    assert ok(b=8)                # batched serving (phase-split windows)
+    assert not ok(b=9)            # capped (see available()) -> XLA scan path
     assert not ok(t=17)           # chunk too long
     assert not ok(cb=2)           # beam-folded cross attention
     assert not ok(d=130)          # unaligned model dim
@@ -337,3 +338,47 @@ def test_block_variant_generate_parity():
     finally:
         megastep._ENABLED = True
     np.testing.assert_array_equal(a.sequences, b.sequences)
+
+
+def dims_4h(ffn=1024):
+    """4-head / d_model=256 tiny model: head groups of 2 keep the group
+    column width at 128 lanes, so the cross head-group phase split
+    (_pick_phases nc=2) is exercisable at test scale."""
+    return WhisperDims(
+        vocab_size=256, num_mel_bins=16, d_model=256,
+        encoder_layers=2, decoder_layers=2,
+        encoder_attention_heads=4, decoder_attention_heads=4,
+        encoder_ffn_dim=256, decoder_ffn_dim=ffn,
+        max_source_positions=32, max_target_positions=64,
+    )
+
+
+@pytest.mark.parametrize("phases,int8", [("2,1", False), ("2,2", False),
+                                         ("2,1", True), ("4,1", False)])
+def test_cross_group_split_parity(phases, int8, monkeypatch):
+    """Batch-3 fused decode with the cross phase split into head groups
+    (WM_MEGASTEP_FORCE_PHASES pins the split the VMEM estimator would pick
+    at real batched-serving shapes) == XLA scan path."""
+    monkeypatch.setenv("WM_MEGASTEP_FORCE_PHASES", phases)
+    dims = dims_4h()
+    wp = whisper.init_whisper_params(jax.random.PRNGKey(0), dims, jnp.bfloat16)
+    wp["decoder"]["layers"] = _randomize_small_params(
+        wp["decoder"]["layers"], jax.random.PRNGKey(42))
+    if int8:
+        from whisper_medusa_tpu.ops.qmm import quantize_decoder
+
+        wp, _ = quantize_decoder(wp)
+    enc = (jax.random.normal(jax.random.PRNGKey(1), (3, 32, dims.d_model))
+           .astype(jnp.bfloat16))
+    cache = whisper.init_cache(wp, dims, enc, 48)
+    # Ragged committed history per example.
+    pre = jax.random.randint(jax.random.PRNGKey(2), (3, 6), 0, 255)
+    _, cache = whisper.decode_step(wp, dims, pre, cache,
+                                   jnp.zeros((3,), jnp.int32))
+    tokens = jax.random.randint(jax.random.PRNGKey(3), (3, 4), 0, 255)
+    offsets = jnp.asarray([6, 3, 5], jnp.int32)
+    (of, cf), (ox, cx) = both_paths(dims, wp, cache, tokens, offsets)
+    assert_close(of.hidden, ox.hidden)
+    for i, off in enumerate([6, 3, 5]):
+        assert_close(cf.self_k[:, i, off:off + 4], cx.self_k[:, i, off:off + 4])
+        assert_close(cf.self_v[:, i, off:off + 4], cx.self_v[:, i, off:off + 4])

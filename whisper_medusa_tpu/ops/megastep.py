@@ -31,7 +31,9 @@ layernorm/softmax/accumulation, bf16 operands, f32 GELU via the same erf
 approximation as ops/decode_kernels.py) so the fused and scan paths agree to
 bf16 rounding.  Inference-only; autodiff uses the teacher-forced path.
 
-Scope (callers gate via :func:`available`): B <= 2,
+Scope (callers gate via :func:`available`): B <= 8 (batch >= 3 splits the
+cross phase into head-group sub-phases and the FFN into more chunks so the
+VMEM windows fit — see _pick_phases),
 T <= 16 new tokens, bf16 weights or the int8 serving mode
 (ops/qmm.py::quantize_decoder — int8 tiles dequantize in VMEM and
 per-output-channel scales ride the packed small-params block, halving the
@@ -109,12 +111,12 @@ def available(dec_layers: Params, d_model: int, num_heads: int, b: int, t: int,
               block: bool, cross_beam: int) -> bool:
     """Gate: can the fused kernel handle this decode_step call?
 
-    Batch: the kernel owns the latency-serving end, B <= 2; larger batches
-    amortize the weight stream across rows in the XLA scan.  (B = 3-4 int8
-    compiles and passes single steps, but the full while_loop program
-    reproducibly faults the v5e TPU worker — per-example semaphores and a
-    reduced WM_MEGASTEP_VMEM_MB both ruled out; cap until root-caused.
-    WM_MEGASTEP_MAX_B overrides for experiments.)
+    Batch: B <= 8 by default (WM_MEGASTEP_MAX_B overrides).  Batch >= 3
+    forces the phase pipeline to split its cross/FFN streams into smaller
+    windows (see _pick_phases) — the round-2 "B=3-4 v5e fault" was the
+    whole-window VMEM overflow this now avoids; beyond 8 the XLA scan's
+    weight-stream amortization catches up and the per-example attention
+    loops in the kernel stop paying for themselves.
 
     The medusa_block extra layer is fused too: callers stack it onto the
     decoder layers (models/whisper.py::extend_layers_with_block) and the
@@ -124,7 +126,7 @@ def available(dec_layers: Params, d_model: int, num_heads: int, b: int, t: int,
     """
     if not (_ENABLED and (_on_tpu() or _INTERPRET)):
         return False
-    max_b = int(os.environ.get("WM_MEGASTEP_MAX_B", "2"))
+    max_b = int(os.environ.get("WM_MEGASTEP_MAX_B", "8"))
     if not (1 <= b <= max_b) or t > _MAX_T or cross_beam != 1:
         return False
     if d_model % 128 != 0 or d_model % num_heads != 0:
@@ -143,18 +145,71 @@ def available(dec_layers: Params, d_model: int, num_heads: int, b: int, t: int,
                for w in ws)
 
 
-def _n_chunks(ffn_dim: int, quant: bool = False) -> int:
-    """FFN streaming chunks per layer.
+def _estimate_vmem(b: int, t16: int, d: int, h: int, dh: int, s_len: int,
+                   sp_len: int, f: int, sp_rows: int, nc: int, nch: int,
+                   wbytes: int, kvbytes: int, kv_quant: bool) -> int:
+    """Sum of the kernel's VMEM window allocations for a (nc, nch) phase
+    split — every pipelined input is double-buffered, so the estimate is
+    2 x block bytes per streamed input plus single-buffered constants,
+    outputs, and scratch.  Mirrors fused_decoder_layers' BlockSpecs."""
+    gd = (h // nc) * dh
+    f2 = f // nch
+    tot = b * t16 * d * 2                       # x (single-buffered)
+    tot += t16 * 128 * 4                        # chunk bias
+    tot += sp_rows * d * 4 * 2                  # packed small params
+    tot += 4 * d * d * wbytes * 2               # self q/k/v/o
+    tot += 2 * d * gd * wbytes * 2              # cross q/o group columns/rows
+    tot += 2 * b * s_len * d * 2 * 2            # self-cache slabs (bf16)
+    tot += b * (h // nc) * dh * sp_len * kvbytes * 2   # cross K group
+    tot += b * sp_len * gd * kvbytes * 2        # cross V group (head-flat)
+    if kv_quant:
+        tot += 2 * b * (h // nc) * sp_len * 4 * 2      # k/v scales
+    tot += (d * f2 + f2 * d) * wbytes * 2       # fc1/fc2 chunk
+    tot += 2 * b * t16 * d * 2                  # y, y2 outputs
+    tot += b * t16 * d * (2 + 4)                # xs, acc scratch
+    tot += 2 * b * (t16 + 8) * d * 2            # cache-commit staging
+    return tot
 
-    bf16 must split large FFNs to stay inside the ~128 MB VMEM budget
-    (every pipelined input is double-buffered).  int8 halves every block, so
-    the whole FFN rides ONE phase — phase-stub profiling showed the int8
-    kernel is pure DMA-bound and its half-size DMAs amortize fixed per-phase
-    costs worse (1.96 ms/step with ALL compute stubbed): fewer, bigger DMAs
-    are the lever, not compute."""
-    if quant:
-        return 1
-    return 2 if (ffn_dim % 256 == 0 and ffn_dim >= 2048) else 1
+
+def _pick_phases(b: int, t16: int, d: int, h: int, dh: int, s_len: int,
+                 sp_len: int, f: int, sp_rows: int, wbytes: int,
+                 kvbytes: int, kv_quant: bool) -> Tuple[int, int]:
+    """Choose (cross head-groups, FFN chunks) for the phase pipeline.
+
+    Fewer, bigger DMAs win (the kernel is pure DMA-bound; phase-stub
+    profiling showed half-size DMAs amortize fixed per-phase costs worse),
+    so take the FEWEST total phases whose VMEM windows fit the budget.
+    Batch >= 3 is what forces splitting: the cross K/V and weight windows
+    scale with B and overflow VMEM whole (the round-2 "B=3-4 fault" was
+    this overflow; with group-sliced cross phases B up to 8 compiles and
+    soaks clean).  WM_MEGASTEP_FORCE_PHASES="nc,nch" pins the split for
+    tests/experiments."""
+    force = os.environ.get("WM_MEGASTEP_FORCE_PHASES")
+    if force:
+        nc, nch = (int(v) for v in force.split(","))
+        return nc, nch
+    budget = (int(os.environ.get("WM_MEGASTEP_VMEM_MB", "128")) - 20) * 2**20
+    ncs = [n for n in range(1, h + 1)
+           if h % n == 0 and ((h // n) * dh) % 128 == 0]
+    nchs = [n for n in (1, 2, 4, 8) if f % n == 0 and (f // n) % d == 0]
+    # int8 at batch >= 4: the halved weight stream no longer shadows the
+    # per-example attention compute, and finer phase splits claw most of it
+    # back (v5e sweep at large-v2, t=11: b=4 4.5 -> 2.9 ms with (2,2); b=8
+    # 8.9 -> 6.8 ms with (h/2, 2)).  Floors below are those measured picks;
+    # bf16's heavier DMA hides the compute, so it stays estimator-driven.
+    nc_floor, nch_floor = 1, 1
+    if wbytes == 1 and b >= 4:
+        want_nc = 2 if b < 7 else (h // 2 if h // 2 in ncs else max(ncs))
+        nc_floor = min((n for n in ncs if n >= want_nc), default=max(ncs))
+        nch_floor = min((n for n in nchs if n >= 2), default=max(nchs))
+    cands = sorted(((nc, nch) for nc in ncs if nc >= nc_floor
+                    for nch in nchs if nch >= nch_floor),
+                   key=lambda t: (t[0] + t[1], t[0]))
+    for nc, nch in cands:
+        if _estimate_vmem(b, t16, d, h, dh, s_len, sp_len, f, sp_rows,
+                          nc, nch, wbytes, kvbytes, kv_quant) <= budget:
+            return nc, nch
+    return cands[-1]  # nothing fits: compile will fail loudly with the map
 
 
 def _erf_f32(z):
@@ -189,14 +244,19 @@ def _kernel(
     # per-layer streamed inputs
     sp_ref,       # (1, 12 + F/D, D) f32 — packed layernorms/biases + fc1 bias
     qw_ref, kw_ref, vw_ref, ow_ref,   # (1, D, D) bf16 self-attn weights
-    cqw_ref, cow_ref,                 # (1, D, D) bf16 cross q/o weights
+    cqw_ref, cow_ref,   # (1, D, Gd)/(1, Gd, D) bf16 cross q/o weight columns/
+                        # rows for the current head group (Gd = H/nc * dh)
     sk_ref, sv_ref,                   # (1, B, S, D) bf16 self-cache slabs
-    ck_ref,       # (1, B, H, dh, Sp) bf16|int8 cross keys (head-major)
-    cv_ref,       # (1, B, Sp, D) bf16|int8 cross values (head-flat — a
+    ck_ref,       # (1, B, Hg, dh, Sp) bf16|int8 cross keys for the current
+                  # head group (head-major)
+    cv_ref,       # (1, B, Sp, Gd) bf16|int8 cross values (head-flat — a
                   # head-major (.., Sp, dh=64) block would pad its minor dim
                   # to 128 lanes in the tiled layout and double the V stream)
-    cks_ref,      # (1, B, H, Sp) f32 int8-mode key scales (dummy otherwise)
-    cvs_ref,      # (1, B, H, Sp) f32 int8-mode value scales
+    cks_ref,      # (1, B, 1, Hg, Sp) f32 int8-mode key scales for the current
+                  # head group (dummy when not kv_quant; the explicit group
+                  # dim keeps the block's last-two dims == the array dims,
+                  # which Mosaic requires when Hg isn't 8-aligned)
+    cvs_ref,      # (1, B, 1, Hg, Sp) f32 int8-mode value scales
     f1_ref,       # (1, D, F2) bf16 fc1 chunk
     f2_ref,       # (1, F2, D) bf16 fc2 chunk
     # outputs
@@ -213,8 +273,8 @@ def _kernel(
                   # wait matches exactly the copy it calibrates against
     *,
     num_layers: int, num_heads: int, t16: int, t_real: int, cross_len: int,
-    n_chunks: int, scale: float, quant: bool, kv_quant: bool, batch: int,
-    has_block: bool, w8a8: bool,
+    n_cross: int, n_chunks: int, scale: float, quant: bool, kv_quant: bool,
+    batch: int, has_block: bool, w8a8: bool,
 ):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -222,7 +282,7 @@ def _kernel(
     l, p = pl.program_id(0), pl.program_id(1)
     d = x_ref.shape[1]
     dh = d // num_heads
-    last_p = 1 + n_chunks
+    last_p = n_cross + n_chunks
     # Packed small-params row layout: 12 base rows, then (block variant only)
     # ln_post's scale/bias, then fc1's F/D bias rows per chunk; int8 mode
     # appends per-output-channel scale rows — 7 (self q/k/v/o, cross q/o, fc2)
@@ -382,14 +442,43 @@ def _kernel(
         o = (mm(attn, ow_ref, 3) + sp[4:5]).astype(x.dtype)
         xs[:] = x + o
 
-    # --------------------------------------------------------- p1: cross-attn
-    @pl.when((p == 1) & ("cross" not in _SKIP))
+    # ----------------------------------------------- p1..p_nc: cross-attn
+    # The cross phase is split into n_cross head-group sub-phases so its
+    # VMEM windows (cross K/V + q/o weight slices, all O(B)) stay inside
+    # the budget at batch > 2: group g's phase streams only its Hg = H/nc
+    # heads of K/V and the matching q-columns / o-rows, computes a PARTIAL
+    # o-projection, and accumulates it in the f32 scratch; the residual add
+    # and bias land at the last group.
+    @pl.when((p >= 1) & (p <= n_cross) & ("cross" not in _SKIP))
     def _():
         sp = sp_ref[0]
         x = xs[:]
         ln = _ln(x, sp[5:6], sp[6:7])
-        cq = (mm(ln, cqw_ref, 4) + sp[7:8]).astype(x.dtype) \
-            * jnp.asarray(scale, x.dtype)
+        hg = num_heads // n_cross
+        gd = hg * dh
+
+        def gsel(row):
+            """Current group's (1, Gd) column slice of a packed (1, D) row
+            (static slices selected by the phase id — g = p - 1)."""
+            out = row[:, :gd]
+            for g in range(1, n_cross):
+                out = jnp.where(p == 1 + g, row[:, g * gd:(g + 1) * gd], out)
+            return out
+
+        qw = cqw_ref[0]                                  # (D, Gd)
+        if quant and w8a8:
+            ln8, lns = quant_rows(ln)
+            cq = jax.lax.dot_general(
+                ln8, qw, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+            cq = cq * lns * gsel(sp[sb + 4:sb + 5])
+        else:
+            if quant:
+                qw = qw.astype(x.dtype)
+            cq = jnp.dot(ln, qw, preferred_element_type=jnp.float32)
+            if quant:
+                cq = cq * gsel(sp[sb + 4:sb + 5])
+        cq = (cq + gsel(sp[7:8])).astype(x.dtype) * jnp.asarray(scale, x.dtype)
         sp_len = ck_ref.shape[4]
         col = jax.lax.broadcasted_iota(jnp.int32, (t16, sp_len), 1)
         cross_bias = jnp.where(col < cross_len, jnp.float32(0),
@@ -397,16 +486,16 @@ def _kernel(
         outs = []
         for bb in range(batch):
             rows_b = slice(bb * t16, bb * t16 + t16)
-            ck = ck_ref[0, bb]                           # (H, dh, Sp)
-            cv = cv_ref[0, bb]                           # (Sp, D) head-flat
+            ck = ck_ref[0, bb]                           # (Hg, dh, Sp)
+            cv = cv_ref[0, bb]                           # (Sp, Gd) head-flat
             outs_h = []
-            for h in range(num_heads):
-                s = jnp.dot(cq[rows_b, h * dh:(h + 1) * dh],
-                            ck[h].astype(x.dtype),
+            for hh in range(hg):
+                s = jnp.dot(cq[rows_b, hh * dh:(hh + 1) * dh],
+                            ck[hh].astype(x.dtype),
                             preferred_element_type=jnp.float32)
                 if kv_quant:
                     # int8 cross K: per-(head, position) scales on the scores.
-                    s = s * cks_ref[0, bb, h:h + 1, :]
+                    s = s * cks_ref[0, bb, 0, hh:hh + 1, :]
                 s = s + cross_bias
                 m = jnp.max(s, axis=-1, keepdims=True)
                 e = jnp.exp(s - m)
@@ -415,32 +504,60 @@ def _kernel(
                     # int8 cross V: dequant by scaling the probabilities —
                     # (T, Sp) elements instead of (Sp, dh); int8 V feeds the
                     # MXU directly.
-                    pb = pb * cvs_ref[0, bb, h:h + 1, :]
-                # Head h's values are the static 64-lane slice of the flat
+                    pb = pb * cvs_ref[0, bb, 0, hh:hh + 1, :]
+                # Head hh's values are the static 64-lane slice of the flat
                 # block (same pattern as the self-attn slab above).
                 oh = jnp.dot(pb.astype(x.dtype),
-                             cv[:, h * dh:(h + 1) * dh].astype(x.dtype),
+                             cv[:, hh * dh:(hh + 1) * dh].astype(x.dtype),
                              preferred_element_type=jnp.float32)
                 outs_h.append(oh.astype(x.dtype))
             outs.append(jnp.concatenate(outs_h, axis=1))
-        cross = jnp.concatenate(outs, axis=0)            # (B*T16, D)
-        o = (mm(cross, cow_ref, 5) + sp[8:9]).astype(x.dtype)
-        xs[:] = x + o
+        cross = jnp.concatenate(outs, axis=0)            # (B*T16, Gd)
+        ow = cow_ref[0]                                  # (Gd, D)
+        if quant and w8a8:
+            c8, cs = quant_rows(cross)
+            part = jax.lax.dot_general(
+                c8, ow, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32) * cs
+        else:
+            if quant:
+                ow = ow.astype(x.dtype)
+            part = jnp.dot(cross, ow, preferred_element_type=jnp.float32)
 
-    # --------------------------------------------------------- p2..: ffn chunk
-    @pl.when((p >= 2) & ("ffn" not in _SKIP))
+        @pl.when(p == 1)
+        def _():
+            acc[:] = part
+
+        @pl.when(p > 1)
+        def _():
+            acc[:] = acc[:] + part
+
+        @pl.when(p == n_cross)
+        def _():
+            tot = acc[:]
+            if quant:
+                # cross-o's per-output-column scale is group-invariant
+                # (contraction over the group rows), so it applies once to
+                # the accumulated sum (W8A8: each group's activation row
+                # scales already rode its own partial).
+                tot = tot * sp[sb + 5:sb + 6]
+            xs[:] = x + (tot + sp[8:9]).astype(x.dtype)
+
+    # ---------------------------------------------------- p_nc+1..: ffn chunk
+    @pl.when((p > n_cross) & ("ffn" not in _SKIP))
     def _():
         sp = sp_ref[0]
         x = xs[:]
         ln = _ln(x, sp[9:10], sp[10:11])
         # fc1 bias chunk lives in the packed rows [base + c*rpc, base +
         # (c+1)*rpc) (static slices selected by a scalar compare — the chunk
-        # index p-2 is a grid value, so the rows can't be sliced dynamically).
+        # index p - n_cross - 1 is a grid value, so the rows can't be sliced
+        # dynamically).
         f2c = f1_ref.shape[2]
         f1b = sp[base:base + rpc].reshape(1, f2c)
         for c in range(1, n_chunks):
             alt = sp[base + c * rpc:base + (c + 1) * rpc].reshape(1, f2c)
-            f1b = jnp.where(p == 2 + c, alt, f1b)
+            f1b = jnp.where(p == n_cross + 1 + c, alt, f1b)
         f1w = f1_ref[0]
         f2w = f2_ref[0]
         if quant:
@@ -449,7 +566,7 @@ def _kernel(
             f1s = sp[s0:s0 + rpc].reshape(1, f2c)
             for c in range(1, n_chunks):
                 alt = sp[s0 + c * rpc:s0 + (c + 1) * rpc].reshape(1, f2c)
-                f1s = jnp.where(p == 2 + c, alt, f1s)
+                f1s = jnp.where(p == n_cross + 1 + c, alt, f1s)
         if quant and w8a8:
             ln8, lns = quant_rows(ln)
             h = jax.lax.dot_general(
@@ -484,9 +601,13 @@ def _kernel(
         if n_chunks == 1:
             xs[:] = finish(part)
         else:
-            @pl.when(p == 2)
+            @pl.when(p == n_cross + 1)
             def _():
                 acc[:] = part
+
+            @pl.when((p > n_cross + 1) & (p < last_p))
+            def _():
+                acc[:] = acc[:] + part
 
             @pl.when(p == last_p)
             def _():
@@ -562,8 +683,6 @@ def fused_decoder_layers(
     quant = isinstance(dec_layers["self"]["q_w"], dict)
     wsel = (lambda w: w["q"]) if quant else (lambda w: w)
     f = wsel(dec_layers["fc1_w"]).shape[2]
-    nch = _n_chunks(f, quant)
-    f2 = f // nch
     sp_len = cross_k.shape[-1]
 
     # Pack every per-layer small param (layernorms, biases, fc1 bias as F/D
@@ -598,6 +717,14 @@ def fused_decoder_layers(
         blocks.append(dec_layers["fc1_w"]["s"].reshape(nl, f // d, d))
     sp = jnp.concatenate(blocks, axis=1).astype(jnp.float32)
 
+    wbytes = 1 if quant else 2
+    kvbytes = 1 if cross_k_s is not None else 2
+    nc, nch = _pick_phases(b, t16, d, h, dh, s_len, sp_len, f, sp.shape[1],
+                           wbytes, kvbytes, cross_k_s is not None)
+    hg = h // nc
+    gd = hg * dh
+    f2 = f // nch
+
     x2 = x
     if t16 != t:
         x2 = jnp.pad(x2, ((0, 0), (0, t16 - t), (0, 0)))
@@ -611,29 +738,41 @@ def fused_decoder_layers(
 
     off2 = jnp.reshape(offset, (1, b)).astype(jnp.int32)
 
-    grid = (nl, 2 + nch)
+    grid = (nl, 1 + nc + nch)
     L_ = nl
 
     def at_p0(l, p):
         return jnp.minimum(l + (p > 0), L_ - 1)
 
-    def at_p1(l, p):
-        return jnp.minimum(l + (p > 1), L_ - 1)
+    # Cross-phase inputs: group g's block is read at phase p = g + 1; the
+    # map advances to the next group one phase ahead (Mosaic fetches step
+    # s+1's block during step s), rolling to the next layer's group 0 as
+    # soon as the last group's phase has passed — that fetch then hides
+    # under the FFN and self phases.
+    def cross_l(l, p):
+        return jnp.minimum(l + (p > nc), L_ - 1)
+
+    def cross_g(l, p):
+        return jnp.where(p > nc, 0, jnp.clip(p - 1, 0, nc - 1))
 
     kv_quant = cross_k_s is not None
     if kv_quant:
-        cks = cross_k_s.reshape(nl, b, h, sp_len).astype(jnp.float32)
-        cvs = cross_v_s.reshape(nl, b, h, sp_len).astype(jnp.float32)
-        s_spec = pl.BlockSpec((1, b, h, sp_len),
-                              lambda l, p: (at_p1(l, p), 0, 0, 0))
+        # Group dim carried explicitly ((L, B, nc, Hg, Sp)) so the block's
+        # last-two dims equal the array dims — Mosaic requires that when
+        # Hg isn't a multiple of 8 (e.g. 20 heads / nc=2 -> Hg=10).
+        cks = cross_k_s.reshape(nl, b, nc, hg, sp_len).astype(jnp.float32)
+        cvs = cross_v_s.reshape(nl, b, nc, hg, sp_len).astype(jnp.float32)
+        s_spec = pl.BlockSpec(
+            (1, b, 1, hg, sp_len),
+            lambda l, p: (cross_l(l, p), 0, cross_g(l, p), 0, 0))
     else:
         # Unread dummies (kv_quant=False skips them); one minimal f32 tile.
-        cks = cvs = jnp.zeros((nl, 1, 8, 128), jnp.float32)
-        s_spec = pl.BlockSpec((1, 1, 8, 128), lambda l, p: (0, 0, 0, 0))
+        cks = cvs = jnp.zeros((nl, 1, 1, 8, 128), jnp.float32)
+        s_spec = pl.BlockSpec((1, 1, 1, 8, 128), lambda l, p: (0, 0, 0, 0, 0))
     kern = functools.partial(
         _kernel, num_layers=nl, num_heads=num_heads, t16=t16, t_real=t,
-        cross_len=cross_len, n_chunks=nch, scale=dh ** -0.5, quant=quant,
-        kv_quant=kv_quant, batch=b, has_block=has_block,
+        cross_len=cross_len, n_cross=nc, n_chunks=nch, scale=dh ** -0.5,
+        quant=quant, kv_quant=kv_quant, batch=b, has_block=has_block,
         w8a8=quant and _w8a8())
     sp_rows = sp.shape[1]
 
@@ -654,20 +793,22 @@ def fused_decoder_layers(
             pl.BlockSpec((1, d, d), lambda l, p: (at_p0(l, p), 0, 0)),  # k
             pl.BlockSpec((1, d, d), lambda l, p: (at_p0(l, p), 0, 0)),  # v
             pl.BlockSpec((1, d, d), lambda l, p: (at_p0(l, p), 0, 0)),  # o
-            pl.BlockSpec((1, d, d), lambda l, p: (at_p1(l, p), 0, 0)),  # cq
-            pl.BlockSpec((1, d, d), lambda l, p: (at_p1(l, p), 0, 0)),  # co
+            pl.BlockSpec((1, d, gd),                                    # cq
+                         lambda l, p: (cross_l(l, p), 0, cross_g(l, p))),
+            pl.BlockSpec((1, gd, d),                                    # co
+                         lambda l, p: (cross_l(l, p), cross_g(l, p), 0)),
             pl.BlockSpec((1, b, s_len, d), lambda l, p: (at_p0(l, p), 0, 0, 0)),
             pl.BlockSpec((1, b, s_len, d), lambda l, p: (at_p0(l, p), 0, 0, 0)),
-            pl.BlockSpec((1, b, h, dh, sp_len),
-                         lambda l, p: (at_p1(l, p), 0, 0, 0, 0)),
-            pl.BlockSpec((1, b, sp_len, d),
-                         lambda l, p: (at_p1(l, p), 0, 0, 0)),
+            pl.BlockSpec((1, b, hg, dh, sp_len),
+                         lambda l, p: (cross_l(l, p), 0, cross_g(l, p), 0, 0)),
+            pl.BlockSpec((1, b, sp_len, gd),
+                         lambda l, p: (cross_l(l, p), 0, 0, cross_g(l, p))),
             s_spec,
             s_spec,
             pl.BlockSpec((1, d, f2),
-                         lambda l, p: (l, 0, jnp.clip(p - 2, 0, nch - 1))),
+                         lambda l, p: (l, 0, jnp.clip(p - nc - 1, 0, nch - 1))),
             pl.BlockSpec((1, f2, d),
-                         lambda l, p: (l, jnp.clip(p - 2, 0, nch - 1), 0)),
+                         lambda l, p: (l, jnp.clip(p - nc - 1, 0, nch - 1), 0)),
         ],
         out_specs=[
             pl.BlockSpec((b * t16, d), lambda l, p: (0, 0)),
