@@ -175,24 +175,28 @@ def main(batch: int = 1, int8: bool = False):
             f"{new_tokens / dt:.1f} tok/s, accept/step={accept:.2f}")
         return new_tokens / dt, accept, dt, steps, new_tokens
 
-    def decode_step_hbm_bytes(cache_len: int, chunk: int, wbytes: int) -> int:
+    def decode_step_hbm_bytes(cache_len: int, chunk: int, wbytes: int,
+                              b: int = None, with_embed: bool = True) -> int:
         """Modeled HBM bytes one decode step must move (weight + cache reads).
 
         Per step the decoder reads: all per-step weights (self qkvo + cross q/o
-        + ffn per layer, plus the tied embedding for the logits matmul), the
-        full self-KV slab, and the precomputed cross-KV cache.  Activations and
-        the chunk's cache writes are negligible at decode sizes."""
+        + ffn per layer, plus — engine path only — the tied embedding for the
+        logits matmul), the full self-KV slab, and the precomputed cross-KV
+        cache.  Activations and the chunk's cache writes are negligible at
+        decode sizes.  ``with_embed=False`` models the bare fused kernel
+        (batch sweep), which has no vocab projection inside."""
+        b = batch if b is None else b
         d, f = dims.d_model, dims.decoder_ffn_dim
         nl, v, s = dims.decoder_layers, dims.vocab_size, dims.max_source_positions
         nh = dims.decoder_attention_heads
         per_layer = 4 * d * d + 2 * d * d + 2 * d * f
-        weights = nl * per_layer + v * d
+        weights = nl * per_layer + (v * d if with_embed else 0)
         # +16: init_cache over-allocates slab rows for the megastep kernel's
         # aligned cache-commit window; the full slab is streamed per step.
-        kv_self = 2 * nl * batch * (cache_len + 16) * d * 2        # bf16
+        kv_self = 2 * nl * b * (cache_len + 16) * d * 2            # bf16
         # int8 mode stores the cross cache int8 + per-(head, pos) f32 scales.
-        kv_cross = (2 * nl * batch * s * d * wbytes
-                    + (2 * nl * batch * nh * s * 4 if wbytes == 1 else 0))
+        kv_cross = (2 * nl * b * s * d * wbytes
+                    + (2 * nl * b * nh * s * 4 if wbytes == 1 else 0))
         return weights * wbytes + kv_self + kv_cross
 
     # v5e HBM ~819 GB/s; v4 ~1228; v5p ~2765. Used for the roofline line only.
@@ -280,6 +284,17 @@ def main(batch: int = 1, int8: bool = False):
             medusa_choices=(1,) * 11)
         mp_b = medusa_mod.init_medusa_params(
             jax.random.PRNGKey(2), dims, mc_b, wp, jnp.bfloat16)
+        # Zero the block layer's residual-writing projections so the (random-
+        # weight) block acts as identity and the identity-initialized heads
+        # draft the backbone's own greedy trajectory — the same operating
+        # regime as base_head above.  A trained checkpoint needs no such
+        # trick; without it drafts are noise and accept pins at 0, which
+        # measures ms/iter fine but not the accept-dependent throughput.
+        for k in ("o_w", "o_b"):
+            mp_b["block"]["self"][k] = jnp.zeros_like(mp_b["block"]["self"][k])
+            mp_b["block"]["cross"][k] = jnp.zeros_like(mp_b["block"]["cross"][k])
+        mp_b["block"]["fc2_w"] = jnp.zeros_like(mp_b["block"]["fc2_w"])
+        mp_b["block"]["fc2_b"] = jnp.zeros_like(mp_b["block"]["fc2_b"])
         jax.block_until_ready(mp_b)
         _, _, b_dt, b_steps, _ = timed(
             medusa_buffers, "medusa_block", mp_b,
@@ -318,6 +333,32 @@ def main(batch: int = 1, int8: bool = False):
             "int8_roofline_pct": round(100 * q_min / q_ms, 1),
             "int8_medusa_tok_s_at_accept2": round(q_tps, 1),
         })
+
+    if (not int8 and batch == 1 and on_tpu
+            and _os.environ.get("WM_BENCH_SWEEP", "1") == "1"):
+        # Batched-serving sweep (VERDICT r2 #1): chained fused-kernel loop at
+        # B = 2/4/8, bf16 + int8, T=11 speculative chunk — ms/step and % of
+        # the per-batch HBM roofline (no vocab projection in the bare kernel).
+        from whisper_medusa_tpu.utils.profiling import megastep_chain_ms
+
+        if "wp8" not in dir():   # int8 mini-sweep disabled: quantize here
+            from whisper_medusa_tpu.ops.qmm import quantize_decoder
+
+            wp8, _ = quantize_decoder(wp, mp)
+        sweep = {}
+        for wl, weights in (("bf16", wp), ("int8", wp8)):
+            wb = 1 if wl == "int8" else 2
+            for bsw in (2, 4, 8):
+                enc_b = jnp.tile(enc, (bsw, 1, 1))
+                ms = megastep_chain_ms(weights, dims, enc_b, t=11,
+                                       max_len=max_length)
+                mn = decode_step_hbm_bytes(max_length + 13, 11, wb, b=bsw,
+                                           with_embed=False) / (bw * 1e9) * 1e3
+                sweep[f"{wl}_b{bsw}_ms"] = round(ms, 3)
+                sweep[f"{wl}_b{bsw}_roofline_pct"] = round(100 * mn / ms, 1)
+                log(f"batch sweep {wl} B={bsw}: {ms:.2f} ms/step "
+                    f"(kernel roofline min {mn:.2f} -> {100 * mn / ms:.0f}%)")
+        extra["batch_sweep"] = sweep
 
     print(json.dumps({
         "metric": "decode_speedup_vs_vanilla_greedy_at_accept2",

@@ -133,7 +133,8 @@ def test_vanilla_loop_fused_matches_unfused():
 
 
 def test_gating():
-    assert not verify_mod.available(300, 51865, 1280)  # too many rows
+    assert not verify_mod.available(1100, 51865, 1280)  # too many rows
+    assert verify_mod.available(968, 51865, 1280)       # b=8 headline config
     assert not verify_mod.available(121, 4096, 1280)   # small vocab
     assert not verify_mod.available(121, 51865, 1283)  # unaligned D
     assert verify_mod.available(121, 51865, 1280)

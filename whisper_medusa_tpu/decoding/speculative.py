@@ -341,7 +341,7 @@ def speculative_generate(
     n_score_rows = (num_heads + 1 if draft_params is not None
                     else 1) * n_nodes * b
     use_fused_verify = (
-        greedy and not sample and not use_ts and buffers.is_chain and b <= 2
+        greedy and not sample and not use_ts and buffers.is_chain and b <= 8
         and verify_mod.available(
             n_score_rows, dims.vocab_size, dims.d_model))
     sup_masks = verify_mod.masks_for(pcfg) if use_fused_verify else None

@@ -40,7 +40,10 @@ _ENABLED = os.environ.get("WM_VERIFY_KERNEL", "1") == "1"
 _INTERPRET = os.environ.get("WM_VERIFY_INTERPRET", "0") == "1"
 
 _ROWS_TILE = 2048      # vocab rows per grid step
-_MAX_R = 256
+# Row cap: (heads+1) x nodes x batch.  At the headline config (10 heads, 11
+# chain nodes) this admits batch 8 (968 rows); the per-tile f32 logits block
+# (R x 2048) stays ~8 MB, well inside the 64 MB VMEM limit.
+_MAX_R = 1024
 NEG = -float(np.finfo(np.float32).max) / 2
 
 

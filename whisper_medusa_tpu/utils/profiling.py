@@ -67,3 +67,52 @@ def decode_report(new_tokens: int, steps: int, accepted: int,
         "decoder_steps": steps,
         "wall_clock_s": wall_s,
     }
+
+
+def megastep_chain_ms(weights, dims, enc, t: int, steps: int = 100,
+                      max_len: int = 260) -> float:
+    """ms/step of the fused decode kernel in a chained ``fori_loop``.
+
+    One device call runs ``steps`` back-to-back fused_decoder_layers steps
+    (ops/megastep.py) over a freshly built cache, so per-call dispatch and
+    the remote-tunnel fetch amortize to noise.  Used by bench.py's batch
+    sweep and tools/megastep_profile.py.  ``enc`` fixes the batch size.
+    Returns raw ms/step including ~1/steps of one tunnel fetch.
+    """
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ..models import whisper
+    from ..ops import megastep
+
+    b = enc.shape[0]
+    cache = whisper.init_cache(weights, dims, enc, max_len)
+    nh = dims.decoder_attention_heads
+    cb = jnp.zeros((t, t), jnp.float32)
+
+    def run(dec, cache, x0):
+        def body(i, carry):
+            x, sk, sv = carry
+            pre, _, sk, sv = megastep.fused_decoder_layers(
+                dec["layers"], x, sk, sv, cache.cross_k, cache.cross_v,
+                jnp.full((b,), 64, jnp.int32) + (i % 8), cb,
+                dims.max_source_positions, nh,
+                cross_k_s=cache.cross_k_s, cross_v_s=cache.cross_v_s)
+            return (pre.astype(jnp.bfloat16), sk, sv)
+
+        return jax.lax.fori_loop(0, steps, body,
+                                 (x0, cache.self_k, cache.self_v))
+
+    fn = jax.jit(run)
+    x0 = (0.1 * jax.random.normal(jax.random.PRNGKey(0),
+                                  (b, t, dims.d_model))).astype(jnp.bfloat16)
+    dec = weights["decoder"]
+    out = fn(dec, cache, x0)
+    np.asarray(jax.tree.leaves(out)[0].ravel()[0])
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = fn(dec, cache, x0)
+        np.asarray(jax.tree.leaves(out)[0].ravel()[0])
+        ts.append(time.perf_counter() - t0)
+    return min(ts) / steps * 1e3
