@@ -22,6 +22,32 @@ def test_quantize_array_roundtrip():
     assert err < 0.01  # <=0.5 LSB of 127 levels
 
 
+def test_quantized_heads_apply_close():
+    """apply_heads on int8 heads ≈ bf16 heads (per-channel dequant)."""
+    from whisper_medusa_tpu.models import medusa as medusa_mod
+    from whisper_medusa_tpu.models import whisper
+
+    cfg = tiny_test_config(medusa_num_heads=3)
+    r1, r2 = jax.random.split(jax.random.PRNGKey(1))
+    wp = whisper.init_whisper_params(r1, cfg.dims)
+    mp = medusa_mod.init_medusa_params(r2, cfg.dims, cfg.medusa, wp)
+    # Zero-init heads quantize exactly; give them real weight mass.
+    mp = {"heads": {
+        "w": (jax.random.normal(r1, mp["heads"]["w"].shape) * 0.05
+              ).astype(mp["heads"]["w"].dtype),
+        "b": mp["heads"]["b"],
+    }}
+    _, mp_q = qmm.quantize_decoder(wp, mp)
+    assert mp_q["heads"]["w"]["q"].dtype == jnp.int8
+
+    x = (jax.random.normal(r2, (2, 5, cfg.dims.d_model)) * 0.5
+         ).astype(jnp.float32)
+    ref = medusa_mod.apply_heads(mp, x)
+    got = medusa_mod.apply_heads(mp_q, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0.05, atol=0.05)
+
+
 @pytest.mark.parametrize("fn,ref", [(qmm.qmm, qmm.qmm_ref),
                                     (qmm.qmm_nt, qmm.qmm_nt_ref)])
 def test_qmm_kernel_interpret_matches_ref(fn, ref):

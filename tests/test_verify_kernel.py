@@ -132,6 +132,108 @@ def test_vanilla_loop_fused_matches_unfused():
                                   np.asarray(res_ref.tokens))
 
 
+@pytest.mark.parametrize("identity0", [False, True])
+@pytest.mark.parametrize("quant", [False, True])
+@pytest.mark.parametrize("hquant", [False, True])
+def test_hidden_rows_match_stacked_rows(identity0, quant, hquant):
+    """verify_hidden (in-kernel head construction) == apply_heads + verify_rows."""
+    from whisper_medusa_tpu.ops.qmm import quantize_array
+
+    v, d, b, n, k = 8192, 128, 2, 3, 4
+    keys = jax.random.split(jax.random.PRNGKey(11), 6)
+    hver = (jax.random.normal(keys[0], (b, n, d)) * 0.5).astype(jnp.bfloat16)
+    hsrc = (jax.random.normal(keys[1], (b, n, d)) * 0.5).astype(jnp.bfloat16)
+    hw = (jax.random.normal(keys[2], (k, d, d)) * 0.05).astype(jnp.bfloat16)
+    hb = (jax.random.normal(keys[3], (k, d)) * 0.1).astype(jnp.bfloat16)
+    emb = (jax.random.normal(keys[4], (v, d)) * 0.2).astype(jnp.bfloat16)
+    if quant:
+        eq, es = quantize_array(emb, axis=-1)
+        embed = {"q": eq, "s": es}
+    else:
+        embed = emb
+    hw_arg = hw
+    hws = None
+    if hquant:
+        hq, hws = quantize_array(hw, axis=-2)       # scales (k, d)
+        hw_arg = {"q": hq, "s": hws}
+        # The reference math below uses the dequantized weights.
+        hw = hq.astype(jnp.bfloat16)
+    kp1 = k + (1 if identity0 else 0)
+    r = kp1 * b * n
+    pos = (jnp.arange(r, dtype=jnp.int32) % 7) + 2
+    gcol = jnp.asarray(
+        np.random.default_rng(0).integers(0, v, (r,)), jnp.int32)
+    pcfg = ProcessorConfig(
+        vocab_size=v, suppress_tokens=(3, 10), begin_suppress_tokens=(1,),
+        begin_index=2, eos_token_id=7,
+        exponential_decay_length_penalty=(3, 1.1))
+
+    am, mx, lse, gth = verify_mod.verify_hidden(
+        hver, hsrc, hw_arg, hb, embed, pos, gcol, verify_mod.masks_for(pcfg),
+        identity0=identity0, begin_index=pcfg.begin_index,
+        eos_id=pcfg.eos_token_id,
+        decay=pcfg.exponential_decay_length_penalty)
+
+    # Reference rows via apply_heads-equivalent math + verify_rows.
+    def res_block(src, w, bias, scale):   # (B,N,D) x (D,D)
+        pre = jnp.einsum("bnd,de->bne", src, w,
+                         preferred_element_type=jnp.float32)
+        if scale is not None:
+            pre = pre * scale.astype(jnp.float32)[None, None]
+        pre = pre + bias.astype(jnp.float32)[None, None]
+        return src + jax.nn.silu(pre).astype(src.dtype)
+
+    blocks = [hver] if identity0 else []
+    for j in range(k):
+        blocks.append(res_block(hsrc, hw[j], hb[j],
+                                hws[j] if hquant else None))
+    rows = jnp.stack(blocks, axis=0).reshape(r, d)
+    ref = verify_mod.verify_rows(
+        rows, embed, pos, gcol, verify_mod.masks_for(pcfg),
+        begin_index=pcfg.begin_index, eos_id=pcfg.eos_token_id,
+        decay=pcfg.exponential_decay_length_penalty)
+
+    np.testing.assert_array_equal(np.asarray(am), np.asarray(ref[0]))
+    np.testing.assert_allclose(np.asarray(mx), np.asarray(ref[1]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(ref[2]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gth), np.asarray(ref[3]),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_spec_loop_fused_rows_block_variant():
+    """medusa_block spec loop: fused verify_hidden == unfused path."""
+    dims, _, wp, _ = _tiny_aligned_model()
+    med = MedusaConfig(medusa_num_heads=3, medusa_hidden_size=dims.d_model,
+                       medusa_choices=(1, 1, 1, 1),
+                       medusa_heads_type="medusa_block")
+    mp = medusa_mod.init_medusa_params(
+        jax.random.PRNGKey(9), dims, med, wp, jnp.bfloat16)
+    enc = (jax.random.normal(jax.random.PRNGKey(4), (1, 32, dims.d_model))
+           .astype(jnp.bfloat16))
+    buffers = generate_medusa_buffers(list(med.medusa_choices))
+    pcfg = ProcessorConfig(vocab_size=dims.vocab_size, suppress_tokens=(5,),
+                           begin_suppress_tokens=(11,), begin_index=2,
+                           eos_token_id=3)
+    gen = GenerationConfig(max_length=24, eos_token_id=3, pad_token_id=3)
+    prompt = jnp.asarray([[1, 2]], jnp.int32)
+
+    res_fused = speculative_generate(wp, mp, dims, buffers, pcfg, gen, enc,
+                                     prompt, variant="medusa_block")
+    old = verify_mod._ENABLED
+    verify_mod._ENABLED = False
+    try:
+        res_ref = speculative_generate(wp, mp, dims, buffers, pcfg, gen, enc,
+                                       prompt, variant="medusa_block")
+    finally:
+        verify_mod._ENABLED = old
+    np.testing.assert_array_equal(np.asarray(res_fused.tokens),
+                                  np.asarray(res_ref.tokens))
+    np.testing.assert_array_equal(np.asarray(res_fused.accepted),
+                                  np.asarray(res_ref.accepted))
+
+
 def test_gating():
     assert not verify_mod.available(1100, 51865, 1280)  # too many rows
     assert verify_mod.available(968, 51865, 1280)       # b=8 headline config

@@ -23,6 +23,10 @@ if "skip" in kw:
     os.environ["WM_MEGASTEP_SKIP"] = kw["skip"]
 if "w8a8" in kw:
     os.environ["WM_MEGASTEP_W8A8"] = kw["w8a8"]
+if kw.get("path") == "scan":
+    # Time the XLA lax.scan decoder path instead of the fused kernel
+    # (whole decode_step incl. embedding lookup — a few % of extra work).
+    os.environ["WM_MEGASTEP"] = "0"
 os.environ.setdefault("WM_MEGASTEP_MAX_B", "8")
 
 import jax
@@ -62,34 +66,58 @@ def main():
     cache = whisper.init_cache(wp, dims, enc, 260)
     nh = dims.decoder_attention_heads
 
-    def run(dec, cache, x0):
-        cb = jnp.zeros((T, T), jnp.float32)
+    if kw.get("path") == "scan":
+        import dataclasses
 
-        def body(i, carry):
-            x, sk, sv = carry
-            pre, _, sk, sv = megastep.fused_decoder_layers(
-                dec["layers"], x, sk, sv, cache.cross_k, cache.cross_v,
-                jnp.full((B,), 64, jnp.int32) + (i % 8), cb, 1500, nh,
-                cross_k_s=cache.cross_k_s, cross_v_s=cache.cross_v_s)
-            return (pre.astype(jnp.bfloat16), sk, sv)
+        toks0 = jnp.asarray(rng.integers(0, dims.vocab_size, (B, T)), jnp.int32)
 
-        return jax.lax.fori_loop(0, steps, body,
-                                 (x0, cache.self_k, cache.self_v))
+        def run(wp, cache, toks0):
+            def body(i, carry):
+                toks, sk, sv = carry
+                c = dataclasses.replace(cache, self_k=sk, self_v=sv)
+                out, c = whisper.decode_step(
+                    wp, dims, toks, c,
+                    jnp.full((B,), 64, jnp.int32) + (i % 8))
+                nxt = jnp.argmax(
+                    out.hidden[..., :T].astype(jnp.float32), axis=-1
+                ).astype(jnp.int32) + toks0  # cheap data dep, no projection
+                return (nxt % dims.vocab_size, c.self_k, c.self_v)
 
-    fn = jax.jit(run)
-    x0 = jnp.asarray(rng.normal(size=(B, T, dims.d_model)), jnp.bfloat16)
-    dec = wp["decoder"]
-    out = fn(dec, cache, x0)
+            return jax.lax.fori_loop(0, steps, body,
+                                     (toks0, cache.self_k, cache.self_v))
+
+        fn = jax.jit(run)
+        fargs = (wp, cache, toks0)
+        out = fn(*fargs)
+    else:
+        def run(dec, cache, x0):
+            cb = jnp.zeros((T, T), jnp.float32)
+
+            def body(i, carry):
+                x, sk, sv = carry
+                pre, _, sk, sv = megastep.fused_decoder_layers(
+                    dec["layers"], x, sk, sv, cache.cross_k, cache.cross_v,
+                    jnp.full((B,), 64, jnp.int32) + (i % 8), cb, 1500, nh,
+                    cross_k_s=cache.cross_k_s, cross_v_s=cache.cross_v_s)
+                return (pre.astype(jnp.bfloat16), sk, sv)
+
+            return jax.lax.fori_loop(0, steps, body,
+                                     (x0, cache.self_k, cache.self_v))
+
+        x0 = jnp.asarray(rng.normal(size=(B, T, dims.d_model)), jnp.bfloat16)
+        fn = jax.jit(run)
+        fargs = (wp["decoder"], cache, x0)
+        out = fn(*fargs)
     np.asarray(jax.tree.leaves(out)[0].ravel()[0])
     if "trace" in kw:
         with jax.profiler.trace(kw["trace"]):
-            out = fn(dec, cache, x0)
+            out = fn(*fargs)
             np.asarray(jax.tree.leaves(out)[0].ravel()[0])
         print(f"trace written to {kw['trace']}")
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()
-        out = fn(dec, cache, x0)
+        out = fn(*fargs)
         np.asarray(jax.tree.leaves(out)[0].ravel()[0])
         ts.append(time.perf_counter() - t0)
     dt = min(ts)

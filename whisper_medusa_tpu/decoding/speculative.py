@@ -83,7 +83,12 @@ class SpecResult(NamedTuple):
 
 def _head_slice(medusa_params: Params, lo: int, hi: Optional[int]) -> Params:
     h = medusa_params["heads"]
-    return {"heads": {"w": h["w"][lo:hi], "b": h["b"][lo:hi]}}
+    w = h["w"]
+    if isinstance(w, dict):   # int8 serving mode (ops/qmm.py)
+        w = {"q": w["q"][lo:hi], "s": w["s"][lo:hi]}
+    else:
+        w = w[lo:hi]
+    return {"heads": {"w": w, "b": h["b"][lo:hi]}}
 
 
 def _base_logits_fn(variant: str, params: Params,
@@ -346,6 +351,34 @@ def speculative_generate(
             n_score_rows, dims.vocab_size, dims.d_model))
     sup_masks = verify_mod.masks_for(pcfg) if use_fused_verify else None
 
+    # Row construction fused into the verify kernel too (ops/verify.py::
+    # verify_hidden): the head matmuls, concat and reshape leave the XLA
+    # graph and the (R, D) row matrix never round-trips HBM.  Single-res-
+    # block-layer heads only; the stacked-rows path remains the fallback.
+    fuse_rows = False
+    fv_heads_w = fv_heads_b = None
+    fv_identity0 = False
+    if (use_fused_verify and medusa_params is not None
+            and variant in ("base_head", "medusa_block")):
+        hw_all = medusa_params["heads"]["w"]            # (H, L, D, D)
+        hq = isinstance(hw_all, dict)                   # int8 serving mode
+        n_hl = (hw_all["q"] if hq else hw_all).shape[1]
+        if n_hl == 1:
+            if hq:
+                fv_heads_w = {"q": hw_all["q"][:, 0], "s": hw_all["s"][:, 0]}
+                n_h = hw_all["q"].shape[0]
+            else:
+                fv_heads_w = hw_all[:, 0]
+                n_h = hw_all.shape[0]
+            fv_heads_b = medusa_params["heads"]["b"][:, 0]
+            # base_head: heads 0..K in one block — row 0 (verification) IS
+            # head 0.  Block variant: row 0 is the hidden state itself; all
+            # heads draft from the block layer's output.
+            fv_identity0 = variant == "medusa_block"
+            fuse_rows = verify_mod.hidden_available(
+                b, n_nodes, n_h, fv_identity0,
+                dims.vocab_size, dims.d_model)
+
     def ts_val(tok):
         return jnp.where(tok >= pcfg.timestamp_begin, tok, 0)
 
@@ -424,8 +457,6 @@ def speculative_generate(
         am = mx = lse = gth = draft_all = proc = None
         kp1 = num_heads + 1 if draft_params is not None else 1
         if use_fused_verify:
-            stacked = stack_rows(hidden, out.block_hidden)    # (kp1, B, N, D)
-            rows = stacked.reshape(kp1 * b * n_nodes, dims.d_model)
             # Row (k, e, n) predicts absolute position cur_len[e] + n + k: the
             # k=0 verification row for node n, and — because on a chain the
             # accepted node IS the accept length — head k's draft lands at
@@ -438,11 +469,22 @@ def speculative_generate(
             gcol_rows = jnp.concatenate(
                 [gcol_nodes.reshape(-1),
                  jnp.zeros(((kp1 - 1) * b * n_nodes,), jnp.int32)])
-            am, mx, lse, gth = verify_mod.verify_rows(
-                rows, params["decoder"]["embed_tokens"], pos_rows, gcol_rows,
-                sup_masks, begin_index=pcfg.begin_index,
-                eos_id=pcfg.eos_token_id,
-                decay=pcfg.exponential_decay_length_penalty)
+            if fuse_rows:
+                hsrc = out.block_hidden if block is not None else hidden
+                am, mx, lse, gth = verify_mod.verify_hidden(
+                    hidden, hsrc, fv_heads_w, fv_heads_b,
+                    params["decoder"]["embed_tokens"], pos_rows, gcol_rows,
+                    sup_masks, identity0=fv_identity0,
+                    begin_index=pcfg.begin_index, eos_id=pcfg.eos_token_id,
+                    decay=pcfg.exponential_decay_length_penalty)
+            else:
+                stacked = stack_rows(hidden, out.block_hidden)  # (kp1,B,N,D)
+                rows = stacked.reshape(kp1 * b * n_nodes, dims.d_model)
+                am, mx, lse, gth = verify_mod.verify_rows(
+                    rows, params["decoder"]["embed_tokens"], pos_rows,
+                    gcol_rows, sup_masks, begin_index=pcfg.begin_index,
+                    eos_id=pcfg.eos_token_id,
+                    decay=pcfg.exponential_decay_length_penalty)
             am = am.reshape(kp1, b, n_nodes)
             mx = mx.reshape(kp1, b, n_nodes)
             lse = lse.reshape(kp1, b, n_nodes)

@@ -83,13 +83,19 @@ def apply_heads(medusa_params: Params, x: jnp.ndarray) -> jnp.ndarray:
     One einsum per res-block layer across every head at once (vs. a Python loop over
     ``nn.Sequential`` heads in the reference, model.py:1275-1280).
     """
-    w = medusa_params["heads"]["w"]  # (H, L, D, D)
-    b = medusa_params["heads"]["b"]  # (H, L, D)
-    n_layers = w.shape[1]
-    h = jnp.broadcast_to(x[None], (w.shape[0],) + x.shape)
+    w = medusa_params["heads"]["w"]  # (H, L, D, D) bf16, or the int8 serving
+    b = medusa_params["heads"]["b"]  # dict {"q": i8 (H,L,D,D), "s": f32 (H,L,D)}
+    quant = isinstance(w, dict)
+    wq, ws = (w["q"], w["s"]) if quant else (w, None)
+    n_heads, n_layers = wq.shape[:2]
+    h = jnp.broadcast_to(x[None], (n_heads,) + x.shape)
+    bcast = (n_heads,) + (1,) * (h.ndim - 2) + (-1,)
     for l in range(n_layers):
-        pre = jnp.einsum("h...d,hde->h...e", h, w[:, l],
+        wl = wq[:, l].astype(h.dtype) if quant else wq[:, l]
+        pre = jnp.einsum("h...d,hde->h...e", h, wl,
                          preferred_element_type=jnp.float32)
-        pre = pre + b[:, l].reshape((w.shape[0],) + (1,) * (h.ndim - 2) + (-1,))
+        if quant:
+            pre = pre * ws[:, l].astype(jnp.float32).reshape(bcast)
+        pre = pre + b[:, l].reshape(bcast)
         h = h + jax.nn.silu(pre).astype(h.dtype)
     return h

@@ -178,9 +178,15 @@ def _quantize_weight_tree(tree):
 
 
 def quantize_decoder(params, medusa_params=None):
-    """Int8-quantize the decode-path weights: decoder layers + the tied embedding
-    (and the medusa block layer when present).  Encoder, layernorms, biases,
-    positional embeddings, and medusa heads stay bf16.
+    """Int8-quantize the decode-path weights: decoder layers, the tied
+    embedding, and — when medusa params are passed — the medusa res-block
+    heads and the block-variant extra layer.  Encoder, layernorms, biases
+    and positional embeddings stay bf16.
+
+    Head weights quantize per output channel like every other weight
+    ((H, L, D, D) contracted over -2 ⇒ scales (H, L, D)); they are the last
+    per-iteration weight stream of the speculative loop (~36 MB bf16 at the
+    10-head large-v2 config), so halving them matters at decode bandwidth.
 
     Inference-only transform; training uses the full-precision pytree.
     """
@@ -190,8 +196,13 @@ def quantize_decoder(params, medusa_params=None):
     emb_q, emb_s = quantize_array(dec["embed_tokens"], axis=-1)  # (V, D) rows
     dec["embed_tokens"] = {"q": emb_q, "s": emb_s}
     params["decoder"] = dec
-    if medusa_params is not None and "block" in medusa_params:
+    if medusa_params is not None:
         medusa_params = dict(medusa_params)
-        medusa_params["block"] = _quantize_weight_tree(medusa_params["block"])
-        return params, medusa_params
+        heads = dict(medusa_params["heads"])
+        hq, hs = quantize_array(heads["w"], axis=-2)
+        heads["w"] = {"q": hq, "s": hs}
+        medusa_params["heads"] = heads
+        if "block" in medusa_params:
+            medusa_params["block"] = _quantize_weight_tree(
+                medusa_params["block"])
     return params, medusa_params

@@ -191,6 +191,207 @@ def verify_rows(
     return (am[:r, 0], mx[:r, 0], lse[:r, 0], gth[:r, 0])
 
 
+def _kernel_hidden(
+    hver_ref,     # (BN, D) bf16 — row-block-0 source (post-LN hidden)
+    hsrc_ref,     # (BN, D) bf16 — draft-row source (same array for base_head)
+    hw_ref,       # (H, D, D) bf16|int8 stacked single-res-block head weights
+    hws_ref,      # (H, D) f32 per-output-channel head dequant scales (ones
+                  # when the heads are bf16)
+    hb_ref,       # (H, D) f32 head biases
+    pos_ref, gcol_ref, w_ref, ws_ref, sup_ref,
+    o_max, o_lse, o_arg, o_gth,
+    rows_s,       # (R_pad, D) bf16 scratch — constructed rows live here
+    m_s, s_s, a_s, g_s,
+    *, v: int, rows: int, kp1: int, bn: int, identity0: bool,
+    begin_index: int, eos_id: int, decay, quant: bool, hquant: bool,
+):
+    """Grid step 0 builds the verification/draft rows from the hidden states
+    (``rows[k] = src + SiLU(src @ W_k + b_k)``, the MedusaResBlock); steps
+    1.. stream the vocab tiles exactly like :func:`_kernel`.  The (R, D)
+    row matrix never exists in HBM and the head einsum + concat + reshape
+    glue ops disappear from the XLA graph."""
+    import jax.experimental.pallas as pl
+
+    i = pl.program_id(0)
+    tile = w_ref.shape[0]
+    n_heads = hw_ref.shape[0]
+    d = hver_ref.shape[1]
+    r_pad = rows_s.shape[0]
+
+    @pl.when(i == 0)
+    def _():
+        m_s[:] = jnp.full_like(m_s, NEG)
+        s_s[:] = jnp.zeros_like(s_s)
+        a_s[:] = jnp.zeros_like(a_s)
+        g_s[:] = jnp.full_like(g_s, NEG)
+        src = hsrc_ref[:]                                # (BN, D) bf16
+        blocks = [hver_ref[:]] if identity0 else []
+        for k in range(n_heads):
+            hw = hw_ref[k]
+            if hquant:
+                hw = hw.astype(src.dtype)
+            pre = jax.lax.dot_general(
+                src, hw, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (BN, D)
+            if hquant:
+                pre = pre * hws_ref[k:k + 1]
+            pre = pre + hb_ref[k:k + 1]
+            blocks.append(src + (pre * jax.nn.sigmoid(pre)).astype(src.dtype))
+        flat = jnp.concatenate(blocks, axis=0)           # (KP1*BN, D)
+        if r_pad > kp1 * bn:
+            flat = jnp.concatenate(
+                [flat, jnp.zeros((r_pad - kp1 * bn, d), flat.dtype)], axis=0)
+        rows_s[:] = flat
+
+    @pl.when(i > 0)
+    def _():
+        col0 = (i - 1) * tile
+        x = jax.lax.dot_general(
+            rows_s[:], w_ref[:].astype(rows_s.dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (R_pad, TILE)
+        if quant:
+            x = x * ws_ref[:]
+        cols = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) + col0
+        pos = pos_ref[:, :1]
+
+        x = jnp.where((sup_ref[0:1] != 0) | (cols >= v), NEG, x)
+        x = jnp.where((sup_ref[1:2] != 0) & (pos == begin_index), NEG, x)
+        if decay is not None:
+            start, factor = decay
+            idx = jnp.maximum(pos - start, 0).astype(jnp.float32)
+            pen = jnp.abs(x) * (jnp.exp(idx * float(np.log(factor))) - 1.0)
+            x = jnp.where((cols == eos_id) & (pos > start), x + pen, x)
+
+        mt = jnp.max(x, axis=1, keepdims=True)
+        at = jnp.argmax(x, axis=1).astype(jnp.int32)[:, None] + col0
+        upd = mt > m_s[:, :1]
+        a_s[:] = jnp.where(upd, at, a_s[:, :1]) + jnp.zeros_like(a_s)
+        m_new = jnp.maximum(m_s[:, :1], mt)
+        s_s[:] = (s_s[:, :1] * jnp.exp(m_s[:, :1] - m_new)
+                  + jnp.sum(jnp.exp(x - m_new), axis=1, keepdims=True)
+                  ) + jnp.zeros_like(s_s)
+        m_s[:] = m_new + jnp.zeros_like(m_s)
+        gmatch = jnp.max(jnp.where(cols == gcol_ref[:, :1], x, NEG),
+                         axis=1, keepdims=True)
+        g_s[:] = jnp.maximum(g_s[:, :1], gmatch) + jnp.zeros_like(g_s)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        o_max[:] = m_s[:]
+        o_lse[:] = jnp.log(s_s[:]) + m_s[:]
+        o_arg[:] = a_s[:]
+        o_gth[:] = g_s[:]
+
+
+def hidden_available(b: int, n: int, n_heads: int, identity0: bool,
+                     v: int, d: int) -> bool:
+    """Gate for :func:`verify_hidden` — same scope as :func:`available` plus
+    the in-kernel head construction limits (single-res-block-layer heads whose
+    stacked weight block fits VMEM alongside the vocab pipeline)."""
+    kp1 = n_heads + (1 if identity0 else 0)
+    r = kp1 * b * n
+    heads_bytes = n_heads * d * d * 2
+    return (
+        available(r, v, d)
+        and n_heads >= 1
+        and heads_bytes <= 40 * 1024 * 1024
+    )
+
+
+def verify_hidden(
+    hver: jnp.ndarray,     # (B, N, D) bf16 row-block-0 source
+    hsrc: jnp.ndarray,     # (B, N, D) bf16 draft-row source (hver for base_head)
+    heads_w,               # (H, D, D) bf16 single-layer stacked head weights,
+                           # or the int8 dict {"q": (H,D,D) i8, "s": (H,D) f32}
+    heads_b: jnp.ndarray,  # (H, D) head biases
+    embed,                 # (V, D) bf16 tied embedding, or int8 {"q","s"} dict
+    pos: jnp.ndarray,      # (R,) i32 absolute predicted position per row
+    gcol: jnp.ndarray,     # (R,) i32 column whose processed logit to return
+    sup_masks: jnp.ndarray,  # (2, V) i8
+    *,
+    identity0: bool,       # True: row block 0 is hver itself (medusa_block);
+                           # False: row block 0 is head 0 applied to hver
+    begin_index: int,
+    eos_id: int,
+    decay,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """:func:`verify_rows` with the row construction fused into the kernel.
+
+    Rows are ordered (k, e, n) — head-major over flattened (batch, node) —
+    matching ``stack_rows(...).reshape(KP1*B*N, D)`` in
+    decoding/speculative.py.  Returns the same flat (R,) statistics."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    quant = isinstance(embed, dict)
+    if quant:
+        embed, escale = embed["q"], embed["s"].astype(jnp.float32)
+    else:
+        escale = jnp.ones((embed.shape[0],), jnp.float32)
+    hquant = isinstance(heads_w, dict)
+    if hquant:
+        heads_w, hscale = heads_w["q"], heads_w["s"].astype(jnp.float32)
+    else:
+        hscale = jnp.ones(heads_w.shape[:1] + heads_w.shape[2:], jnp.float32)
+    b, n, d = hver.shape
+    bn = b * n
+    n_heads = heads_w.shape[0]
+    kp1 = n_heads + (1 if identity0 else 0)
+    r = kp1 * bn
+    v = embed.shape[0]
+    r_pad = max(8, -(-r // 8) * 8)
+    if pos.shape[0] != r or gcol.shape[0] != r:
+        raise ValueError(f"pos/gcol must have {r} rows")
+    pos = jnp.pad(pos, (0, r_pad - r))
+    gcol = jnp.pad(gcol, (0, r_pad - r))
+    pos2 = jnp.broadcast_to(pos[:, None], (r_pad, 128)).astype(jnp.int32)
+    gcol2 = jnp.broadcast_to(gcol[:, None], (r_pad, 128)).astype(jnp.int32)
+
+    tile = _ROWS_TILE
+    grid = (1 + pl.cdiv(v, tile),)
+    kern = functools.partial(
+        _kernel_hidden, v=v, rows=r_pad, kp1=kp1, bn=bn, identity0=identity0,
+        begin_index=begin_index, eos_id=eos_id, decay=decay, quant=quant,
+        hquant=hquant)
+    stat = lambda dt: jax.ShapeDtypeStruct((r_pad, 128), dt)
+    vtile = lambda i: (jnp.maximum(i - 1, 0), 0)
+    vcol = lambda i: (0, jnp.maximum(i - 1, 0))
+    mx, lse, am, gth = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bn, d), lambda i: (0, 0)),
+            pl.BlockSpec((bn, d), lambda i: (0, 0)),
+            pl.BlockSpec((n_heads, d, d), lambda i: (0, 0, 0)),
+            pl.BlockSpec((n_heads, d), lambda i: (0, 0)),
+            pl.BlockSpec((n_heads, d), lambda i: (0, 0)),
+            pl.BlockSpec((r_pad, 128), lambda i: (0, 0)),
+            pl.BlockSpec((r_pad, 128), lambda i: (0, 0)),
+            pl.BlockSpec((tile, d), vtile),
+            pl.BlockSpec((1, tile), vcol),
+            pl.BlockSpec((2, tile), vcol),
+        ],
+        out_specs=[pl.BlockSpec((r_pad, 128), lambda i: (0, 0))] * 4,
+        out_shape=[stat(jnp.float32), stat(jnp.float32),
+                   stat(jnp.int32), stat(jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((r_pad, d), hver.dtype),
+            pltpu.VMEM((r_pad, 128), jnp.float32),
+            pltpu.VMEM((r_pad, 128), jnp.float32),
+            pltpu.VMEM((r_pad, 128), jnp.int32),
+            pltpu.VMEM((r_pad, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(hver.reshape(bn, d), hsrc.reshape(bn, d),
+      heads_w if hquant else heads_w.astype(hver.dtype), hscale,
+      heads_b.astype(jnp.float32),
+      pos2, gcol2, embed, escale[None, :], sup_masks)
+    return (am[:r, 0], mx[:r, 0], lse[:r, 0], gth[:r, 0])
+
+
 def masks_for(pcfg) -> jnp.ndarray:
     """Build the (2, V) i8 [suppress; begin-suppress] mask pair for a
     ProcessorConfig (static; hoisted out of decode loops by jit)."""
