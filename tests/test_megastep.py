@@ -82,6 +82,15 @@ def assert_close(a, b, tol=3e-2):
     np.testing.assert_allclose(a, b, rtol=tol, atol=tol)
 
 
+def _dequant_slabs(slab, scales, num_heads):
+    """(L, B, S, D) int8 x (L, B, S, H) scales -> f32 head-flat rows."""
+    l, b, s, d = slab.shape
+    dh = d // num_heads
+    x = np.asarray(slab, np.float32).reshape(l, b, s, num_heads, dh)
+    return (x * np.asarray(scales, np.float32)[..., None]
+            ).reshape(l, b, s, d)
+
+
 @pytest.mark.parametrize("t,off", [(1, 7), (4, 0), (5, 4)])
 def test_chain_parity(t, off):
     dims, wp, cache = setup()
@@ -195,8 +204,23 @@ def test_int8_parity(ffn, w8a8, monkeypatch):
     offsets = jnp.full((1,), 5, jnp.int32)
     (of, cf), (ox, cx) = both_paths(dims, wq, cache, tokens, offsets)
     assert_close(of.hidden, ox.hidden, tol=tol)
-    assert_close(cf.self_k[:, :, 5:9], cx.self_k[:, :, 5:9], tol=tol)
-    assert_close(cf.self_v[:, :, 5:9], cx.self_v[:, :, 5:9], tol=tol)
+    # int8 self-KV slabs: both paths quantize their own (bf16-rounded) K/V
+    # rows, so a row near a rounding boundary may differ by 1 LSB — compare
+    # the DEQUANTIZED rows, which is what attention consumes.
+    assert cf.self_k.dtype == jnp.int8 and cf.self_s is not None
+    for f_c, x_c, sl in ((cf, cx, slice(0, dims.decoder_attention_heads)),):
+        fd = _dequant_slabs(f_c.self_k, f_c.self_s[..., sl],
+                            dims.decoder_attention_heads)
+        xd = _dequant_slabs(x_c.self_k, x_c.self_s[..., sl],
+                            dims.decoder_attention_heads)
+        assert_close(fd[:, :, 5:9], xd[:, :, 5:9], tol=tol)
+        vsl = slice(dims.decoder_attention_heads,
+                    2 * dims.decoder_attention_heads)
+        fdv = _dequant_slabs(f_c.self_v, f_c.self_s[..., vsl],
+                             dims.decoder_attention_heads)
+        xdv = _dequant_slabs(x_c.self_v, x_c.self_s[..., vsl],
+                             dims.decoder_attention_heads)
+        assert_close(fdv[:, :, 5:9], xdv[:, :, 5:9], tol=tol)
 
 
 def test_int8_gating():
@@ -252,7 +276,10 @@ def test_batched_int8_parity(monkeypatch):
     tokens = jax.random.randint(jax.random.PRNGKey(3), (3, 5), 0, 255)
     (of, cf), (ox, cx) = both_paths(dims, wq, cache, tokens, offsets)
     assert_close(of.hidden, ox.hidden)
-    assert_close(cf.self_k[:, :, :5], cx.self_k[:, :, :5])
+    nh = dims.decoder_attention_heads
+    fd = _dequant_slabs(cf.self_k, cf.self_s[..., :nh], nh)
+    xd = _dequant_slabs(cx.self_k, cx.self_s[..., :nh], nh)
+    assert_close(fd[:, :, :5], xd[:, :, :5])
 
 
 def _block_setup(quantize=False, max_len=48):
@@ -313,9 +340,19 @@ def test_block_variant_parity(mode, monkeypatch):
     assert_close(of.hidden, ox.hidden, tol=tol)
     assert_close(of.block_hidden, ox.block_hidden, tol=tol)
     # Every slab slot — including the block layer's (last) — must agree.
-    assert_close(cf.self_k[:, :, 5:9], cx.self_k[:, :, 5:9], tol=tol)
-    assert_close(cf.self_v[:, :, 5:9], cx.self_v[:, :, 5:9], tol=tol)
-    assert_close(cf.self_k[-1, :, :5], cx.self_k[-1, :, :5], tol=tol)
+    # int8 self-KV mode compares dequantized rows (see test_int8_parity).
+    if cf.self_k.dtype == jnp.int8:
+        nh = dims.decoder_attention_heads
+        ks, vs = slice(0, nh), slice(nh, 2 * nh)
+        fk = _dequant_slabs(cf.self_k, cf.self_s[..., ks], nh)
+        xk = _dequant_slabs(cx.self_k, cx.self_s[..., ks], nh)
+        fv = _dequant_slabs(cf.self_v, cf.self_s[..., vs], nh)
+        xv = _dequant_slabs(cx.self_v, cx.self_s[..., vs], nh)
+    else:
+        fk, xk, fv, xv = cf.self_k, cx.self_k, cf.self_v, cx.self_v
+    assert_close(fk[:, :, 5:9], xk[:, :, 5:9], tol=tol)
+    assert_close(fv[:, :, 5:9], xv[:, :, 5:9], tol=tol)
+    assert_close(fk[-1, :, :5], xk[-1, :, :5], tol=tol)
 
 
 def test_block_variant_generate_parity():

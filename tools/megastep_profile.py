@@ -94,15 +94,17 @@ def main():
             cb = jnp.zeros((T, T), jnp.float32)
 
             def body(i, carry):
-                x, sk, sv = carry
-                pre, _, sk, sv = megastep.fused_decoder_layers(
+                x, sk, sv, ss = carry
+                pre, _, sk, sv, ss = megastep.fused_decoder_layers(
                     dec["layers"], x, sk, sv, cache.cross_k, cache.cross_v,
                     jnp.full((B,), 64, jnp.int32) + (i % 8), cb, 1500, nh,
-                    cross_k_s=cache.cross_k_s, cross_v_s=cache.cross_v_s)
-                return (pre.astype(jnp.bfloat16), sk, sv)
+                    cross_k_s=cache.cross_k_s, cross_v_s=cache.cross_v_s,
+                    self_s=ss)
+                return (pre.astype(jnp.bfloat16), sk, sv, ss)
 
-            return jax.lax.fori_loop(0, steps, body,
-                                     (x0, cache.self_k, cache.self_v))
+            return jax.lax.fori_loop(
+                0, steps, body,
+                (x0, cache.self_k, cache.self_v, cache.self_s))
 
         x0 = jnp.asarray(rng.normal(size=(B, T, dims.d_model)), jnp.bfloat16)
         fn = jax.jit(run)

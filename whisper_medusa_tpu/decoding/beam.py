@@ -179,7 +179,9 @@ def beam_search(
         cache = dataclasses.replace(
             s.cache,
             self_k=reorder(s.cache.self_k),
-            self_v=reorder(s.cache.self_v))
+            self_v=reorder(s.cache.self_v),
+            self_s=(reorder(s.cache.self_s)
+                    if s.cache.self_s is not None else None))
         max_ts = jnp.maximum(
             jnp.take_along_axis(s.max_ts, a_parent, axis=1), ts_val(a_token))
         return dataclasses.replace(

@@ -128,7 +128,8 @@ def _compact_tree_cache(cache: KVCache, offsets: jnp.ndarray,
             buf, offsets, path_nodes)
 
     return dataclasses.replace(
-        cache, self_k=fix(cache.self_k), self_v=fix(cache.self_v))
+        cache, self_k=fix(cache.self_k), self_v=fix(cache.self_v),
+        self_s=fix(cache.self_s) if cache.self_s is not None else None)
 
 
 def _greedy_accept(chunk, proc_argmax, retrieve):

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -459,6 +460,13 @@ class KVCache:
     # cache is the second-largest per-step stream after the weights).
     cross_k_s: Optional[jnp.ndarray] = None
     cross_v_s: Optional[jnp.ndarray] = None
+    # int8 self-KV: the self slabs above become int8 and this (L, B, max_len,
+    # SHp) bf16 slab holds their per-(position, head) scales POSITION-MAJOR —
+    # lane h is head h's k-scale, lane H + h its v-scale (SHp = 2H rounded up
+    # to 8).  Position-major is what lets the fused kernel commit scale rows
+    # through the same 8-aligned staging DMA as the slabs; the read side pays
+    # one tiny (S, SHp) transpose per (layer, example) instead.
+    self_s: Optional[jnp.ndarray] = None
 
     @property
     def max_len(self) -> int:
@@ -521,6 +529,22 @@ def init_cache(
             ck_s = jnp.pad(ck_s, spad)
             cv_s = jnp.pad(cv_s, spad)
     sb = self_batch if self_batch is not None else b
+    # int8 self-KV slabs ride the int8 serving mode (WM_INT8_SELF_KV=0 opts
+    # out): the last bf16 decode-time stream disappears — committed rows are
+    # quantized per (position, head) by the decode kernels, scales live in
+    # the position-major self_s slab.
+    skv_quant = kv_quant and os.environ.get("WM_INT8_SELF_KV", "1") != "0"
+    if skv_quant:
+        shp = max(8, -(-2 * nh // 8) * 8)
+        return KVCache(
+            self_k=jnp.zeros((nl, sb, max_len, d), jnp.int8),
+            self_v=jnp.zeros((nl, sb, max_len, d), jnp.int8),
+            cross_k=cross_k,
+            cross_v=cross_v,
+            cross_k_s=ck_s,
+            cross_v_s=cv_s,
+            self_s=jnp.ones((nl, sb, max_len, shp), jnp.bfloat16),
+        )
     return KVCache(
         self_k=jnp.zeros((nl, sb, max_len, d), dtype),
         self_v=jnp.zeros((nl, sb, max_len, d), dtype),
@@ -604,6 +628,29 @@ def _write_cache_chunk(buf: jnp.ndarray, new: jnp.ndarray,
     return jax.vmap(write_one)(buf, new, offsets)
 
 
+def quantize_self_rows(x: jnp.ndarray, num_heads: int):
+    """Per-(position, head) symmetric int8 quantization of head-flat (B, T, D)
+    self-K/V rows; returns (int8 rows, f32 scales (B, T, H)).  The exact math
+    the fused megastep kernel applies when committing into int8 slabs."""
+    b, t, d = x.shape
+    dh = d // num_heads
+    x32 = x.astype(jnp.float32).reshape(b, t, num_heads, dh)
+    amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    sc = jnp.maximum(amax, 1e-30) / 127.0
+    q = jnp.clip(jnp.round(x32 / sc), -127, 127).astype(jnp.int8)
+    return q.reshape(b, t, d), sc[..., 0]
+
+
+def _dequant_self(buf: jnp.ndarray, scales: jnp.ndarray,
+                  num_heads: int) -> jnp.ndarray:
+    """(B, S, D) int8 slab x (B, S, H) scales -> bf16 head-flat slab."""
+    b, s, d = buf.shape
+    dh = d // num_heads
+    x = buf.astype(jnp.float32).reshape(b, s, num_heads, dh)
+    return (x * scales[..., None].astype(jnp.float32)
+            ).reshape(b, s, d).astype(jnp.bfloat16)
+
+
 def decoder_layer_step(
     lp: Params,
     h: jnp.ndarray,            # (B, T, D) current hidden
@@ -618,14 +665,16 @@ def decoder_layer_step(
     cross_len: Optional[int] = None,  # real cross keys (pad masked); None = all
     cross_k_s: Optional[jnp.ndarray] = None,  # (B, H, S_pad) int8-mode scales
     cross_v_s: Optional[jnp.ndarray] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    self_s: Optional[jnp.ndarray] = None,     # (B, S, SHp) int8-self-KV scales
+                                              # (position-major; KVCache.self_s)
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
     """One decoder layer over a chunk of T new tokens with cache update.
 
     With ``cross_beam=K`` the hidden batch is beam-folded (B*K rows) while
     cross K/V are stored once per example (B rows); queries are reshaped to
     (B, K*T) for the — beam-invariant — cross attention.
 
-    Returns (new_hidden, new_k_buf, new_v_buf).
+    Returns (new_hidden, new_k_buf, new_v_buf, new_self_s | None).
     """
     from whisper_medusa_tpu.ops import decode_kernels as dk
 
@@ -639,10 +688,35 @@ def decoder_layer_step(
     q = q * (head_dim ** -0.5)
     k_flat = dense(sx, lp["self"]["k_w"])
     v_flat = dense(sx, lp["self"]["v_w"], lp["self"]["v_b"])
-    k_buf = _write_cache_chunk(k_buf, k_flat, offsets)
-    v_buf = _write_cache_chunk(v_buf, v_flat, offsets)
-    attn_out = attention(q, _split_heads(k_buf, num_heads),
-                         _split_heads(v_buf, num_heads), self_mask)
+    if k_buf.dtype == jnp.int8:
+        # int8 self-KV (mirrors the fused kernel's semantics exactly): the
+        # slabs store rows quantized per (position, head); attention reads
+        # history dequantized but this chunk's own rows fresh bf16 — only
+        # PAST rows carry quantization error.
+        kq, ksc = quantize_self_rows(k_flat, num_heads)
+        vq, vsc = quantize_self_rows(v_flat, num_heads)
+        shp = self_s.shape[-1]
+        sc_new = jnp.concatenate([ksc, vsc], axis=-1)
+        if shp > 2 * num_heads:
+            sc_new = jnp.pad(
+                sc_new, ((0, 0), (0, 0), (0, shp - 2 * num_heads)))
+        k_buf = _write_cache_chunk(k_buf, kq, offsets)
+        v_buf = _write_cache_chunk(v_buf, vq, offsets)
+        self_s = _write_cache_chunk(self_s, sc_new.astype(self_s.dtype),
+                                    offsets)
+        k_att = _write_cache_chunk(
+            _dequant_self(k_buf, self_s[..., :num_heads], num_heads),
+            k_flat.astype(jnp.bfloat16), offsets)
+        v_att = _write_cache_chunk(
+            _dequant_self(v_buf, self_s[..., num_heads:2 * num_heads],
+                          num_heads),
+            v_flat.astype(jnp.bfloat16), offsets)
+    else:
+        k_buf = _write_cache_chunk(k_buf, k_flat, offsets)
+        v_buf = _write_cache_chunk(v_buf, v_flat, offsets)
+        k_att, v_att = k_buf, v_buf
+    attn_out = attention(q, _split_heads(k_att, num_heads),
+                         _split_heads(v_att, num_heads), self_mask)
     h = h + dense(_merge_heads(attn_out), lp["self"]["o_w"], lp["self"]["o_b"])
     # Cross attention (K/V precomputed: K head-major, V head-flat).
     cx = layer_norm(h, lp["cross_ln"]["scale"], lp["cross_ln"]["bias"])
@@ -666,7 +740,7 @@ def decoder_layer_step(
     else:
         h = h + dk.ffn_decode(fx, lp["fc1_w"], lp["fc1_b"],
                               lp["fc2_w"], lp["fc2_b"])
-    return h, k_buf, v_buf
+    return h, k_buf, v_buf, self_s
 
 
 def make_step_mask(
@@ -758,54 +832,63 @@ def decode_step(
         cm = chunk_mask if chunk_mask is not None else jnp.tril(
             jnp.ones((t, t), jnp.bool_))
         cbias = jnp.where(cm, jnp.float32(0), jnp.float32(-1e30))
-        pre_norm, block_hidden, self_k, self_v = megastep.fused_decoder_layers(
-            fused_layers, x, cache.self_k, cache.self_v,
-            cache.cross_k, cache.cross_v, offsets, cbias,
-            cross_len, nh,
-            cross_k_s=cache.cross_k_s, cross_v_s=cache.cross_v_s,
-            ln_post=dec["ln_post"] if want_block else None)
+        pre_norm, block_hidden, self_k, self_v, self_s = \
+            megastep.fused_decoder_layers(
+                fused_layers, x, cache.self_k, cache.self_v,
+                cache.cross_k, cache.cross_v, offsets, cbias,
+                cross_len, nh,
+                cross_k_s=cache.cross_k_s, cross_v_s=cache.cross_v_s,
+                self_s=cache.self_s,
+                ln_post=dec["ln_post"] if want_block else None)
         hidden = layer_norm(pre_norm, dec["ln_post"]["scale"],
                             dec["ln_post"]["bias"])
-        new_cache = dataclasses.replace(cache, self_k=self_k, self_v=self_v)
+        new_cache = dataclasses.replace(
+            cache, self_k=self_k, self_v=self_v,
+            self_s=self_s if self_s is not None else cache.self_s)
         return DecoderOutput(hidden=hidden, penultimate=None,
                              pre_norm=pre_norm,
                              block_hidden=block_hidden), new_cache
 
     self_mask = make_step_mask(offsets, t, cache.max_len, chunk_mask)
     kv_quant = cache.cross_k_s is not None
+    skv_quant = cache.self_s is not None
 
     def layer_fn(h, xs):
-        lp, k_buf, v_buf, ck, cv, ck_s, cv_s = xs
-        h, k_buf, v_buf = decoder_layer_step(
+        lp, k_buf, v_buf, s_buf, ck, cv, ck_s, cv_s = xs
+        h, k_buf, v_buf, s_buf = decoder_layer_step(
             lp, h, k_buf, v_buf, ck, cv, offsets, self_mask, nh,
             cross_beam=cross_beam, cross_len=cross_len,
-            cross_k_s=ck_s, cross_v_s=cv_s,
+            cross_k_s=ck_s, cross_v_s=cv_s, self_s=s_buf,
         )
-        return h, (k_buf, v_buf)
+        return h, (k_buf, v_buf, s_buf)
 
     xs = (
         dec["layers"],
         cache.self_k[:nl], cache.self_v[:nl],
+        cache.self_s[:nl] if skv_quant else None,
         cache.cross_k[:nl], cache.cross_v[:nl],
         cache.cross_k_s[:nl] if kv_quant else None,
         cache.cross_v_s[:nl] if kv_quant else None,
     )
-    x, (new_k, new_v) = lax.scan(layer_fn, x, xs)
+    x, (new_k, new_v, new_s) = lax.scan(layer_fn, x, xs)
     pre_norm = x
     hidden = layer_norm(x, dec["ln_post"]["scale"], dec["ln_post"]["bias"])
 
     if cache.self_k.shape[0] > nl:
         self_k = cache.self_k.at[:nl].set(new_k)
         self_v = cache.self_v.at[:nl].set(new_v)
+        self_s = cache.self_s.at[:nl].set(new_s) if skv_quant else None
     else:
         self_k, self_v = new_k, new_v
-    new_cache = dataclasses.replace(cache, self_k=self_k, self_v=self_v)
+        self_s = new_s
+    new_cache = dataclasses.replace(cache, self_k=self_k, self_v=self_v,
+                                    self_s=self_s)
 
     block_hidden = None
     if block_params is not None:
         # Medusa-block extra decoder layer operating on the post-norm hidden state,
         # with its own cache slot (reference: model.py:1349-1417).
-        bh, bk, bv = decoder_layer_step(
+        bh, bk, bv, bs = decoder_layer_step(
             block_params, hidden,
             new_cache.self_k[-1], new_cache.self_v[-1],
             new_cache.cross_k[-1], new_cache.cross_v[-1],
@@ -813,11 +896,14 @@ def decode_step(
             cross_len=cross_len,
             cross_k_s=new_cache.cross_k_s[-1] if kv_quant else None,
             cross_v_s=new_cache.cross_v_s[-1] if kv_quant else None,
+            self_s=new_cache.self_s[-1] if skv_quant else None,
         )
         new_cache = dataclasses.replace(
             new_cache,
             self_k=new_cache.self_k.at[-1].set(bk),
             self_v=new_cache.self_v.at[-1].set(bv),
+            self_s=(new_cache.self_s.at[-1].set(bs)
+                    if skv_quant else new_cache.self_s),
         )
         block_hidden = bh
 

@@ -147,7 +147,8 @@ def available(dec_layers: Params, d_model: int, num_heads: int, b: int, t: int,
 
 def _estimate_vmem(b: int, t16: int, d: int, h: int, dh: int, s_len: int,
                    sp_len: int, f: int, sp_rows: int, nc: int, nch: int,
-                   wbytes: int, kvbytes: int, kv_quant: bool) -> int:
+                   wbytes: int, kvbytes: int, kv_quant: bool,
+                   skv_quant: bool = False) -> int:
     """Sum of the kernel's VMEM window allocations for a (nc, nch) phase
     split — every pipelined input is double-buffered, so the estimate is
     2 x block bytes per streamed input plus single-buffered constants,
@@ -159,7 +160,10 @@ def _estimate_vmem(b: int, t16: int, d: int, h: int, dh: int, s_len: int,
     tot += sp_rows * d * 4 * 2                  # packed small params
     tot += 4 * d * d * wbytes * 2               # self q/k/v/o
     tot += 2 * d * gd * wbytes * 2              # cross q/o group columns/rows
-    tot += 2 * b * s_len * d * 2 * 2            # self-cache slabs (bf16)
+    skv_b = 1 if skv_quant else 2
+    tot += 2 * b * s_len * d * skv_b * 2        # self-cache slabs
+    if skv_quant:
+        tot += b * s_len * 128 * 2 * 2          # scale slab (SHp<=128 lanes)
     tot += b * (h // nc) * dh * sp_len * kvbytes * 2   # cross K group
     tot += b * sp_len * gd * kvbytes * 2        # cross V group (head-flat)
     if kv_quant:
@@ -173,7 +177,8 @@ def _estimate_vmem(b: int, t16: int, d: int, h: int, dh: int, s_len: int,
 
 def _pick_phases(b: int, t16: int, d: int, h: int, dh: int, s_len: int,
                  sp_len: int, f: int, sp_rows: int, wbytes: int,
-                 kvbytes: int, kv_quant: bool) -> Tuple[int, int]:
+                 kvbytes: int, kv_quant: bool,
+                 skv_quant: bool = False) -> Tuple[int, int]:
     """Choose (cross head-groups, FFN chunks) for the phase pipeline.
 
     Fewer, bigger DMAs win (the kernel is pure DMA-bound; phase-stub
@@ -207,7 +212,8 @@ def _pick_phases(b: int, t16: int, d: int, h: int, dh: int, s_len: int,
                    key=lambda t: (t[0] + t[1], t[0]))
     for nc, nch in cands:
         if _estimate_vmem(b, t16, d, h, dh, s_len, sp_len, f, sp_rows,
-                          nc, nch, wbytes, kvbytes, kv_quant) <= budget:
+                          nc, nch, wbytes, kvbytes, kv_quant,
+                          skv_quant) <= budget:
             return nc, nch
     return cands[-1]  # nothing fits: compile will fail loudly with the map
 
@@ -246,7 +252,10 @@ def _kernel(
     qw_ref, kw_ref, vw_ref, ow_ref,   # (1, D, D) bf16 self-attn weights
     cqw_ref, cow_ref,   # (1, D, Gd)/(1, Gd, D) bf16 cross q/o weight columns/
                         # rows for the current head group (Gd = H/nc * dh)
-    sk_ref, sv_ref,                   # (1, B, S, D) bf16 self-cache slabs
+    sk_ref, sv_ref,     # (1, B, S, D) bf16|int8 self-cache slabs
+    ss_ref,             # (1, B, S, SHp) bf16 int8-mode self-KV scales,
+                        # position-major: lane h is head h's k-scale, lane
+                        # H + h its v-scale (dummy when not skv_quant)
     ck_ref,       # (1, B, Hg, dh, Sp) bf16|int8 cross keys for the current
                   # head group (head-major)
     cv_ref,       # (1, B, Sp, Gd) bf16|int8 cross values (head-flat — a
@@ -262,19 +271,21 @@ def _kernel(
     # outputs
     y_ref,        # (B*T16, D) bf16 final pre-norm hidden (main stack)
     y2_ref,       # (B*T16, D) bf16 medusa-block layer output (garbage if absent)
-    sko_ref,      # (L, B, S, D) bf16 in HBM, aliased to sk — updated in place
-    svo_ref,      # (L, B, S, D) bf16 in HBM, aliased to sv
+    sko_ref,      # (L, B, S, D) bf16|int8 in HBM, aliased to sk — in-place
+    svo_ref,      # (L, B, S, D) bf16|int8 in HBM, aliased to sv
+    sso_ref,      # (L, B, S, SHp) bf16 in HBM, aliased to ss (int8 mode)
     # scratch
     xs,           # (B*T16, D) bf16 hidden state carried across the grid
     acc,          # (B*T16, D) f32 ffn partial accumulator
-    nk_s,         # (B*(T16+8), D) bf16 staging for the cache-window DMAs
+    nk_s,         # (B*(T16+8), D) bf16|int8 staging for the cache-window DMAs
     nv_s,
-    sems,         # (2, B) DMA semaphores — one pair per example, so every
+    ns_s,         # (B*(T16+8), SHp) bf16 staging for the scale rows
+    sems,         # (3, B) DMA semaphores — one triple per example, so every
                   # wait matches exactly the copy it calibrates against
     *,
     num_layers: int, num_heads: int, t16: int, t_real: int, cross_len: int,
     n_cross: int, n_chunks: int, scale: float, quant: bool, kv_quant: bool,
-    batch: int, has_block: bool, w8a8: bool,
+    skv_quant: bool, batch: int, has_block: bool, w8a8: bool,
 ):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -357,6 +368,31 @@ def _kernel(
         # in bounds for every caller.
         w_rows = t16 + 8
         row = jax.lax.broadcasted_iota(jnp.int32, (w_rows, 1), 0)
+        if skv_quant:
+            # Quantize the chunk's K/V rows per (row, head) before staging:
+            # the slab stores int8 rows, the position-major scale slab one
+            # bf16 (k, v) scale pair per head per row (lanes [0, H) and
+            # [H, 2H) — the layout that lets the scale commit ride the same
+            # 8-aligned staging-DMA machinery as the slabs themselves).
+            shp = ns_s.shape[1]
+
+            def qrows(a):                        # (B*T16, D) -> int8, scales
+                qs, ss = [], []
+                for hh in range(num_heads):
+                    sub = a[:, hh * dh:(hh + 1) * dh].astype(jnp.float32)
+                    amax = jnp.max(jnp.abs(sub), axis=1, keepdims=True)
+                    sc_ = jnp.maximum(amax, 1e-30) / 127.0
+                    qs.append(jnp.clip(jnp.round(sub / sc_), -127, 127)
+                              .astype(jnp.int8))
+                    ss.append(sc_)
+                return jnp.concatenate(qs, axis=1), jnp.concatenate(ss, axis=1)
+
+            kq_all, ks_all = qrows(k)            # (B*T16, D) i8, (B*T16, H)
+            vq_all, vs_all = qrows(v)
+            sc_all = jnp.concatenate([ks_all, vs_all], axis=1)
+            if shp > 2 * num_heads:
+                sc_all = jnp.pad(sc_all, ((0, 0), (0, shp - 2 * num_heads)))
+            sc_all = sc_all.astype(ns_s.dtype)   # (B*T16, SHp) bf16
         for bb in range(batch) if "commit" not in _SKIP else ():
             off = off_ref[0, bb]
             # Clamp the aligned window so the HBM DMA stays in bounds even for
@@ -373,6 +409,10 @@ def _kernel(
             stage = slice(bb * w_rows, bb * w_rows + w_rows)
             old_k = sk_ref[0, bb, pl.ds(off_al, w_rows)]
             old_v = sv_ref[0, bb, pl.ds(off_al, w_rows)]
+            ksrc = kq_all if skv_quant else k
+            vsrc = vq_all if skv_quant else v
+            if skv_quant:
+                old_sc = ss_ref[0, bb, pl.ds(off_al, w_rows)]
             # The previous layer's commit DMAs read from the staging buffers —
             # wait for them (same byte count, so reconstructed copy
             # descriptors calibrate the semaphore wait) before overwriting.
@@ -385,26 +425,42 @@ def _kernel(
                 pltpu.make_async_copy(
                     nv_s.at[stage], svo_ref.at[l, bb, pl.ds(off_al, w_rows), :],
                     sems.at[1, bb]).wait()
+                if skv_quant:
+                    pltpu.make_async_copy(
+                        ns_s.at[stage],
+                        sso_ref.at[l, bb, pl.ds(off_al, w_rows), :],
+                        sems.at[2, bb]).wait()
             # Default (r >= 8, clamped window): round-trip the old rows.
             nk_s[stage] = old_k
             nv_s[stage] = old_v
+            if skv_quant:
+                ns_s[stage] = old_sc
             for rr in range(8):
                 @pl.when(r == rr)
                 def _(rr=rr, rows_b=rows_b, stage=stage, old_k=old_k,
                       old_v=old_v):
                     keep = (row >= rr) & (row < rr + t_real)
                     nk_s[stage] = jnp.where(
-                        keep, jnp.pad(k[rows_b], ((rr, 8 - rr), (0, 0))),
+                        keep, jnp.pad(ksrc[rows_b], ((rr, 8 - rr), (0, 0))),
                         old_k)
                     nv_s[stage] = jnp.where(
-                        keep, jnp.pad(v[rows_b], ((rr, 8 - rr), (0, 0))),
+                        keep, jnp.pad(vsrc[rows_b], ((rr, 8 - rr), (0, 0))),
                         old_v)
+                    if skv_quant:
+                        ns_s[stage] = jnp.where(
+                            keep,
+                            jnp.pad(sc_all[rows_b], ((rr, 8 - rr), (0, 0))),
+                            old_sc)
             pltpu.make_async_copy(
                 nk_s.at[stage], sko_ref.at[l, bb, pl.ds(off_al, w_rows), :],
                 sems.at[0, bb]).start()
             pltpu.make_async_copy(
                 nv_s.at[stage], svo_ref.at[l, bb, pl.ds(off_al, w_rows), :],
                 sems.at[1, bb]).start()
+            if skv_quant:
+                pltpu.make_async_copy(
+                    ns_s.at[stage], sso_ref.at[l, bb, pl.ds(off_al, w_rows), :],
+                    sems.at[2, bb]).start()
         cb = cbias_ref[:, :t16]                          # (T16, T16) f32
         col = jax.lax.broadcasted_iota(jnp.int32, (t16, s_len), 1)
         outs = []
@@ -412,15 +468,31 @@ def _kernel(
             rows_b = slice(bb * t16, bb * t16 + t16)
             hist_bias = jnp.where(col < off_ref[0, bb], jnp.float32(0),
                                   NEG_SELF)
-            slab_k = sk_ref[0, bb]                       # (S, D)
+            slab_k = sk_ref[0, bb]                       # (S, D) bf16|int8
             slab_v = sv_ref[0, bb]
+            if skv_quant:
+                # Position-major scales -> one (SHp, S) transpose per
+                # (layer, example); row h is head h's k-scale vector, row
+                # H + h its v-scale vector.  Committed rows dequantize
+                # through the scores/probabilities exactly like the cross
+                # cache; the chunk's own rows (s2/p2) are fresh bf16.
+                sc_t = jnp.transpose(
+                    ss_ref[0, bb].astype(jnp.float32), (1, 0))
             outs_h = []
             for h in range(num_heads):
                 sl = slice(h * dh, (h + 1) * dh)
                 qh = q[rows_b, sl]
+                sk_h = slab_k[:, sl]
+                sv_h = slab_v[:, sl]
+                if skv_quant:
+                    sk_h = sk_h.astype(x.dtype)
+                    sv_h = sv_h.astype(x.dtype)
                 s1 = jax.lax.dot_general(
-                    qh, slab_k[:, sl], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) + hist_bias
+                    qh, sk_h, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                if skv_quant:
+                    s1 = s1 * sc_t[h:h + 1]
+                s1 = s1 + hist_bias
                 s2 = jax.lax.dot_general(
                     qh, k[rows_b, sl], (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32) + cb
@@ -430,9 +502,12 @@ def _kernel(
                 p2 = jnp.exp(s2 - m)
                 den = (jnp.sum(p1, axis=-1, keepdims=True)
                        + jnp.sum(p2, axis=-1, keepdims=True))
-                p1b = (p1 / den).astype(x.dtype)
+                p1 = p1 / den
+                if skv_quant:
+                    p1 = p1 * sc_t[num_heads + h:num_heads + h + 1]
+                p1b = p1.astype(x.dtype)
                 p2b = (p2 / den).astype(x.dtype)
-                oh = (jnp.dot(p1b, slab_v[:, sl],
+                oh = (jnp.dot(p1b, sv_h,
                               preferred_element_type=jnp.float32)
                       + jnp.dot(p2b, v[rows_b, sl],
                                 preferred_element_type=jnp.float32))
@@ -631,6 +706,11 @@ def _kernel(
                     nv_s.at[stage],
                     svo_ref.at[num_layers - 1, bb, pl.ds(0, t16 + 8), :],
                     sems.at[1, bb]).wait()
+                if skv_quant:
+                    pltpu.make_async_copy(
+                        ns_s.at[stage],
+                        sso_ref.at[num_layers - 1, bb, pl.ds(0, t16 + 8), :],
+                        sems.at[2, bb]).wait()
 
 
 def fused_decoder_layers(
@@ -648,18 +728,22 @@ def fused_decoder_layers(
     num_heads: int,
     cross_k_s: jnp.ndarray = None,  # (L, B, H, Sp) f32 int8-cross scales
     cross_v_s: jnp.ndarray = None,
+    self_s: jnp.ndarray = None,  # (L, B, S, SHp) bf16 int8-self-KV scales
+                                 # (position-major; KVCache.self_s) — required
+                                 # when the self slabs are int8
     ln_post: Params = None,      # medusa_block: final-layernorm params; marks
                                  # dec_layers' LAST stacked entry as the block
                                  # layer (extend_layers_with_block)
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+):
     """Run all decoder layers over a T-token chunk with the fused kernel.
 
     Returns (pre_norm (B, T, D), block_hidden (B, T, D) | None, new_self_k
-    (L, B, S, D), new_self_v ...) where the returned slabs are the input
-    caches updated in place (aliased buffers) with each example's chunk K/V
-    rows at its ``offset``.  With ``ln_post`` set, the last stacked layer is
-    the medusa-block extra layer: it consumes ln_post(pre_norm) and its
-    output is returned as ``block_hidden`` (reference: model.py:1349-1417).
+    (L, B, S, D), new_self_v ..., new_self_s | None) where the returned slabs
+    are the input caches updated in place (aliased buffers) with each
+    example's chunk K/V rows at its ``offset``.  With ``ln_post`` set, the
+    last stacked layer is the medusa-block extra layer: it consumes
+    ln_post(pre_norm) and its output is returned as ``block_hidden``
+    (reference: model.py:1349-1417).
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -684,6 +768,9 @@ def fused_decoder_layers(
     wsel = (lambda w: w["q"]) if quant else (lambda w: w)
     f = wsel(dec_layers["fc1_w"]).shape[2]
     sp_len = cross_k.shape[-1]
+    skv_quant = self_k.dtype == jnp.int8
+    if skv_quant and self_s is None:
+        raise ValueError("int8 self-cache slabs require the self_s scale slab")
 
     # Pack every per-layer small param (layernorms, biases, fc1 bias as F/D
     # rows) into one streamed (L, 12 + F/D, D) f32 block — one small DMA per
@@ -720,7 +807,7 @@ def fused_decoder_layers(
     wbytes = 1 if quant else 2
     kvbytes = 1 if cross_k_s is not None else 2
     nc, nch = _pick_phases(b, t16, d, h, dh, s_len, sp_len, f, sp.shape[1],
-                           wbytes, kvbytes, cross_k_s is not None)
+                           wbytes, kvbytes, cross_k_s is not None, skv_quant)
     hg = h // nc
     gd = hg * dh
     f2 = f // nch
@@ -769,14 +856,23 @@ def fused_decoder_layers(
         # Unread dummies (kv_quant=False skips them); one minimal f32 tile.
         cks = cvs = jnp.zeros((nl, 1, 1, 8, 128), jnp.float32)
         s_spec = pl.BlockSpec((1, 1, 1, 8, 128), lambda l, p: (0, 0, 0, 0, 0))
+    if skv_quant:
+        shp = self_s.shape[-1]
+        ss_in = self_s
+        ss_spec = pl.BlockSpec((1, b, s_len, shp),
+                               lambda l, p: (at_p0(l, p), 0, 0, 0))
+    else:
+        shp = 128
+        ss_in = jnp.zeros((nl, 1, 8, 128), jnp.bfloat16)
+        ss_spec = pl.BlockSpec((1, 1, 8, 128), lambda l, p: (0, 0, 0, 0))
     kern = functools.partial(
         _kernel, num_layers=nl, num_heads=num_heads, t16=t16, t_real=t,
         cross_len=cross_len, n_cross=nc, n_chunks=nch, scale=dh ** -0.5,
-        quant=quant, kv_quant=kv_quant, batch=b, has_block=has_block,
-        w8a8=quant and _w8a8())
+        quant=quant, kv_quant=kv_quant, skv_quant=skv_quant, batch=b,
+        has_block=has_block, w8a8=quant and _w8a8())
     sp_rows = sp.shape[1]
 
-    y, y2, sk_new, sv_new = pl.pallas_call(
+    y, y2, sk_new, sv_new, ss_new = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
@@ -799,6 +895,7 @@ def fused_decoder_layers(
                          lambda l, p: (cross_l(l, p), cross_g(l, p), 0)),
             pl.BlockSpec((1, b, s_len, d), lambda l, p: (at_p0(l, p), 0, 0, 0)),
             pl.BlockSpec((1, b, s_len, d), lambda l, p: (at_p0(l, p), 0, 0, 0)),
+            ss_spec,
             pl.BlockSpec((1, b, hg, dh, sp_len),
                          lambda l, p: (cross_l(l, p), 0, cross_g(l, p), 0, 0)),
             pl.BlockSpec((1, b, sp_len, gd),
@@ -815,22 +912,26 @@ def fused_decoder_layers(
             pl.BlockSpec((b * t16, d), lambda l, p: (0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b * t16, d), x.dtype),
             jax.ShapeDtypeStruct((b * t16, d), x.dtype),
-            jax.ShapeDtypeStruct((nl, b, s_len, d), x.dtype),
-            jax.ShapeDtypeStruct((nl, b, s_len, d), x.dtype),
+            jax.ShapeDtypeStruct((nl, b, s_len, d), self_k.dtype),
+            jax.ShapeDtypeStruct((nl, b, s_len, d), self_v.dtype),
+            jax.ShapeDtypeStruct(ss_in.shape, ss_in.dtype),
         ],
-        # The self-cache slabs are read as pipelined VMEM blocks (args 10/11)
-        # and updated in place through the aliased HBM outputs.
-        input_output_aliases={10: 2, 11: 3},
+        # The self-cache slabs (and the int8-mode scale slab) are read as
+        # pipelined VMEM blocks (args 10/11/12) and updated in place through
+        # the aliased HBM outputs.
+        input_output_aliases={10: 2, 11: 3, 12: 4},
         scratch_shapes=[
             pltpu.VMEM((b * t16, d), x.dtype),
             pltpu.VMEM((b * t16, d), jnp.float32),
-            pltpu.VMEM((b * (t16 + 8), d), x.dtype),
-            pltpu.VMEM((b * (t16 + 8), d), x.dtype),
-            pltpu.SemaphoreType.DMA((2, b)),
+            pltpu.VMEM((b * (t16 + 8), d), self_k.dtype),
+            pltpu.VMEM((b * (t16 + 8), d), self_v.dtype),
+            pltpu.VMEM((b * (t16 + 8), shp), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((3, b)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
@@ -842,7 +943,7 @@ def fused_decoder_layers(
         wsel(dec_layers["self"]["q_w"]), wsel(dec_layers["self"]["k_w"]),
         wsel(dec_layers["self"]["v_w"]), wsel(dec_layers["self"]["o_w"]),
         wsel(dec_layers["cross"]["q_w"]), wsel(dec_layers["cross"]["o_w"]),
-        self_k, self_v,
+        self_k, self_v, ss_in,
         cross_k.reshape(nl, b, h, dh, sp_len),
         cross_v.reshape(nl, b, sp_len, d),
         cks, cvs,
@@ -851,4 +952,5 @@ def fused_decoder_layers(
     )
     pre_norm = y.reshape(b, t16, d)[:, :t]
     block_hidden = y2.reshape(b, t16, d)[:, :t] if has_block else None
-    return pre_norm, block_hidden, sk_new, sv_new
+    return pre_norm, block_hidden, sk_new, sv_new, \
+        (ss_new if skv_quant else None)

@@ -198,10 +198,11 @@ def quantize_decoder(params, medusa_params=None):
     params["decoder"] = dec
     if medusa_params is not None:
         medusa_params = dict(medusa_params)
-        heads = dict(medusa_params["heads"])
-        hq, hs = quantize_array(heads["w"], axis=-2)
-        heads["w"] = {"q": hq, "s": hs}
-        medusa_params["heads"] = heads
+        if "heads" in medusa_params:
+            heads = dict(medusa_params["heads"])
+            hq, hs = quantize_array(heads["w"], axis=-2)
+            heads["w"] = {"q": hq, "s": hs}
+            medusa_params["heads"] = heads
         if "block" in medusa_params:
             medusa_params["block"] = _quantize_weight_tree(
                 medusa_params["block"])

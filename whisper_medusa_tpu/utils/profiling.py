@@ -92,16 +92,17 @@ def megastep_chain_ms(weights, dims, enc, t: int, steps: int = 100,
 
     def run(dec, cache, x0):
         def body(i, carry):
-            x, sk, sv = carry
-            pre, _, sk, sv = megastep.fused_decoder_layers(
+            x, sk, sv, ss = carry
+            pre, _, sk, sv, ss = megastep.fused_decoder_layers(
                 dec["layers"], x, sk, sv, cache.cross_k, cache.cross_v,
                 jnp.full((b,), 64, jnp.int32) + (i % 8), cb,
                 dims.max_source_positions, nh,
-                cross_k_s=cache.cross_k_s, cross_v_s=cache.cross_v_s)
-            return (pre.astype(jnp.bfloat16), sk, sv)
+                cross_k_s=cache.cross_k_s, cross_v_s=cache.cross_v_s,
+                self_s=ss)
+            return (pre.astype(jnp.bfloat16), sk, sv, ss)
 
-        return jax.lax.fori_loop(0, steps, body,
-                                 (x0, cache.self_k, cache.self_v))
+        return jax.lax.fori_loop(
+            0, steps, body, (x0, cache.self_k, cache.self_v, cache.self_s))
 
     fn = jax.jit(run)
     x0 = (0.1 * jax.random.normal(jax.random.PRNGKey(0),
