@@ -416,6 +416,14 @@ def test_cross_group_split_parity(phases, int8, monkeypatch):
     offsets = jnp.asarray([6, 3, 5], jnp.int32)
     (of, cf), (ox, cx) = both_paths(dims, wp, cache, tokens, offsets)
     assert_close(of.hidden, ox.hidden)
+    nh = dims.decoder_attention_heads
+    if cf.self_k.dtype == jnp.int8:   # compare dequantized (see test_int8_parity)
+        fk = _dequant_slabs(cf.self_k, cf.self_s[..., :nh], nh)
+        xk = _dequant_slabs(cx.self_k, cx.self_s[..., :nh], nh)
+        fv = _dequant_slabs(cf.self_v, cf.self_s[..., nh:2 * nh], nh)
+        xv = _dequant_slabs(cx.self_v, cx.self_s[..., nh:2 * nh], nh)
+    else:
+        fk, xk, fv, xv = cf.self_k, cx.self_k, cf.self_v, cx.self_v
     for i, off in enumerate([6, 3, 5]):
-        assert_close(cf.self_k[:, i, off:off + 4], cx.self_k[:, i, off:off + 4])
-        assert_close(cf.self_v[:, i, off:off + 4], cx.self_v[:, i, off:off + 4])
+        assert_close(fk[:, i, off:off + 4], xk[:, i, off:off + 4])
+        assert_close(fv[:, i, off:off + 4], xv[:, i, off:off + 4])

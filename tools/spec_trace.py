@@ -63,12 +63,17 @@ def main():
     )
     gen = GenerationConfig(max_length=max_length)
 
-    def run(corruption):
+    # Weights/encoder output MUST be jit arguments, not closures: closed-over
+    # arrays embed as constants in the serialized module (3.6 GB of StableHLO
+    # at large-v2!) and the axon tunnel's remote_compile rejects the payload
+    # with HTTP 413.
+    def run(wp, mp, enc, corruption):
         return speculative_generate(
             wp, mp, dims, buffers, pcfg, gen, enc, prompt,
             variant="base_head", draft_corruption=corruption)
 
-    fn = jax.jit(run)
+    jfn = jax.jit(run)
+    fn = lambda c: jfn(wp, mp, enc, c)
     res = fn(jnp.float32(0.3))
     steps = int(np.asarray(res.steps))
     np.asarray(res.lengths)

@@ -535,7 +535,10 @@ def init_cache(
     # the position-major self_s slab.
     skv_quant = kv_quant and os.environ.get("WM_INT8_SELF_KV", "1") != "0"
     if skv_quant:
-        shp = max(8, -(-2 * nh // 8) * 8)
+        # Lanes pad to 128: Mosaic requires 128-aligned lane extents on the
+        # staging DMA, and the HBM tiled layout pads the minor dim to 128
+        # physically anyway — the logical padding costs nothing extra.
+        shp = -(-2 * nh // 128) * 128
         return KVCache(
             self_k=jnp.zeros((nl, sb, max_len, d), jnp.int8),
             self_v=jnp.zeros((nl, sb, max_len, d), jnp.int8),
