@@ -22,6 +22,31 @@ def test_quantize_array_roundtrip():
     assert err < 0.01  # <=0.5 LSB of 127 levels
 
 
+def test_int8_self_kv_opt_out(monkeypatch):
+    """WM_INT8_SELF_KV=0 keeps bf16 self slabs under the int8 cross cache,
+    and the decode paths still run (the scan path takes self_s=None)."""
+    from whisper_medusa_tpu.config import tiny_test_config as ttc
+    from whisper_medusa_tpu.models import whisper
+    from whisper_medusa_tpu.ops.qmm import quantize_decoder
+
+    cfg = ttc(medusa_num_heads=2)
+    wp = whisper.init_whisper_params(jax.random.PRNGKey(0), cfg.dims)
+    wq, _ = quantize_decoder(wp)
+    enc = jax.random.normal(jax.random.PRNGKey(1), (1, 32, cfg.dims.d_model),
+                            jnp.float32)
+
+    cache = whisper.init_cache(wq, cfg.dims, enc, 32)
+    assert cache.self_k.dtype == jnp.int8 and cache.self_s is not None
+
+    monkeypatch.setenv("WM_INT8_SELF_KV", "0")
+    cache = whisper.init_cache(wq, cfg.dims, enc, 32)
+    assert cache.self_k.dtype == enc.dtype and cache.self_s is None
+    toks = jnp.asarray([[5, 9, 11]], jnp.int32)
+    out, cache = whisper.decode_step(wq, cfg.dims, toks, cache,
+                                     jnp.zeros((1,), jnp.int32))
+    assert out.hidden.shape == (1, 3, cfg.dims.d_model)
+
+
 def test_quantized_heads_apply_close():
     """apply_heads on int8 heads ≈ bf16 heads (per-channel dequant)."""
     from whisper_medusa_tpu.models import medusa as medusa_mod
