@@ -38,7 +38,14 @@ from whisper_medusa_tpu.models import whisper
 
 def main():
     int8 = (sys.argv[1:] or ["bf16"])[0] == "int8"
+    variant = kw.get("variant", "base_head")
     config = ModelConfig(param_dtype="bfloat16", compute_dtype="bfloat16")
+    if variant == "medusa_block":
+        import dataclasses as _dc
+
+        config = _dc.replace(
+            config, medusa=_dc.replace(config.medusa,
+                                       medusa_heads_type="medusa_block"))
     dims = config.dims
     r1, r2 = jax.random.split(jax.random.PRNGKey(0))
     wp = whisper.init_whisper_params(r1, dims, jnp.bfloat16)
@@ -70,7 +77,7 @@ def main():
     def run(wp, mp, enc, corruption):
         return speculative_generate(
             wp, mp, dims, buffers, pcfg, gen, enc, prompt,
-            variant="base_head", draft_corruption=corruption)
+            variant=variant, draft_corruption=corruption)
 
     jfn = jax.jit(run)
     fn = lambda c: jfn(wp, mp, enc, c)

@@ -34,6 +34,7 @@ host-side concat surgery, model.py:378-402).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -360,6 +361,7 @@ def speculative_generate(
     fv_heads_w = fv_heads_b = None
     fv_identity0 = False
     if (use_fused_verify and medusa_params is not None
+            and os.environ.get("WM_VERIFY_FUSE_ROWS", "1") != "0"
             and variant in ("base_head", "medusa_block")):
         hw_all = medusa_params["heads"]["w"]            # (H, L, D, D)
         hq = isinstance(hw_all, dict)                   # int8 serving mode
