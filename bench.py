@@ -198,7 +198,11 @@ def main(batch: int = 1, int8: bool = False):
         weights = nl * per_layer + (v * d if with_embed else 0)
         # +16: init_cache over-allocates slab rows for the megastep kernel's
         # aligned cache-commit window; the full slab is streamed per step.
-        kv_self = 2 * nl * b * (cache_len + 16) * d * 2            # bf16
+        # int8 mode (round 3): the self slabs stream int8 too, plus the
+        # bf16 scale slab whose minor dim tiles to 128 lanes physically.
+        kv_self = 2 * nl * b * (cache_len + 16) * d * wbytes
+        if wbytes == 1:
+            kv_self += nl * b * (cache_len + 16) * 128 * 2
         # int8 mode stores the cross cache int8 + per-(head, pos) f32 scales.
         kv_cross = (2 * nl * b * s * d * wbytes
                     + (2 * nl * b * nh * s * 4 if wbytes == 1 else 0))

@@ -259,27 +259,32 @@ def test_batched_parity_ragged_offsets():
         assert_close(cf.self_v[:, i, off:off + 4], cx.self_v[:, i, off:off + 4])
 
 
-def test_batched_int8_parity(monkeypatch):
-    """B=3 int8 fused decode (int8 weights + int8 cross cache) == XLA path.
-
-    B=3 needs the WM_MEGASTEP_MAX_B override (capped to 2 in production —
-    the interpreter still validates the batched kernel math)."""
+@pytest.mark.parametrize("b", [3, 6])
+def test_batched_int8_parity(b, monkeypatch):
+    """Batched int8 fused decode (int8 weights + cross + self caches) == XLA
+    path.  b=3 exercises the per-head transpose self-KV dequant, b=6 the
+    expansion-matmul dequant (batch >= 5); both need the WM_MEGASTEP_MAX_B
+    interpreter override."""
     from whisper_medusa_tpu.ops.qmm import quantize_decoder
 
-    monkeypatch.setenv("WM_MEGASTEP_MAX_B", "4")
+    monkeypatch.setenv("WM_MEGASTEP_MAX_B", "8")
     dims, wp, _ = setup()
     wq, _ = quantize_decoder(wp)
-    enc = (jax.random.normal(jax.random.PRNGKey(1), (3, 32, dims.d_model))
+    enc = (jax.random.normal(jax.random.PRNGKey(1), (b, 32, dims.d_model))
            .astype(jnp.bfloat16))
     cache = whisper.init_cache(wq, dims, enc, 48)
-    offsets = jnp.asarray([0, 0, 0], jnp.int32)
-    tokens = jax.random.randint(jax.random.PRNGKey(3), (3, 5), 0, 255)
+    # Commit real history first so the scale-slab READ path is exercised.
+    pre = jax.random.randint(jax.random.PRNGKey(2), (b, 5), 0, 255)
+    _, cache = whisper.decode_step(wq, dims, pre, cache,
+                                   jnp.zeros((b,), jnp.int32))
+    offsets = jnp.full((b,), 5, jnp.int32)
+    tokens = jax.random.randint(jax.random.PRNGKey(3), (b, 5), 0, 255)
     (of, cf), (ox, cx) = both_paths(dims, wq, cache, tokens, offsets)
     assert_close(of.hidden, ox.hidden)
     nh = dims.decoder_attention_heads
     fd = _dequant_slabs(cf.self_k, cf.self_s[..., :nh], nh)
     xd = _dequant_slabs(cx.self_k, cx.self_s[..., :nh], nh)
-    assert_close(fd[:, :, :5], xd[:, :, :5])
+    assert_close(fd[:, :, 5:10], xd[:, :, 5:10])
 
 
 def _block_setup(quantize=False, max_len=48):

@@ -256,6 +256,11 @@ def _kernel(
     ss_ref,             # (1, B, S, SHp) bf16 int8-mode self-KV scales,
                         # position-major: lane h is head h's k-scale, lane
                         # H + h its v-scale (dummy when not skv_quant)
+    se_ref,             # (SHp, 2D) bf16 constant lane-expansion matrix:
+                        # scales @ se -> a full (S, 2D) per-lane scale map
+                        # (cols [0,D) for K, [D,2D) for V) — one good-M MXU
+                        # matmul instead of per-example (S, SHp) transposes
+                        # (dummy when not skv_quant)
     ck_ref,       # (1, B, Hg, dh, Sp) bf16|int8 cross keys for the current
                   # head group (head-major)
     cv_ref,       # (1, B, Sp, Gd) bf16|int8 cross values (head-flat — a
@@ -470,12 +475,30 @@ def _kernel(
                                   NEG_SELF)
             slab_k = sk_ref[0, bb]                       # (S, D) bf16|int8
             slab_v = sv_ref[0, bb]
-            if skv_quant:
-                # Position-major scales -> one (SHp, S) transpose per
-                # (layer, example); row h is head h's k-scale vector, row
-                # H + h its v-scale vector.  Committed rows dequantize
-                # through the scores/probabilities exactly like the cross
-                # cache; the chunk's own rows (s2/p2) are fresh bf16.
+            sc_t = None
+            if skv_quant and batch >= 5:
+                # Large batch: dequantize the whole slab up front — the
+                # position-major scale rows expand to a per-lane (S, 2D) map
+                # with ONE good-M MXU matmul against the constant expansion
+                # matrix (the per-head transpose form below measured +0.5
+                # ms/step at B=8; at B <= 4 this elementwise dequant costs
+                # more than the transposes save, so per-head wins there).
+                # The expansion dot is a pure gather (exactly one nonzero
+                # per column) and int8 -> bf16 casts are exact, leaving one
+                # rounding on the product.  Committed history rows carry
+                # the quantization error; the chunk's own rows (s2/p2) are
+                # fresh bf16.
+                sc2 = jax.lax.dot_general(
+                    ss_ref[0, bb], se_ref[:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32
+                ).astype(x.dtype)                        # (S, 2D) bf16
+                slab_k = slab_k.astype(x.dtype) * sc2[:, :d]
+                slab_v = slab_v.astype(x.dtype) * sc2[:, d:]
+            elif skv_quant:
+                # Small batch: per-head score/probability scaling from one
+                # (SHp, S) transpose per (layer, example) — row h is head
+                # h's k-scale vector, row H + h its v-scale vector (the
+                # cross-cache dequant pattern).
                 sc_t = jnp.transpose(
                     ss_ref[0, bb].astype(jnp.float32), (1, 0))
             outs_h = []
@@ -484,13 +507,13 @@ def _kernel(
                 qh = q[rows_b, sl]
                 sk_h = slab_k[:, sl]
                 sv_h = slab_v[:, sl]
-                if skv_quant:
+                if sc_t is not None:
                     sk_h = sk_h.astype(x.dtype)
                     sv_h = sv_h.astype(x.dtype)
                 s1 = jax.lax.dot_general(
                     qh, sk_h, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                if skv_quant:
+                if sc_t is not None:
                     s1 = s1 * sc_t[h:h + 1]
                 s1 = s1 + hist_bias
                 s2 = jax.lax.dot_general(
@@ -503,7 +526,7 @@ def _kernel(
                 den = (jnp.sum(p1, axis=-1, keepdims=True)
                        + jnp.sum(p2, axis=-1, keepdims=True))
                 p1 = p1 / den
-                if skv_quant:
+                if sc_t is not None:
                     p1 = p1 * sc_t[num_heads + h:num_heads + h + 1]
                 p1b = p1.astype(x.dtype)
                 p2b = (p2 / den).astype(x.dtype)
@@ -861,10 +884,20 @@ def fused_decoder_layers(
         ss_in = self_s
         ss_spec = pl.BlockSpec((1, b, s_len, shp),
                                lambda l, p: (at_p0(l, p), 0, 0, 0))
+        import numpy as _np
+
+        se_np = _np.zeros((shp, 2 * d), _np.float32)
+        for hh in range(h):
+            se_np[hh, hh * dh:(hh + 1) * dh] = 1.0
+            se_np[h + hh, d + hh * dh:d + (hh + 1) * dh] = 1.0
+        se_in = jnp.asarray(se_np, jnp.bfloat16)
+        se_spec = pl.BlockSpec((shp, 2 * d), lambda l, p: (0, 0))
     else:
         shp = 128
         ss_in = jnp.zeros((nl, 1, 8, 128), jnp.bfloat16)
         ss_spec = pl.BlockSpec((1, 1, 8, 128), lambda l, p: (0, 0, 0, 0))
+        se_in = jnp.zeros((8, 128), jnp.bfloat16)
+        se_spec = pl.BlockSpec((8, 128), lambda l, p: (0, 0))
     kern = functools.partial(
         _kernel, num_layers=nl, num_heads=num_heads, t16=t16, t_real=t,
         cross_len=cross_len, n_cross=nc, n_chunks=nch, scale=dh ** -0.5,
@@ -896,6 +929,7 @@ def fused_decoder_layers(
             pl.BlockSpec((1, b, s_len, d), lambda l, p: (at_p0(l, p), 0, 0, 0)),
             pl.BlockSpec((1, b, s_len, d), lambda l, p: (at_p0(l, p), 0, 0, 0)),
             ss_spec,
+            se_spec,
             pl.BlockSpec((1, b, hg, dh, sp_len),
                          lambda l, p: (cross_l(l, p), 0, cross_g(l, p), 0, 0)),
             pl.BlockSpec((1, b, sp_len, gd),
@@ -943,7 +977,7 @@ def fused_decoder_layers(
         wsel(dec_layers["self"]["q_w"]), wsel(dec_layers["self"]["k_w"]),
         wsel(dec_layers["self"]["v_w"]), wsel(dec_layers["self"]["o_w"]),
         wsel(dec_layers["cross"]["q_w"]), wsel(dec_layers["cross"]["o_w"]),
-        self_k, self_v, ss_in,
+        self_k, self_v, ss_in, se_in,
         cross_k.reshape(nl, b, h, dh, sp_len),
         cross_v.reshape(nl, b, sp_len, d),
         cks, cvs,
