@@ -369,6 +369,74 @@ def main(batch: int = 1, int8: bool = False):
                     f"(kernel roofline min {mn:.2f} -> {100 * mn / ms:.0f}%)")
         extra["batch_sweep"] = sweep
 
+    if (not int8 and batch == 1 and on_tpu
+            and _os.environ.get("WM_BENCH_B4E2E", "1") == "1"):
+        # Batched END-TO-END speculative serving (the sweep above times the
+        # bare decode kernel; this is the full engine — megastep + fused
+        # verify + acceptance — at B=4 int8, corruption 0.3).  Aggregate
+        # tok/s across the batch is the serving-throughput headline.
+        if "mp8" not in dir():
+            from whisper_medusa_tpu.ops.qmm import quantize_decoder
+
+            wp8, mp8 = quantize_decoder(wp, mp)
+        b4 = 4
+        enc4 = jnp.tile(enc[:1], (b4, 1, 1))
+        prompt4 = jnp.tile(prompt[:1], (b4, 1))
+        fn4 = jax.jit(lambda w, m, e, p, c: speculative_generate(
+            w, m, dims, medusa_buffers, pcfg, gen, e, p,
+            variant="base_head", draft_corruption=c))
+        c = jnp.float32(0.3)
+        res = fn4(wp8, mp8, enc4, prompt4, c)
+        fetch(res.tokens)
+        dts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            res = fn4(wp8, mp8, enc4, prompt4, c)
+            fetch(res.tokens)
+            dts.append(time.perf_counter() - t0)
+        dt = min(dts)
+        toks = int(np.asarray(res.lengths).sum()) - b4 * prompt4.shape[1]
+        steps4 = int(res.steps)
+        acc4 = int(res.accepted.sum()) / max(steps4 * b4, 1)
+        tps = toks / max(dt - overhead, 1e-9)
+        log(f"batched e2e int8 B={b4}: {dt * 1e3:.1f} ms, {toks} tokens, "
+            f"{steps4} steps, {tps:.0f} tok/s aggregate, accept={acc4:.2f}")
+        extra["int8_b4_e2e_tok_s"] = round(tps, 1)
+
+    if (not int8 and batch == 1 and on_tpu
+            and _os.environ.get("WM_BENCH_TRAIN", "1") == "1"):
+        # Training throughput: the REAL train step (medusa_train_forward with
+        # per-layer remat + adafactor + freeze mask — what cli/train.py runs)
+        # at large-v2 shapes.  MFU models fwd+bwd as 3 x 2 x params x tokens.
+        from whisper_medusa_tpu.training import train as train_mod
+
+        bt, lab_len = 2, 96
+        opt = train_mod.make_optimizer("adafactor", lr=1e-4)
+        step_fn = jax.jit(train_mod.make_train_step(config, opt, None))
+        state = train_mod.init_train_state(
+            {"whisper": wp, "medusa": mp}, opt)
+        feats_t = jnp.tile(feats[:1], (bt, 1, 1))
+        labels = jnp.asarray(
+            rng.integers(0, dims.vocab_size, (bt, lab_len)), jnp.int32)
+        state, metrics = step_fn(state, feats_t, labels)
+        fetch(metrics["loss"])
+        dts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            state, metrics = step_fn(state, feats_t, labels)
+            fetch(metrics["loss"])
+            dts.append(time.perf_counter() - t0)
+        dt = min(dts)
+        p_enc = 0.64e9
+        p_dec = 0.91e9
+        flops = 3 * 2 * (p_enc * bt * dims.max_source_positions
+                         + p_dec * bt * lab_len)
+        mfu = flops / dt / 197e12
+        log(f"train step (B={bt}, remat, adafactor): {dt * 1e3:.0f} ms, "
+            f"{bt * lab_len / dt:.0f} label-tok/s, MFU {100 * mfu:.0f}%")
+        extra["train_step_ms"] = round(dt * 1e3, 1)
+        extra["train_mfu_pct"] = round(100 * mfu, 1)
+
     print(json.dumps({
         "metric": "decode_speedup_vs_vanilla_greedy_at_accept2",
         "value": round(speedup, 4),
