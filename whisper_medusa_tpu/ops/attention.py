@@ -139,8 +139,43 @@ def _attention_fwd(kv_len, causal, q, k, v):
     return _attention_pallas(q, k, v, kv_len, causal), (q, k, v)
 
 
+def _flash_bwd_ok(q) -> bool:
+    """Opt-in (WM_ATTENTION_FLASH_BWD=1) flash-attention training backward.
+
+    Measured SLOWER than the XLA backward at whisper-large train shapes
+    (B=2 train step 534 ms vs 412 ms): the in-tree kernel's dkv+dq passes
+    each recompute scores and its vjp reruns the flash forward for
+    residuals, which together cost more than XLA's materialized-probs
+    backward at B=2/H=20/S=1536.  Kept for larger-batch experiments."""
+    return (os.environ.get("WM_ATTENTION_FLASH_BWD", "0") == "1"
+            and _on_tpu()
+            and q.shape[2] % 512 == 0
+            and q.shape[3] in (64, 128, 256))
+
+
 def _attention_bwd(kv_len, causal, res, g):
     q, k, v = res
+    if _flash_bwd_ok(q):
+        # JAX's in-tree TPU flash kernels recompute probabilities per block
+        # in VMEM; our tensors are already in their native (B, H, S, D)
+        # layout.  (The in-tree FORWARD lost to the purpose-built kernel at
+        # these shapes — ROADMAP r1 #3 — so it can only serve the backward.)
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            SegmentIds, flash_attention)
+
+        s = q.shape[2]
+        segment_ids = None
+        if kv_len < s:
+            seg = (jax.lax.broadcasted_iota(jnp.int32, (q.shape[0], s), 1)
+                   < kv_len).astype(jnp.int32)
+            segment_ids = SegmentIds(q=seg, kv=seg)
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: flash_attention(
+                q_, k_, v_, segment_ids=segment_ids, causal=causal,
+                sm_scale=1.0),
+            q, k, v)
+        dq, dk, dv = vjp(g.astype(v.dtype))
+        return dq, dk, dv
     _, vjp = jax.vjp(lambda q_, k_, v_: _attention_xla(q_, k_, v_, kv_len,
                                                        causal), q, k, v)
     return vjp(g.astype(v.dtype))
