@@ -367,8 +367,13 @@ class WhisperMedusaModel:
             suppress_tokens=sup,
             begin_suppress_tokens=bsup,
             begin_index=prompt.shape[1],
+            # regulation_start counts *generated* tokens; the processor works in
+            # absolute positions (HF passes input_ids_seq_length == prompt length
+            # to ExponentialDecayLengthPenalty — pinned by
+            # tests/test_hf_generate_parity.py).
             exponential_decay_length_penalty=(
-                tuple(exponential_decay_length_penalty)
+                (int(exponential_decay_length_penalty[0]) + prompt.shape[1],
+                 float(exponential_decay_length_penalty[1]))
                 if exponential_decay_length_penalty else None),
             eos_token_id=st.eos,
             timestamp_rules=return_timestamps,
@@ -807,8 +812,11 @@ class WhisperMedusaModel:
         pcfg = ProcessorConfig(
             vocab_size=cfg.dims.vocab_size, suppress_tokens=sup,
             begin_suppress_tokens=bsup, begin_index=prompt.shape[1],
+            # start is relative to generated tokens; processor positions are
+            # absolute (see generate() above / test_hf_generate_parity.py).
             exponential_decay_length_penalty=(
-                tuple(exponential_decay_length_penalty)
+                (int(exponential_decay_length_penalty[0]) + prompt.shape[1],
+                 float(exponential_decay_length_penalty[1]))
                 if exponential_decay_length_penalty else None),
             eos_token_id=st.eos, timestamp_rules=return_timestamps,
             timestamp_begin=st.timestamp_begin,

@@ -468,6 +468,24 @@ def _kernel(
                     sems.at[2, bb]).start()
         cb = cbias_ref[:, :t16]                          # (T16, T16) f32
         col = jax.lax.broadcasted_iota(jnp.int32, (t16, s_len), 1)
+        if "sattn" in _SKIP:
+            # Debug stub: projections + commit + (optional) dequant run, the
+            # per-head attention math is replaced by identity — isolates the
+            # attention loop's compute from the rest of the self phase.
+            if skv_quant and "sdq" not in _SKIP:
+                for bb in range(batch):
+                    sc2 = jax.lax.dot_general(
+                        ss_ref[0, bb], se_ref[:], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32).astype(x.dtype)
+                    # eps-scaled add keeps a real data dependence so the
+                    # dequant can't be constant-folded away (numerics are
+                    # irrelevant in this debug stub).
+                    xs[bb * t16:(bb + 1) * t16] = (
+                        x[bb * t16:(bb + 1) * t16]
+                        + sc2[:t16, :d] * jnp.asarray(1e-6, x.dtype))
+            o = (mm(q, ow_ref, 3) + sp[4:5]).astype(x.dtype)
+            xs[:] = x + o
+            return
         outs = []
         for bb in range(batch):
             rows_b = slice(bb * t16, bb * t16 + t16)
