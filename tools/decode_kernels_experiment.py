@@ -1,57 +1,46 @@
-"""Pallas TPU kernels for the HBM-bound decode step (opt-in).
+"""EXPERIMENT (kept for the record): per-op Pallas kernels for the decode step.
 
 One decode step at batch 1 must stream ~1.9 GB of weights + caches through
 matvecs; XLA runs it at ~57% of the HBM roofline because every per-op shape is
 tiny (M=1..11).  Decomposition on v5e (r2): self-qkvo 0.84 ms (0.51 modeled),
 ffn 1.36 (1.02), cross-attention 1.55 (0.56), logits 0.33 (0.16).
 
-What actually helped, and ships default-on elsewhere:
-  * **Head-major cross cache layout** (K as (B, H, Dh, S)) — each head's matrix
-    is contiguous so the matvec streams instead of striding across heads;
-    cross-attention 1.55 -> 1.21 ms, whole step 4.40 -> 4.06 ms
-    (models/whisper.py KVCache).
-
 This module's fused kernels (cross QK^T->softmax->PV per head; fc1->GELU->fc2
 with streamed weights) each *win in isolation* but **lose ~0.3 ms in context**:
 a pallas_call inside the layer scan is opaque to XLA's latency-hiding
 scheduler, breaking the cross-layer weight-prefetch pipelining that the pure-
 XLA scan gets for free (measured: all-XLA 4.06 ms/step, either kernel enabled
-4.38-4.66; cost_estimate does not recover it).  They are therefore OPT-IN via
-WM_DECODE_KERNELS=1 — kept because they are the building blocks for a future
-whole-layer mega-kernel (grid over layers, double-buffered weight streams)
-where pallas would own the pipelining itself.
+4.38-4.66 ms; pallas cost_estimate does not recover it).  The conclusions that
+DID ship:
 
-Inference-only (the decode step is never differentiated; training uses the
-teacher-forced full-sequence path); parity-tested against the XLA formulation
-in interpret mode.
+  * pallas must own the WHOLE pipeline — that is ops/megastep.py, the
+    whole-decoder-stack fused kernel (grid over layers, double-buffered
+    weight streams), which replaced this experiment;
+  * the head-major cross-K / head-flat cross-V cache layouts
+    (models/whisper.py::KVCache) and the XLA decode formulations consuming
+    them (ops/decode_ops.py).
+
+Run ``python tools/decode_kernels_experiment.py`` for an interpret-mode parity
+selftest of the experimental kernels against ops/decode_ops.py.
 """
 
 from __future__ import annotations
 
 import functools
 import os
+import sys
 
 import jax
 import jax.numpy as jnp
 
-_ENABLED = os.environ.get("WM_DECODE_KERNELS", "0") == "1"
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from whisper_medusa_tpu.ops.decode_ops import NEG_BIG, cross_attention_decode as _cross_xla_entry  # noqa: E501,F401
+
 _INTERPRET = os.environ.get("WM_ATTENTION_INTERPRET", "0") == "1"
 
 _MIN_KV = 512            # kernels pay off at encoder-scale cross lengths
 _FFN_BLOCK = 512
-
-NEG_BIG = -0.7 * float(jnp.finfo(jnp.float32).max)
-
-
-def _on_tpu() -> bool:
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:
-        return False
-
-
-def kernels_enabled(kv_or_ffn: int) -> bool:
-    return _ENABLED and kv_or_ffn >= _MIN_KV and (_on_tpu() or _INTERPRET)
 
 
 # ------------------------------------------------------------ cross attention
@@ -97,42 +86,6 @@ def _cross_pallas(q, k, v, kv_len: int):
             dimension_semantics=("parallel",)),
         interpret=_INTERPRET,
     )(q, k, v)
-
-
-def _cross_xla(q, k, v, kv_len: int, k_s=None, v_s=None):
-    b, h, t, dh = q.shape
-    s = jnp.einsum("bhtd,bhds->bhts", q, k.astype(q.dtype),
-                   preferred_element_type=jnp.float32)
-    if k_s is not None:
-        s = s * k_s[:, :, None, :]                      # (B, H, 1, S)
-    if kv_len < k.shape[3]:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
-        s = jnp.where(col < kv_len, s, NEG_BIG)
-    p = jax.nn.softmax(s, axis=-1)
-    if v_s is not None:
-        # Dequant V by scaling the probabilities instead — (T, S) elements
-        # instead of (S, Dh); the int8 V tensor feeds the MXU directly.
-        p = p * v_s[:, :, None, :]
-    # v is head-flat (B, S_pad, D): heads are split by a free minor-dim
-    # reshape; the contraction runs over s with h as a batch dim.
-    vh = v.reshape(b, v.shape[1], h, dh)
-    o = jnp.einsum("bhts,bshd->bhtd", p.astype(q.dtype), vh.astype(q.dtype),
-                   preferred_element_type=jnp.float32)
-    return o.astype(q.dtype)
-
-
-def cross_attention_decode(
-    q: jnp.ndarray,       # (B, H, T, Dh), pre-scaled
-    k: jnp.ndarray,       # (B, H, Dh, S_pad) head-major cross keys (bf16|int8)
-    v: jnp.ndarray,       # (B, S_pad, D) head-flat cross values (bf16|int8)
-    kv_len: int,          # real key count (<= S_pad)
-    k_s=None,             # (B, H, S_pad) f32 int8-mode key scales
-    v_s=None,
-) -> jnp.ndarray:
-    s_pad = k.shape[3]
-    if k_s is None and kernels_enabled(s_pad) and s_pad % 128 == 0:
-        return _cross_pallas(q, k, v, kv_len)
-    return _cross_xla(q, k, v, kv_len, k_s, v_s)
 
 
 # --------------------------------------------------------------------- ffn
@@ -205,14 +158,37 @@ def _ffn_pallas(x2, w1, b1, w2, b2):
     )(x2, w1, b1.reshape(1, -1), w2, b2.reshape(1, -1))
 
 
-def ffn_decode(x: jnp.ndarray, w1, b1, w2, b2) -> jnp.ndarray:
-    """Fused fc1 -> GELU -> fc2 for small decode chunks.  x: (B, T, D)."""
-    f = w1.shape[1]
-    b, t, d = x.shape
-    if kernels_enabled(f) and f % _FFN_BLOCK == 0 and b * t <= 64:
-        y = _ffn_pallas(x.reshape(b * t, d), w1, b1, w2, b2)
-        return y.reshape(b, t, d)
-    h = jnp.dot(x, w1, preferred_element_type=jnp.float32)
-    h = jax.nn.gelu(h + b1.astype(jnp.float32), approximate=False)
-    y = jnp.dot(h.astype(x.dtype), w2, preferred_element_type=jnp.float32)
-    return (y + b2.astype(jnp.float32)).astype(x.dtype)
+def selftest():
+    """Interpret-mode parity of the experimental kernels vs ops/decode_ops."""
+    global _INTERPRET, _FFN_BLOCK
+    _INTERPRET = True
+    import numpy as np
+
+    from whisper_medusa_tpu.ops import decode_ops
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(2, 4, 11, 64)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(2, 4, 64, 640)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(2, 640, 4 * 64)), jnp.float32)
+    out = _cross_pallas(q, k, v, 600)
+    ref = decode_ops.cross_attention_decode(q, k, v, 600)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+    _FFN_BLOCK = 256
+    x = jnp.asarray(rng.normal(size=(11, 128)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(128, 1024)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(1024,)), jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(1024, 128)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(128,)), jnp.float32)
+    out = _ffn_pallas(x, w1, b1, w2, b2)
+    ref = decode_ops.ffn_decode(x[None], w1, b1, w2, b2)[0]
+    # The kernel's A&S-7.1.26 GELU differs from exact erf by ~1.5e-7 per
+    # element — up to ~3e-4 after the 1024-wide fc2 reduction.
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-4, rtol=5e-4)
+    print("decode_kernels_experiment selftest OK")
+
+
+if __name__ == "__main__":
+    selftest()

@@ -583,14 +583,13 @@ def quantize_v_flat(v: jnp.ndarray, num_heads: int):
 
 
 def _cross_pad_len(s: int) -> int:
-    """Cross-cache sequence padding for the fused decode kernels' alignment.
+    """Cross-cache sequence length — deliberately UNpadded.
 
-    (The whole-stack megastep kernel handles the raw 1500-key length directly —
-    padding to 1536 was measured slightly *slower* on v5e: the extra 2.4% of
-    cross-cache bytes cost more than the lane alignment saved.)"""
-    from whisper_medusa_tpu.ops import decode_kernels as dk
-
-    return -(-s // 128) * 128 if dk.kernels_enabled(s) else s
+    The whole-stack megastep kernel handles the raw 1500-key length directly;
+    padding to 1536 was measured slightly *slower* on v5e (the extra 2.4% of
+    cross-cache bytes cost more than the lane alignment saved).  Kept as a
+    function so the choice is documented at the one place a pad would go."""
+    return s
 
 
 def set_block_cross_kv(cache: KVCache, block_params: Params,
@@ -679,7 +678,7 @@ def decoder_layer_step(
 
     Returns (new_hidden, new_k_buf, new_v_buf, new_self_s | None).
     """
-    from whisper_medusa_tpu.ops import decode_kernels as dk
+    from whisper_medusa_tpu.ops import decode_ops
 
     head_dim = h.shape[-1] // num_heads
     # Self attention.  The cache slab is head-flat (B, S, D) — see KVCache —
@@ -730,19 +729,19 @@ def decoder_layer_step(
         cq = cq.reshape(bk // cross_beam, cross_beam * t, *cq.shape[2:])
     cqh = jnp.swapaxes(cq, 1, 2)                       # (B, H, T', Dh)
     kv_len = cross_len if cross_len is not None else cross_k.shape[3]
-    out = dk.cross_attention_decode(cqh, cross_k, cross_v, kv_len,
-                                    cross_k_s, cross_v_s)
+    out = decode_ops.cross_attention_decode(cqh, cross_k, cross_v, kv_len,
+                                            cross_k_s, cross_v_s)
     cross_out = jnp.swapaxes(out, 1, 2)
     if cross_beam > 1:
         cross_out = cross_out.reshape(bk, t, *cross_out.shape[2:])
     h = h + dense(_merge_heads(cross_out), lp["cross"]["o_w"], lp["cross"]["o_b"])
-    # FFN (fused weight-streaming kernel at decode sizes).
+    # FFN.
     fx = layer_norm(h, lp["ffn_ln"]["scale"], lp["ffn_ln"]["bias"])
     if isinstance(lp["fc1_w"], dict):
         h = h + ffn(lp, fx)
     else:
-        h = h + dk.ffn_decode(fx, lp["fc1_w"], lp["fc1_b"],
-                              lp["fc2_w"], lp["fc2_b"])
+        h = h + decode_ops.ffn_decode(fx, lp["fc1_w"], lp["fc1_b"],
+                                      lp["fc2_w"], lp["fc2_b"])
     return h, k_buf, v_buf, self_s
 
 
