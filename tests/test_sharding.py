@@ -257,6 +257,117 @@ def test_sharded_quantized_decode_matches_single_device():
         np.asarray(res_single.tokens), np.asarray(res_sharded.tokens))
 
 
+def _count_fused_calls(monkeypatch):
+    """Route decode_step through the INTERPRETED megastep kernel and count
+    fused_decoder_layers invocations (trace-time), so tests can assert which
+    branch — kernel or XLA scan — a mesh configuration actually takes."""
+    from whisper_medusa_tpu.ops import megastep
+
+    monkeypatch.setattr(megastep, "_INTERPRET", True)
+    calls = []
+    orig = megastep.fused_decoder_layers
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(megastep, "fused_decoder_layers", counting)
+    return calls
+
+
+def _decode_setup(quantize=False, b=4):
+    # d_model=128: the fused kernel needs lane-aligned dims (tiny_test_config
+    # is below its floor) — same shapes as tests/test_megastep.py.
+    from whisper_medusa_tpu.config import WhisperDims
+
+    dims = WhisperDims(
+        vocab_size=256, num_mel_bins=16, d_model=128,
+        encoder_layers=2, decoder_layers=2,
+        encoder_attention_heads=2, decoder_attention_heads=2,
+        encoder_ffn_dim=256, decoder_ffn_dim=512,
+        max_source_positions=32, max_target_positions=64,
+    )
+    wp = whisper.init_whisper_params(jax.random.PRNGKey(0), dims,
+                                     jnp.bfloat16)
+    if quantize:
+        from whisper_medusa_tpu.ops.qmm import quantize_decoder
+
+        wp, _ = quantize_decoder(wp)
+    rng = np.random.default_rng(0)
+    enc = jnp.asarray(
+        rng.normal(size=(b, dims.max_source_positions, dims.d_model)),
+        jnp.bfloat16)
+    toks = jnp.asarray(rng.integers(6, 60, size=(b, 3)), jnp.int32)
+    return dims, wp, enc, toks
+
+
+@pytest.mark.parametrize("quantize", [False, True])
+def test_fused_kernel_under_dp_shard_map(monkeypatch, quantize):
+    """VERDICT r3 weak #4: the Pallas megastep kernel composes with the mesh.
+    On a dp-only mesh decode_step shard_maps the kernel over the batch —
+    sharded output == single-device output THROUGH the kernel branch."""
+    calls = _count_fused_calls(monkeypatch)
+    dims, wp, enc, toks = _decode_setup(quantize)
+    off = jnp.zeros((4,), jnp.int32)
+
+    cache = whisper.init_cache(wp, dims, enc, 32)
+    ref, refc = whisper.decode_step(wp, dims, toks, cache, off)
+    assert len(calls) == 1
+
+    mesh = mesh_mod.make_mesh(4, dp=4, tp=1)
+    with jax.set_mesh(mesh):
+        ps = mesh_mod.shard_params(wp, mesh)
+        enc_s = jax.device_put(enc, mesh_mod.data_sharding(mesh))
+        cache_s = whisper.init_cache(ps, dims, enc_s, 32)
+        out, outc = jax.jit(
+            lambda p, t, c, o: whisper.decode_step(p, dims, t, c, o))(
+                ps, toks, cache_s, off)
+    assert len(calls) == 2, "dp mesh must still take the kernel branch"
+    np.testing.assert_array_equal(np.asarray(out.hidden, np.float32),
+                                  np.asarray(ref.hidden, np.float32))
+    np.testing.assert_array_equal(np.asarray(outc.self_k),
+                                  np.asarray(refc.self_k))
+
+
+def test_fused_kernel_gates_off_under_tp(monkeypatch):
+    """On a TP mesh the kernel would hand GSPMD-sharded weight slabs to
+    pallas_call (silent per-step all-gathers at best) — decode_step must
+    deterministically use the scan path instead, with identical results."""
+    calls = _count_fused_calls(monkeypatch)
+    dims, wp, enc, toks = _decode_setup()
+    off = jnp.zeros((4,), jnp.int32)
+
+    cache = whisper.init_cache(wp, dims, enc, 32)
+    ref, _ = whisper.decode_step(wp, dims, toks, cache, off)
+    assert len(calls) == 1
+
+    mesh = mesh_mod.make_mesh(4, dp=2, tp=2)
+    with jax.set_mesh(mesh):
+        ps = mesh_mod.shard_params(wp, mesh)
+        enc_s = jax.device_put(enc, mesh_mod.data_sharding(mesh))
+        cache_s = whisper.init_cache(ps, dims, enc_s, 32)
+        out, _ = jax.jit(
+            lambda p, t, c, o: whisper.decode_step(p, dims, t, c, o))(
+                ps, toks, cache_s, off)
+    assert len(calls) == 1, "tp mesh must NOT take the kernel branch"
+    np.testing.assert_allclose(np.asarray(out.hidden, np.float32),
+                               np.asarray(ref.hidden, np.float32),
+                               atol=3e-2, rtol=3e-2)
+
+
+def test_fused_kernel_gates_off_on_indivisible_batch(monkeypatch):
+    """dp mesh with B % dp != 0: no shard_map is possible — scan path."""
+    calls = _count_fused_calls(monkeypatch)
+    dims, wp, enc, toks = _decode_setup(b=3)
+    off = jnp.zeros((3,), jnp.int32)
+    mesh = mesh_mod.make_mesh(4, dp=4, tp=1)
+    with jax.set_mesh(mesh):
+        ps = mesh_mod.shard_params(wp, mesh)
+        cache_s = whisper.init_cache(ps, dims, enc, 32)
+        whisper.decode_step(ps, dims, toks, cache_s, off)
+    assert len(calls) == 0
+
+
 def test_model_quantize_then_shard_api():
     """Product surface: model.quantize().shard(dp=, tp=) places the int8 tree."""
     from whisper_medusa_tpu.config import tiny_test_config

@@ -26,6 +26,7 @@ Design (TPU-first, not a port):
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 import os
 from typing import Any, Dict, NamedTuple, Optional, Tuple
@@ -787,6 +788,62 @@ def extend_layers_with_block(dec_layers: Params, block_params: Params) -> Params
         is_leaf=lambda x: not isinstance(x, dict))
 
 
+def _serving_mesh_axes() -> Tuple[int, int]:
+    """(dp, tp) sizes of the ambient mesh (``jax.set_mesh``, the context
+    ``WhisperMedusaModel.shard()`` serves under) using the standard axis
+    names; (1, 1) when no mesh is active.  Readable at trace time — this is
+    what lets :func:`decode_step` pick the right kernel strategy per mesh."""
+    try:
+        am = jax.sharding.get_abstract_mesh()
+    except Exception:                                    # pragma: no cover
+        return 1, 1
+    if am is None or am.empty:
+        return 1, 1
+    from whisper_medusa_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    shape = dict(am.shape)
+    return int(shape.get(DATA_AXIS, 1)), int(shape.get(MODEL_AXIS, 1))
+
+
+def _shard_fused_over_data(fused_call, dp: int):
+    """Wrap a ``fused_decoder_layers`` call in ``shard_map`` over the data
+    axis: each device runs the (GSPMD-opaque) pallas kernel on its local
+    B/dp examples — weights replicated, batch and cache slabs split.  This
+    is serving's natural multi-chip layout (whisper-large fits one chip;
+    chips multiply throughput, not capacity)."""
+    from jax.sharding import PartitionSpec as P
+
+    from whisper_medusa_tpu.parallel.mesh import DATA_AXIS
+
+    def wrapped(dec_layers, x, self_k, self_v, cross_k, cross_v, offset,
+                chunk_bias, cross_k_s=None, cross_v_s=None, self_s=None,
+                ln_post=None):
+        d = P(DATA_AXIS)                      # batch-leading arrays
+        ld = P(None, DATA_AXIS)               # (L, B, ...) cache slabs
+        r = P()                               # replicated (weights, bias)
+        args = (dec_layers, x, self_k, self_v, cross_k, cross_v, offset,
+                chunk_bias, cross_k_s, cross_v_s, self_s, ln_post)
+        in_specs = (r, d, ld, ld, ld, ld, d, r,
+                    None if cross_k_s is None else ld,
+                    None if cross_v_s is None else ld,
+                    None if self_s is None else ld,
+                    r if ln_post is not None else None)
+        has_block = ln_post is not None
+        has_ss = self_s is not None
+        out_specs = (d, d if has_block else None, ld, ld,
+                     ld if has_ss else None)
+
+        def inner(dl, x_, sk, sv, ck, cv, off, cb, cks, cvs, ss, lnp):
+            return fused_call(dl, x_, sk, sv, ck, cv, off, cb,
+                              cross_k_s=cks, cross_v_s=cvs, self_s=ss,
+                              ln_post=lnp)
+
+        return jax.shard_map(inner, in_specs=in_specs, out_specs=out_specs,
+                             check_vma=False)(*args)
+
+    return wrapped
+
+
 def decode_step(
     params: Params,
     dims: WhisperDims,
@@ -821,6 +878,19 @@ def decode_step(
 
     from whisper_medusa_tpu.ops import megastep
 
+    # Mesh-aware kernel gating (the fused kernel is a single pallas_call —
+    # opaque to GSPMD, so it must either run per-shard or not at all):
+    #   * model/TP axis active  -> XLA scan path (GSPMD shards the einsums
+    #     and inserts the psums; handing TP-sharded weight slabs to
+    #     pallas_call would silently all-gather them every step);
+    #   * data/DP axis active   -> shard_map the kernel over the batch so
+    #     each device runs it on its local examples (serving's natural
+    #     multi-chip layout — weights replicated, batch split);
+    #   * no mesh               -> plain single-device call.
+    dp, tp = _serving_mesh_axes()
+    b_shard = b // dp if (dp > 1 and b % dp == 0) else b
+    mesh_ok = tp == 1 and (dp == 1 or b % dp == 0)
+
     want_block = block_params is not None
     if want_block and fused_block_layers is not None \
             and cache.self_k.shape[0] == nl + 1:
@@ -829,19 +899,22 @@ def decode_step(
     else:
         fused_layers = dec["layers"]
         fused_shape_ok = not want_block and cache.self_k.shape[0] == nl
-    if fused_shape_ok and megastep.available(
-            fused_layers, dims.d_model, nh, b, t, want_block, cross_beam):
+    if fused_shape_ok and mesh_ok and megastep.available(
+            fused_layers, dims.d_model, nh, b_shard, t, want_block,
+            cross_beam):
         cm = chunk_mask if chunk_mask is not None else jnp.tril(
             jnp.ones((t, t), jnp.bool_))
         cbias = jnp.where(cm, jnp.float32(0), jnp.float32(-1e30))
-        pre_norm, block_hidden, self_k, self_v, self_s = \
-            megastep.fused_decoder_layers(
-                fused_layers, x, cache.self_k, cache.self_v,
-                cache.cross_k, cache.cross_v, offsets, cbias,
-                cross_len, nh,
-                cross_k_s=cache.cross_k_s, cross_v_s=cache.cross_v_s,
-                self_s=cache.self_s,
-                ln_post=dec["ln_post"] if want_block else None)
+        fused_call = functools.partial(
+            megastep.fused_decoder_layers, cross_len=cross_len, num_heads=nh)
+        if dp > 1:
+            fused_call = _shard_fused_over_data(fused_call, dp)
+        pre_norm, block_hidden, self_k, self_v, self_s = fused_call(
+            fused_layers, x, cache.self_k, cache.self_v,
+            cache.cross_k, cache.cross_v, offsets, cbias,
+            cross_k_s=cache.cross_k_s, cross_v_s=cache.cross_v_s,
+            self_s=cache.self_s,
+            ln_post=dec["ln_post"] if want_block else None)
         hidden = layer_norm(pre_norm, dec["ln_post"]["scale"],
                             dec["ln_post"]["bias"])
         new_cache = dataclasses.replace(
