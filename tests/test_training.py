@@ -60,6 +60,75 @@ def test_kl_matches_reference(loss_on_original):
     np.testing.assert_allclose(ours[: len(ref)], ref, atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("loss_on_original", [False, True])
+@pytest.mark.parametrize("chunk", [4, 64])
+def test_streaming_losses_match_dense(loss_on_original, chunk):
+    """medusa_losses_streaming (the training path since r4 — no (H',B,T,V)
+    stack) == dense medusa_cross_entropy + medusa_kl, values AND gradients.
+    chunk=4 forces multiple scan iterations incl. a ragged tail (t=10)."""
+    rng = np.random.default_rng(3)
+    h, b, t, d, v = 4, 2, 10, 8, 32
+    head_stack = jnp.asarray(rng.normal(size=(h, b, t, d)), jnp.float32)
+    teacher_h = jnp.asarray(rng.normal(size=(b, t, d)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(v, d)) * 0.3, jnp.float32)
+    labels = jnp.asarray(rng.integers(0, v, size=(b, t)))
+    labels = labels.at[:, -2:].set(-100)
+
+    def dense(w):
+        stack = jnp.einsum("hbtd,vd->hbtv", head_stack, w)
+        ce, valid = losses_mod.medusa_cross_entropy(stack, labels,
+                                                    loss_on_original)
+        tl = jax.lax.stop_gradient(jnp.einsum("btd,vd->btv", teacher_h, w))
+        kl = losses_mod.medusa_kl(stack, tl, 0.7, loss_on_original)
+        return ce, valid, kl
+
+    def streaming(w):
+        return losses_mod.medusa_losses_streaming(
+            lambda x: jnp.einsum("...d,vd->...v", x, w),
+            head_stack, labels, loss_on_original,
+            teacher_hidden=teacher_h, kl_lamda=0.7, chunk=chunk)
+
+    ce_d, valid_d, kl_d = dense(w)
+    ce_s, valid_s, kl_s = streaming(w)
+    np.testing.assert_array_equal(np.asarray(valid_d), np.asarray(valid_s))
+    np.testing.assert_allclose(np.asarray(ce_s), np.asarray(ce_d),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(kl_s), np.asarray(kl_d),
+                               atol=1e-4, rtol=1e-4)
+
+    def tot_d(w):
+        ce, valid, kl = dense(w)
+        return (jnp.sum(jnp.where(valid, ce, 0.0))
+                / jnp.maximum(jnp.sum(valid), 1) + jnp.mean(kl))
+
+    def tot_s(w):
+        ce, valid, kl = streaming(w)
+        return (jnp.sum(jnp.where(valid, ce, 0.0))
+                / jnp.maximum(jnp.sum(valid), 1) + jnp.mean(kl))
+
+    g_d = jax.grad(tot_d)(w)
+    g_s = jax.grad(tot_s)(w)
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_d),
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_streaming_ce_matches_torch_reference():
+    """The same golden as test_ce_matches_reference, through the streaming
+    path (identity projection on a pre-built logits stack)."""
+    RefCE, _, torch = _load_reference_losses()
+    rng = np.random.default_rng(0)
+    h, b, t, v = 4, 2, 12, 32
+    logits = rng.normal(size=(h, b, t, v)).astype(np.float32)
+    labels = rng.integers(0, v, size=(b, t))
+    labels[:, -2:] = -100
+    ref = RefCE(loss_on_original=True)(
+        torch.from_numpy(logits), torch.from_numpy(labels)).numpy()
+    ours, valid, _ = losses_mod.medusa_losses_streaming(
+        lambda x: x, jnp.asarray(logits), jnp.asarray(labels), True, chunk=5)
+    ours = np.asarray(ours)[np.asarray(valid)]
+    np.testing.assert_allclose(ours[: len(ref)], ref, atol=1e-5, rtol=1e-5)
+
+
 def test_short_sequence_head_masking():
     """Heads whose shift exceeds seq length are masked, not NaN
     (reference NaN-break, losses.py:60-63)."""

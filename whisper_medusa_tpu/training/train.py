@@ -38,7 +38,6 @@ class TrainForwardOut(NamedTuple):
     per_head_ce: jnp.ndarray
     per_head_kl: Optional[jnp.ndarray]
     valid_heads: jnp.ndarray
-    stack_logits: jnp.ndarray     # (H+1, B, T, V) — always includes base at 0
 
 
 def medusa_train_forward(
@@ -48,12 +47,16 @@ def medusa_train_forward(
     labels: jnp.ndarray,          # (B, T) with -100 padding
     decoder_input_ids: Optional[jnp.ndarray] = None,
 ) -> TrainForwardOut:
-    """Full teacher-forced forward with stacked head logits + loss.
+    """Full teacher-forced forward with per-head losses.
 
     Mirrors reference ``WhisperMedusaModel.forward`` with labels
-    (model.py:1223-1347): base+heads logits stacked, per-head shifted CE, optional
+    (model.py:1223-1347): per-head shifted CE over base+head logits, optional
     KL vs detached base logits or the frozen-teacher replay logits
-    (``output_whisper_original``, model.py:2031-2076).
+    (``output_whisper_original``, model.py:2031-2076).  Unlike the reference
+    (and this repo through round 3), the (H+1, B, T, V) logits stack is never
+    materialized: losses stream through T-chunked vocab projections
+    (losses.py::medusa_losses_streaming) — at whisper-large shapes the dense
+    stack is ~4 GB of bf16 HBM traffic per step.
     """
     dims = config.dims
     med = config.medusa
@@ -69,28 +72,18 @@ def medusa_train_forward(
                                collect_penultimate=need_teacher, remat=True)
     nh = dims.decoder_attention_heads
 
-    # Head logits kept bf16 in training: the f32 (H+1, B, T, V) stack would
-    # dominate HBM at whisper-large scale; losses upcast to f32 internally.
-    ldt = dec.hidden.dtype
+    # Per-head hidden rows (H+1, B, T, D) — base row 0, then draft heads.
     if med.medusa_heads_type == "base_head":
-        head_out = medusa_mod.apply_heads(mp, dec.hidden)   # (H+1, B, T, D)
-        stack = whisper.project_logits(wp, head_out).astype(ldt)
-        base_logits = stack[0]
+        head_stack = medusa_mod.apply_heads(mp, dec.hidden)
     else:
-        base_logits = whisper.project_logits(wp, dec.hidden).astype(ldt)
-        block_out = whisper.decoder_layer_full(mp["block"], dec.hidden, enc_out, nh)
+        block_out = whisper.decoder_layer_full(mp["block"], dec.hidden,
+                                               enc_out, nh)
         head_out = medusa_mod.apply_heads(mp, block_out)    # (H, B, T, D)
-        head_logits = whisper.project_logits(wp, head_out).astype(ldt)
-        stack = jnp.concatenate([base_logits[None], head_logits], axis=0)
+        head_stack = jnp.concatenate([dec.hidden[None], head_out], axis=0)
 
-    # CE (reference model.py:1303-1331).
-    ce_input = stack if med.medusa_loss_on_original else stack[1:]
-    per_head_ce, valid = losses_mod.medusa_cross_entropy(
-        ce_input, labels, med.medusa_loss_on_original)
-
-    per_head_kl = None
-    loss = jnp.sum(jnp.where(valid, per_head_ce, 0.0)) / jnp.maximum(
-        jnp.sum(valid), 1)
+    # CE (reference model.py:1303-1331) + optional KL in one streamed pass.
+    ce_rows = head_stack if med.medusa_loss_on_original else head_stack[1:]
+    teacher_hidden = None
     if med.medusa_kl_loss:
         if need_teacher:
             # Frozen replay of the (possibly fine-tuned) last decoder layer's
@@ -98,20 +91,25 @@ def medusa_train_forward(
             # (reference: model.py:2031-2076).
             teacher_h = whisper.decoder_layer_full(
                 mp["teacher_layer"], dec.penultimate, enc_out, nh)
-            teacher_h = whisper.layer_norm(
+            teacher_hidden = whisper.layer_norm(
                 teacher_h, wp["decoder"]["ln_post"]["scale"],
                 wp["decoder"]["ln_post"]["bias"])
-            teacher_logits = whisper.project_logits(wp, teacher_h)
         else:
-            teacher_logits = base_logits
-        per_head_kl = losses_mod.medusa_kl(
-            ce_input, jax.lax.stop_gradient(teacher_logits),
-            med.medusa_kl_weight, med.medusa_loss_on_original)
+            teacher_hidden = head_stack[0]
+        teacher_hidden = jax.lax.stop_gradient(teacher_hidden)
+
+    per_head_ce, valid, per_head_kl = losses_mod.medusa_losses_streaming(
+        lambda h: whisper.project_logits(wp, h),
+        ce_rows, labels, med.medusa_loss_on_original,
+        teacher_hidden=teacher_hidden, kl_lamda=med.medusa_kl_weight)
+
+    loss = jnp.sum(jnp.where(valid, per_head_ce, 0.0)) / jnp.maximum(
+        jnp.sum(valid), 1)
+    if per_head_kl is not None:
         loss = loss + jnp.mean(per_head_kl)
 
     return TrainForwardOut(loss=loss, per_head_ce=per_head_ce,
-                           per_head_kl=per_head_kl, valid_heads=valid,
-                           stack_logits=stack)
+                           per_head_kl=per_head_kl, valid_heads=valid)
 
 
 # ---------------------------------------------------------------------------
