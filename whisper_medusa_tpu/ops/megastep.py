@@ -5,7 +5,7 @@ matvec-sized compute (T = 1..16 query rows).  The XLA ``lax.scan`` formulation
 runs this at ~460 GB/s on v5e: each layer is a serial chain of ~15 small ops
 (layernorms, matvecs, softmaxes) and the weight reads only overlap compute
 within one scan iteration, so DMA-latency bubbles pile up at every op
-boundary.  Replacing per-op kernels made it *worse* (ops/decode_kernels.py):
+boundary.  Replacing per-op kernels made it *worse* (tools/decode_kernels_experiment.py):
 a pallas_call inside the scan is opaque to XLA's latency-hiding scheduler.
 
 This kernel replaces the **entire layer scan** with one ``pallas_call`` over a
@@ -28,7 +28,7 @@ v5e budget while giving the pipeline uniform-sized DMAs):
 
 Numerics mirror ``models/whisper.py::decoder_layer_step`` op-for-op (f32
 layernorm/softmax/accumulation, bf16 operands, f32 GELU via the same erf
-approximation as ops/decode_kernels.py) so the fused and scan paths agree to
+approximation as ops/decode_ops.py lineage) so the fused and scan paths agree to
 bf16 rounding.  Inference-only; autodiff uses the teacher-forced path.
 
 Scope (callers gate via :func:`available`): B <= 8 (batch >= 3 splits the
@@ -87,9 +87,16 @@ def _w8a8() -> bool:
     Default OFF; WM_MEGASTEP_W8A8=1 enables it (parity-tested both ways)."""
     return os.environ.get("WM_MEGASTEP_W8A8", "0") == "1"
 
+def _blkdiag() -> bool:
+    """Block-diagonal self-attention form (see the kernel's blkdiag branch):
+    all heads of a group computed as one S-major score matmul per example.
+    WM_MEGASTEP_BLKDIAG=0 restores the per-head loop."""
+    return os.environ.get("WM_MEGASTEP_BLKDIAG", "1") == "1"
+
+
 _MAX_T = 16
 NEG_SELF = -1e30   # matches models/whisper.py::attention
-NEG_CROSS = -0.7 * float(jnp.finfo(jnp.float32).max)  # matches decode_kernels
+NEG_CROSS = -0.7 * float(jnp.finfo(jnp.float32).max)  # matches decode_ops.NEG_BIG
 
 Params = Dict[str, Any]
 
@@ -146,80 +153,97 @@ def available(dec_layers: Params, d_model: int, num_heads: int, b: int, t: int,
 
 
 def _estimate_vmem(b: int, t16: int, d: int, h: int, dh: int, s_len: int,
-                   sp_len: int, f: int, sp_rows: int, nc: int, nch: int,
-                   wbytes: int, kvbytes: int, kv_quant: bool,
+                   sp_len: int, f: int, sp_rows: int, ns: int, nc: int,
+                   nch: int, wbytes: int, kvbytes: int, kv_quant: bool,
                    skv_quant: bool = False) -> int:
-    """Sum of the kernel's VMEM window allocations for a (nc, nch) phase
+    """Sum of the kernel's VMEM window allocations for an (ns, nc, nch) phase
     split — every pipelined input is double-buffered, so the estimate is
     2 x block bytes per streamed input plus single-buffered constants,
     outputs, and scratch.  Mirrors fused_decoder_layers' BlockSpecs."""
+    sgd = (h // ns) * dh
     gd = (h // nc) * dh
     f2 = f // nch
     tot = b * t16 * d * 2                       # x (single-buffered)
     tot += t16 * 128 * 4                        # chunk bias
     tot += sp_rows * d * 4 * 2                  # packed small params
-    tot += 4 * d * d * wbytes * 2               # self q/k/v/o
+    tot += 4 * d * sgd * wbytes * 2             # self q/k/v/o group slices
     tot += 2 * d * gd * wbytes * 2              # cross q/o group columns/rows
     skv_b = 1 if skv_quant else 2
-    tot += 2 * b * s_len * d * skv_b * 2        # self-cache slabs
+    tot += 2 * b * s_len * sgd * skv_b * 2      # self-cache slab group slices
     if skv_quant:
         tot += b * s_len * 128 * 2 * 2          # scale slab (SHp<=128 lanes)
+        if not _blkdiag():
+            tot += 128 * 2 * sgd * 2 * 2        # per-group expansion matrix
     tot += b * (h // nc) * dh * sp_len * kvbytes * 2   # cross K group
     tot += b * sp_len * gd * kvbytes * 2        # cross V group (head-flat)
     if kv_quant:
         tot += 2 * b * (h // nc) * sp_len * 4 * 2      # k/v scales
     tot += (d * f2 + f2 * d) * wbytes * 2       # fc1/fc2 chunk
     tot += 2 * b * t16 * d * 2                  # y, y2 outputs
-    tot += b * t16 * d * (2 + 4)                # xs, acc scratch
+    tot += b * t16 * d * (2 + 4 + 2)            # xs, acc, lnb scratch
     tot += 2 * b * (t16 + 8) * d * 2            # cache-commit staging
     return tot
+
+
+def _self_groups(h: int, dh: int) -> Tuple[int, ...]:
+    return tuple(n for n in range(1, h + 1)
+                 if h % n == 0 and ((h // n) * dh) % 128 == 0)
 
 
 def _pick_phases(b: int, t16: int, d: int, h: int, dh: int, s_len: int,
                  sp_len: int, f: int, sp_rows: int, wbytes: int,
                  kvbytes: int, kv_quant: bool,
-                 skv_quant: bool = False) -> Tuple[int, int]:
-    """Choose (cross head-groups, FFN chunks) for the phase pipeline.
+                 skv_quant: bool = False) -> Tuple[int, int, int]:
+    """Choose (self head-groups, cross head-groups, FFN chunks).
 
-    Fewer, bigger DMAs win (the kernel is pure DMA-bound; phase-stub
-    profiling showed half-size DMAs amortize fixed per-phase costs worse),
-    so take the FEWEST total phases whose VMEM windows fit the budget.
-    Batch >= 3 is what forces splitting: the cross K/V and weight windows
-    scale with B and overflow VMEM whole (the round-2 "B=3-4 fault" was
-    this overflow; with group-sliced cross phases B up to 8 compiles and
-    soaks clean).  WM_MEGASTEP_FORCE_PHASES="nc,nch" pins the split for
-    tests/experiments."""
+    The pipeline's lookahead is one phase deep: during phase s's compute only
+    phase s+1's DMA is in flight, so a phase whose compute exceeds the whole
+    layer's remaining DMA stalls the stream.  The self-attention per-head loop
+    is exactly that phase at batch >= 3 (v5e phase-stub decomposition at
+    large-v2, int8 b=8 t=11: self compute 1.57 ms/step exposed vs a 3.0 ms
+    DMA floor), so it is split into ``ns`` head-group sub-phases — spreading
+    both its compute and its slab/weight DMAs — with the o-projection
+    accumulated as group partials like the cross phase.  Cross/FFN splits
+    remain VMEM-driven: fewest phases whose double-buffered windows fit.
+    WM_MEGASTEP_FORCE_PHASES="ns,nc,nch" pins the split for tests."""
     force = os.environ.get("WM_MEGASTEP_FORCE_PHASES")
     if force:
-        nc, nch = (int(v) for v in force.split(","))
-        return nc, nch
+        parts = [int(v) for v in force.split(",")]
+        if len(parts) == 2:         # legacy "nc,nch"
+            return 1, parts[0], parts[1]
+        return parts[0], parts[1], parts[2]
     budget = (int(os.environ.get("WM_MEGASTEP_VMEM_MB", "128")) - 20) * 2**20
-    ncs = [n for n in range(1, h + 1)
-           if h % n == 0 and ((h // n) * dh) % 128 == 0]
+    nss = _self_groups(h, dh)
     nchs = [n for n in (1, 2, 4, 8) if f % n == 0 and (f // n) % d == 0]
-    # int8 at batch >= 4: the halved weight stream no longer shadows the
-    # per-example attention compute, and finer phase splits claw most of it
-    # back (v5e sweep at large-v2, t=11: b=4 4.5 -> 2.9 ms with (2,2); b=8
-    # 8.9 -> 6.8 ms with (h/2, 2)).  Floors below are those measured picks;
-    # bf16's heavier DMA hides the compute, so it stays estimator-driven.
-    nc_floor, nch_floor = 1, 1
-    if wbytes == 1 and b >= 4:
-        want_nc = 2 if b < 7 else (h // 2 if h // 2 in ncs else max(ncs))
-        nc_floor = min((n for n in ncs if n >= want_nc), default=max(ncs))
+    # Measured-best splits (clean forced sweeps, v5e large-v2 t=11, blkdiag
+    # attention): b <= 2 single-phase everywhere (90% of roofline); b in
+    # [3, 4] -> (2, 2, est); b >= 5 -> (2, 5, 2) (int8 5.02 / bf16 5.77
+    # ms/step vs 6.7-8.1 for the VMEM-greedy picks — the big nc bounds the
+    # cross window AND the per-example compute liveness; nearby picks swing
+    # 2x: (2,5,1) 9.97, (5,5,1) 5.72, (2,2,2) 9.5-10.1).  FFN chunks stay
+    # estimator-driven above the measured floor.
+    if b <= 2:
+        ns, nc_floor, nch_floor = 1, 1, 1
+    elif b <= 4:
+        ns = min((n for n in nss if n >= 2), default=max(nss))
+        nc_floor, nch_floor = ns, 1
+    else:
+        ns = min((n for n in nss if n >= 2), default=max(nss))
+        nc_floor = min((n for n in nss if n >= 5), default=max(nss))
         nch_floor = min((n for n in nchs if n >= 2), default=max(nchs))
-    cands = sorted(((nc, nch) for nc in ncs if nc >= nc_floor
+    cands = sorted(((nc, nch) for nc in nss if nc >= nc_floor
                     for nch in nchs if nch >= nch_floor),
                    key=lambda t: (t[0] + t[1], t[0]))
     for nc, nch in cands:
         if _estimate_vmem(b, t16, d, h, dh, s_len, sp_len, f, sp_rows,
-                          nc, nch, wbytes, kvbytes, kv_quant,
+                          ns, nc, nch, wbytes, kvbytes, kv_quant,
                           skv_quant) <= budget:
-            return nc, nch
-    return cands[-1]  # nothing fits: compile will fail loudly with the map
+            return ns, nc, nch
+    return (ns,) + cands[-1]  # nothing fits: compile fails loudly with the map
 
 
 def _erf_f32(z):
-    """Abramowitz & Stegun 7.1.26 (same as ops/decode_kernels.py)."""
+    """Abramowitz & Stegun 7.1.26 (Pallas TPU has no erf lowering)."""
     a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
                           -1.453152027, 1.061405429)
     p = 0.3275911
@@ -241,7 +265,6 @@ def _ln(x, scale2, bias2):
     y = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
     return (y * scale2 + bias2).astype(x.dtype)
 
-
 def _kernel(
     # scalar-ish / constant-per-call inputs
     x_ref,        # (B*T16, D) bf16 — embedded tokens (+pos), pad rows garbage
@@ -249,18 +272,22 @@ def _kernel(
     cbias_ref,    # (T16, 128) f32 — intra-chunk additive mask in cols [0, T16)
     # per-layer streamed inputs
     sp_ref,       # (1, 12 + F/D, D) f32 — packed layernorms/biases + fc1 bias
-    qw_ref, kw_ref, vw_ref, ow_ref,   # (1, D, D) bf16 self-attn weights
+    qw_ref, kw_ref, vw_ref,  # (1, D, SGd) bf16|int8 self q/k/v weight COLUMNS
+                             # for the current self head group (SGd = H/ns*dh)
+    ow_ref,       # (1, SGd, D) self o weight ROWS for the current group
     cqw_ref, cow_ref,   # (1, D, Gd)/(1, Gd, D) bf16 cross q/o weight columns/
                         # rows for the current head group (Gd = H/nc * dh)
-    sk_ref, sv_ref,     # (1, B, S, D) bf16|int8 self-cache slabs
+    sk_ref, sv_ref,     # (1, B, S, SGd) bf16|int8 self-cache slab lane slices
+                        # for the current self head group
     ss_ref,             # (1, B, S, SHp) bf16 int8-mode self-KV scales,
                         # position-major: lane h is head h's k-scale, lane
                         # H + h its v-scale (dummy when not skv_quant)
-    se_ref,             # (SHp, 2D) bf16 constant lane-expansion matrix:
-                        # scales @ se -> a full (S, 2D) per-lane scale map
-                        # (cols [0,D) for K, [D,2D) for V) — one good-M MXU
-                        # matmul instead of per-example (S, SHp) transposes
-                        # (dummy when not skv_quant)
+    se_ref,             # (1, SHp, 2*SGd) bf16 per-group lane-expansion block:
+                        # scales @ se -> a (S, 2*SGd) per-lane scale map for
+                        # the current self group (cols [0,SGd) for K,
+                        # [SGd,2SGd) for V) — one good-M MXU matmul instead
+                        # of per-example (S, SHp) transposes (dummy when not
+                        # skv_quant)
     ck_ref,       # (1, B, Hg, dh, Sp) bf16|int8 cross keys for the current
                   # head group (head-major)
     cv_ref,       # (1, B, Sp, Gd) bf16|int8 cross values (head-flat — a
@@ -281,16 +308,21 @@ def _kernel(
     sso_ref,      # (L, B, S, SHp) bf16 in HBM, aliased to ss (int8 mode)
     # scratch
     xs,           # (B*T16, D) bf16 hidden state carried across the grid
-    acc,          # (B*T16, D) f32 ffn partial accumulator
-    nk_s,         # (B*(T16+8), D) bf16|int8 staging for the cache-window DMAs
+    acc,          # (B*T16, D) f32 self o-partial / cross / ffn accumulator
+    lnb,          # (B*T16, D) bf16 self-attn layernorm output, computed once
+                  # at self sub-phase 0 and reused by the later head groups
+    nk_s,         # (B*(T16+8), SGd) staging for the group cache-window DMAs
     nv_s,
     ns_s,         # (B*(T16+8), SHp) bf16 staging for the scale rows
+    sc_a,         # (B*T16, SHp) bf16 chunk K/V scales accumulated across the
+                  # self sub-phases (scale-slab commit runs at the last one)
     sems,         # (3, B) DMA semaphores — one triple per example, so every
                   # wait matches exactly the copy it calibrates against
     *,
     num_layers: int, num_heads: int, t16: int, t_real: int, cross_len: int,
-    n_cross: int, n_chunks: int, scale: float, quant: bool, kv_quant: bool,
-    skv_quant: bool, batch: int, has_block: bool, w8a8: bool,
+    n_self: int, n_cross: int, n_chunks: int, scale: float, quant: bool,
+    kv_quant: bool, skv_quant: bool, batch: int, has_block: bool, w8a8: bool,
+    blkdiag: bool,
 ):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -298,7 +330,9 @@ def _kernel(
     l, p = pl.program_id(0), pl.program_id(1)
     d = x_ref.shape[1]
     dh = d // num_heads
-    last_p = n_cross + n_chunks
+    nsh = num_heads // n_self          # heads per self sub-phase
+    sgd = nsh * dh
+    last_p = n_self + n_cross + n_chunks - 1
     # Packed small-params row layout: 12 base rows, then (block variant only)
     # ln_post's scale/bias, then fc1's F/D bias rows per chunk; int8 mode
     # appends per-output-channel scale rows — 7 (self q/k/v/o, cross q/o, fc2)
@@ -315,24 +349,30 @@ def _kernel(
         a8 = jnp.clip(jnp.round(a32 / ascale), -127, 127).astype(jnp.int8)
         return a8, ascale
 
-    def mm(a, w_ref, sidx):
+    def mm(a, w_ref, sidx, gsel=None):
         """a @ w with f32 accumulation.  int8 weights either feed the MXU
         directly (W8A8: activations quantized per row, s8 x s8 -> s32, row and
         column scales folded into the f32 product) or dequantize on the way in
-        (W8A16); either way the per-column scale row applies at the output."""
+        (W8A16); either way the per-column scale row applies at the output
+        (``gsel`` slices the current head group's columns of the scale row
+        when the weight block is group-sliced)."""
         w = w_ref[0]
+        srow = None
+        if quant:
+            srow = sp_ref[0, sb + sidx:sb + sidx + 1]
+            if gsel is not None:
+                srow = gsel(srow)
         if quant and w8a8:
             a8, ascale = quant_rows(a)
             y = jax.lax.dot_general(
                 a8, w, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
-            return (y.astype(jnp.float32) * ascale
-                    * sp_ref[0, sb + sidx:sb + sidx + 1])
+            return y.astype(jnp.float32) * ascale * srow
         if quant:
             w = w.astype(a.dtype)
         y = jnp.dot(a, w, preferred_element_type=jnp.float32)
         if quant:
-            y = y * sp_ref[0, sb + sidx:sb + sidx + 1]
+            y = y * srow
         return y
 
     @pl.when((l == 0) & (p == 0))
@@ -350,16 +390,38 @@ def _kernel(
             sp = sp_ref[0]
             xs[:] = _ln(xs[:], sp[12:13], sp[13:14])
 
-    # ---------------------------------------------------------- p0: self-attn
-    @pl.when((p == 0) & ("self" not in _SKIP))
+    # ----------------------------------------------- p0..ns-1: self-attn
+    # Split into n_self head-group sub-phases: the per-head attention loop is
+    # the kernel's one long-compute region (1.57 ms/step exposed at int8 b=8,
+    # phase-stub decomposition), and the pipeline's one-phase DMA lookahead
+    # stalls behind it.  Each sub-phase streams only its group's q/k/v weight
+    # columns, o rows, and cache-slab lanes, computes that group's attention,
+    # and accumulates a PARTIAL o-projection in the f32 scratch — the same
+    # group-partial pattern the cross phase uses.
+    @pl.when((p < n_self) & ("self" not in _SKIP))
     def _():
-        sp = sp_ref[0]                                   # (12, D) f32
+        sp = sp_ref[0]                                   # (sp_rows, D) f32
         x = xs[:]
-        ln = _ln(x, sp[0:1], sp[1:2])
-        q = (mm(ln, qw_ref, 0) + sp[2:3]).astype(x.dtype) \
+
+        @pl.when(p == 0)
+        def _():
+            lnb[:] = _ln(x, sp[0:1], sp[1:2])
+            if skv_quant:
+                sc_a[:] = jnp.zeros_like(sc_a)
+        ln = lnb[:]
+
+        def gsel(row):
+            """Current self group's (1, SGd) slice of a packed (1, D) row
+            (static slices selected by the sub-phase id — g = p)."""
+            out = row[:, :sgd]
+            for g in range(1, n_self):
+                out = jnp.where(p == g, row[:, g * sgd:(g + 1) * sgd], out)
+            return out
+
+        q = (mm(ln, qw_ref, 0, gsel) + gsel(sp[2:3])).astype(x.dtype) \
             * jnp.asarray(scale, x.dtype)
-        k = mm(ln, kw_ref, 1).astype(x.dtype)
-        v = (mm(ln, vw_ref, 2) + sp[3:4]).astype(x.dtype)
+        k = mm(ln, kw_ref, 1, gsel).astype(x.dtype)
+        v = (mm(ln, vw_ref, 2, gsel) + gsel(sp[3:4])).astype(x.dtype)
         s_len = sk_ref.shape[2]
         # Commit each example's chunk K/V rows straight into the HBM cache
         # slab (aliased output buffer): a ~24-row DMA instead of a whole-slab
@@ -370,20 +432,20 @@ def _kernel(
         # slab block, the chunk's rows are merged at remainder r = off -
         # off_al via a static 8-way branch, and untouched rows round-trip
         # unchanged.  init_cache over-allocates 16 rows so the window stays
-        # in bounds for every caller.
+        # in bounds for every caller.  Each sub-phase commits only its
+        # group's lane slice of the window.
         w_rows = t16 + 8
         row = jax.lax.broadcasted_iota(jnp.int32, (w_rows, 1), 0)
         if skv_quant:
             # Quantize the chunk's K/V rows per (row, head) before staging:
             # the slab stores int8 rows, the position-major scale slab one
             # bf16 (k, v) scale pair per head per row (lanes [0, H) and
-            # [H, 2H) — the layout that lets the scale commit ride the same
-            # 8-aligned staging-DMA machinery as the slabs themselves).
-            shp = ns_s.shape[1]
-
-            def qrows(a):                        # (B*T16, D) -> int8, scales
+            # [H, 2H)).  Each sub-phase stashes its group's scale lanes in
+            # the sc_a scratch; the scale-slab commit runs once, at the last
+            # sub-phase, over the accumulated full-width rows.
+            def qrows(a):                        # (B*T16, SGd) -> int8, scales
                 qs, ss = [], []
-                for hh in range(num_heads):
+                for hh in range(nsh):
                     sub = a[:, hh * dh:(hh + 1) * dh].astype(jnp.float32)
                     amax = jnp.max(jnp.abs(sub), axis=1, keepdims=True)
                     sc_ = jnp.maximum(amax, 1e-30) / 127.0
@@ -392,12 +454,14 @@ def _kernel(
                     ss.append(sc_)
                 return jnp.concatenate(qs, axis=1), jnp.concatenate(ss, axis=1)
 
-            kq_all, ks_all = qrows(k)            # (B*T16, D) i8, (B*T16, H)
+            kq_all, ks_all = qrows(k)            # (B*T16, SGd) i8, (B*T16, nsh)
             vq_all, vs_all = qrows(v)
-            sc_all = jnp.concatenate([ks_all, vs_all], axis=1)
-            if shp > 2 * num_heads:
-                sc_all = jnp.pad(sc_all, ((0, 0), (0, shp - 2 * num_heads)))
-            sc_all = sc_all.astype(ns_s.dtype)   # (B*T16, SHp) bf16
+            for g in range(n_self):
+                @pl.when(p == g)
+                def _(g=g):
+                    sc_a[:, g * nsh:(g + 1) * nsh] = ks_all.astype(sc_a.dtype)
+                    sc_a[:, num_heads + g * nsh:num_heads + (g + 1) * nsh] = \
+                        vs_all.astype(sc_a.dtype)
         for bb in range(batch) if "commit" not in _SKIP else ():
             off = off_ref[0, bb]
             # Clamp the aligned window so the HBM DMA stays in bounds even for
@@ -412,34 +476,27 @@ def _kernel(
             r = off - off_al
             rows_b = slice(bb * t16, bb * t16 + t16)
             stage = slice(bb * w_rows, bb * w_rows + w_rows)
-            old_k = sk_ref[0, bb, pl.ds(off_al, w_rows)]
+            old_k = sk_ref[0, bb, pl.ds(off_al, w_rows)]   # (w_rows, SGd)
             old_v = sv_ref[0, bb, pl.ds(off_al, w_rows)]
             ksrc = kq_all if skv_quant else k
             vsrc = vq_all if skv_quant else v
-            if skv_quant:
-                old_sc = ss_ref[0, bb, pl.ds(off_al, w_rows)]
-            # The previous layer's commit DMAs read from the staging buffers —
-            # wait for them (same byte count, so reconstructed copy
+            # The previous sub-phase's commit DMAs read from the staging
+            # buffers — wait for them (same byte count, so reconstructed copy
             # descriptors calibrate the semaphore wait) before overwriting.
-            # One layer of write latency thus hides under later phases.
-            @pl.when(l > 0)
-            def _(bb=bb, off_al=off_al, stage=stage):
+            # Sub-phase 0 waits for the previous LAYER's last group instead.
+            @pl.when((l > 0) | (p > 0))
+            def _(bb=bb, stage=stage):
                 pltpu.make_async_copy(
-                    nk_s.at[stage], sko_ref.at[l, bb, pl.ds(off_al, w_rows), :],
+                    nk_s.at[stage],
+                    sko_ref.at[l, bb, pl.ds(0, w_rows), pl.ds(0, sgd)],
                     sems.at[0, bb]).wait()
                 pltpu.make_async_copy(
-                    nv_s.at[stage], svo_ref.at[l, bb, pl.ds(off_al, w_rows), :],
+                    nv_s.at[stage],
+                    svo_ref.at[l, bb, pl.ds(0, w_rows), pl.ds(0, sgd)],
                     sems.at[1, bb]).wait()
-                if skv_quant:
-                    pltpu.make_async_copy(
-                        ns_s.at[stage],
-                        sso_ref.at[l, bb, pl.ds(off_al, w_rows), :],
-                        sems.at[2, bb]).wait()
             # Default (r >= 8, clamped window): round-trip the old rows.
             nk_s[stage] = old_k
             nv_s[stage] = old_v
-            if skv_quant:
-                ns_s[stage] = old_sc
             for rr in range(8):
                 @pl.when(r == rr)
                 def _(rr=rr, rows_b=rows_b, stage=stage, old_k=old_k,
@@ -451,121 +508,297 @@ def _kernel(
                     nv_s[stage] = jnp.where(
                         keep, jnp.pad(vsrc[rows_b], ((rr, 8 - rr), (0, 0))),
                         old_v)
-                    if skv_quant:
-                        ns_s[stage] = jnp.where(
-                            keep,
-                            jnp.pad(sc_all[rows_b], ((rr, 8 - rr), (0, 0))),
-                            old_sc)
-            pltpu.make_async_copy(
-                nk_s.at[stage], sko_ref.at[l, bb, pl.ds(off_al, w_rows), :],
-                sems.at[0, bb]).start()
-            pltpu.make_async_copy(
-                nv_s.at[stage], svo_ref.at[l, bb, pl.ds(off_al, w_rows), :],
-                sems.at[1, bb]).start()
-            if skv_quant:
-                pltpu.make_async_copy(
-                    ns_s.at[stage], sso_ref.at[l, bb, pl.ds(off_al, w_rows), :],
-                    sems.at[2, bb]).start()
+            # Issue the group's lane-slice DMAs (static lane offsets selected
+            # by the sub-phase id).
+            for g in range(n_self):
+                @pl.when(p == g)
+                def _(g=g, bb=bb, stage=stage, off_al=off_al):
+                    pltpu.make_async_copy(
+                        nk_s.at[stage],
+                        sko_ref.at[l, bb, pl.ds(off_al, w_rows),
+                                   pl.ds(g * sgd, sgd)],
+                        sems.at[0, bb]).start()
+                    pltpu.make_async_copy(
+                        nv_s.at[stage],
+                        svo_ref.at[l, bb, pl.ds(off_al, w_rows),
+                                   pl.ds(g * sgd, sgd)],
+                        sems.at[1, bb]).start()
+        if skv_quant and "commit" not in _SKIP:
+            # Scale-slab commit: full-width rows, once per layer, from the
+            # sc_a scratch accumulated across the sub-phases.
+            @pl.when(p == n_self - 1)
+            def _():
+                sc_all = sc_a[:]                        # (B*T16, SHp)
+                for bb in range(batch):
+                    off = off_ref[0, bb]
+                    s_cap = ((sk_ref.shape[2] - w_rows) // 8) * 8
+                    off_al = pl.multiple_of(
+                        jnp.minimum((off // 8) * 8, s_cap), 8)
+                    r = off - off_al
+                    rows_b = slice(bb * t16, bb * t16 + t16)
+                    stage = slice(bb * w_rows, bb * w_rows + w_rows)
+                    old_sc = ss_ref[0, bb, pl.ds(off_al, w_rows)]
+
+                    @pl.when(l > 0)
+                    def _(bb=bb, stage=stage):
+                        pltpu.make_async_copy(
+                            ns_s.at[stage],
+                            sso_ref.at[l, bb, pl.ds(0, w_rows), :],
+                            sems.at[2, bb]).wait()
+                    ns_s[stage] = old_sc
+                    for rr in range(8):
+                        @pl.when(r == rr)
+                        def _(rr=rr, rows_b=rows_b, stage=stage,
+                              old_sc=old_sc):
+                            keep = (row >= rr) & (row < rr + t_real)
+                            ns_s[stage] = jnp.where(
+                                keep,
+                                jnp.pad(sc_all[rows_b],
+                                        ((rr, 8 - rr), (0, 0))),
+                                old_sc)
+                    pltpu.make_async_copy(
+                        ns_s.at[stage],
+                        sso_ref.at[l, bb, pl.ds(off_al, w_rows), :],
+                        sems.at[2, bb]).start()
         cb = cbias_ref[:, :t16]                          # (T16, T16) f32
         col = jax.lax.broadcasted_iota(jnp.int32, (t16, s_len), 1)
         if "sattn" in _SKIP:
             # Debug stub: projections + commit + (optional) dequant run, the
             # per-head attention math is replaced by identity — isolates the
-            # attention loop's compute from the rest of the self phase.
-            if skv_quant and "sdq" not in _SKIP:
+            # attention loop's compute from the rest of the self phase.  The
+            # eps-scaled add keeps a real data dependence so the dequant
+            # can't be constant-folded away (numerics are irrelevant here).
+            attn = q
+            if skv_quant and "sdq" not in _SKIP and not blkdiag:
+                outs = []
                 for bb in range(batch):
                     sc2 = jax.lax.dot_general(
-                        ss_ref[0, bb], se_ref[:], (((1,), (0,)), ((), ())),
+                        ss_ref[0, bb], se_ref[0], (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32).astype(x.dtype)
-                    # eps-scaled add keeps a real data dependence so the
-                    # dequant can't be constant-folded away (numerics are
-                    # irrelevant in this debug stub).
-                    xs[bb * t16:(bb + 1) * t16] = (
-                        x[bb * t16:(bb + 1) * t16]
-                        + sc2[:t16, :d] * jnp.asarray(1e-6, x.dtype))
-            o = (mm(q, ow_ref, 3) + sp[4:5]).astype(x.dtype)
-            xs[:] = x + o
-            return
-        outs = []
-        for bb in range(batch):
-            rows_b = slice(bb * t16, bb * t16 + t16)
-            hist_bias = jnp.where(col < off_ref[0, bb], jnp.float32(0),
-                                  NEG_SELF)
-            slab_k = sk_ref[0, bb]                       # (S, D) bf16|int8
-            slab_v = sv_ref[0, bb]
-            sc_t = None
-            if skv_quant and batch >= 5:
-                # Large batch: dequantize the whole slab up front — the
-                # position-major scale rows expand to a per-lane (S, 2D) map
-                # with ONE good-M MXU matmul against the constant expansion
-                # matrix (the per-head transpose form below measured +0.5
-                # ms/step at B=8; at B <= 4 this elementwise dequant costs
-                # more than the transposes save, so per-head wins there).
-                # The expansion dot is a pure gather (exactly one nonzero
-                # per column) and int8 -> bf16 casts are exact, leaving one
-                # rounding on the product.  Committed history rows carry
-                # the quantization error; the chunk's own rows (s2/p2) are
-                # fresh bf16.
-                sc2 = jax.lax.dot_general(
-                    ss_ref[0, bb], se_ref[:], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32
-                ).astype(x.dtype)                        # (S, 2D) bf16
-                slab_k = slab_k.astype(x.dtype) * sc2[:, :d]
-                slab_v = slab_v.astype(x.dtype) * sc2[:, d:]
-            elif skv_quant:
-                # Small batch: per-head score/probability scaling from one
-                # (SHp, S) transpose per (layer, example) — row h is head
-                # h's k-scale vector, row H + h its v-scale vector (the
-                # cross-cache dequant pattern).
-                sc_t = jnp.transpose(
-                    ss_ref[0, bb].astype(jnp.float32), (1, 0))
-            outs_h = []
-            for h in range(num_heads):
-                sl = slice(h * dh, (h + 1) * dh)
-                qh = q[rows_b, sl]
-                sk_h = slab_k[:, sl]
-                sv_h = slab_v[:, sl]
-                if sc_t is not None:
-                    sk_h = sk_h.astype(x.dtype)
-                    sv_h = sv_h.astype(x.dtype)
-                s1 = jax.lax.dot_general(
-                    qh, sk_h, (((1,), (1,)), ((), ())),
+                    outs.append(q[bb * t16:(bb + 1) * t16]
+                                + sc2[:t16, :sgd] * jnp.asarray(1e-6, x.dtype))
+                attn = jnp.concatenate(outs, axis=0)
+        elif blkdiag:
+            # Block-diagonal attention: the per-head (T16, dh)x(dh, S)
+            # matmuls bound MXU utilization by their 11..16 query rows, and
+            # at batch >= 3 that compute leaves the DMA shadow (1.6 ms/step
+            # exposed at int8 b=8, phase-stub decomposition).  Instead, per
+            # example, ALL nsh heads run as ONE score matmul with S on the
+            # MXU's M axis: slab_k (S, SGd) x Qblk (SGd, nsh*T16), where
+            # Qblk is block-diagonal (column block hh holds q_hh^T, other
+            # rows zero).  The nsh x FLOP waste of the block form trades for
+            # ~full MXU occupancy (waste nsh <= 5 vs the ~8x M-underuse of
+            # the per-head form — and the MXU is otherwise idle).  Softmax
+            # runs column-wise; int8 self-KV scales fold into the f32
+            # scores/probabilities per (position, head) — the same semantics
+            # as the small-batch path, now for every batch, replacing the
+            # whole-slab dequant (and its VMEM liveness spike) entirely.
+            nq = nsh * t16
+            rowi = jax.lax.broadcasted_iota(jnp.int32, (sgd, nq), 0) // dh
+            coli = jax.lax.broadcasted_iota(jnp.int32, (sgd, nq), 1) // t16
+            qmask = rowi == coli
+            # E (nsh, nq): E[h, h*T16 + t] = 1 — expands per-head (.., nsh)
+            # scale columns to per-query-column (.., nq) with one tiny MXU
+            # dot (lane-dim repeats are relayout-hostile in Mosaic).
+            e_r = jax.lax.broadcasted_iota(jnp.int32, (nsh, nq), 0)
+            e_c = jax.lax.broadcasted_iota(jnp.int32, (nsh, nq), 1) // t16
+            e_exp = (e_r == e_c).astype(jnp.float32)
+            # tileI (T16, nq): tileI[t, h*T16 + t'] = (t == t') — selects the
+            # diagonal blocks out of the (nq, SGd) PV product.
+            t_r = jax.lax.broadcasted_iota(jnp.int32, (t16, nq), 0)
+            t_c = jax.lax.broadcasted_iota(jnp.int32, (t16, nq), 1) % t16
+            tile_i = (t_r == t_c).astype(jnp.float32)
+            cbt = jnp.transpose(cb, (1, 0))              # (T16k, T16q)
+            cb_tiled = jax.lax.dot_general(              # (T16k, nq)
+                cbt, tile_i, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s_rowi = jax.lax.broadcasted_iota(jnp.int32, (s_len, 1), 0)
+            bd_mask = (jax.lax.broadcasted_iota(jnp.int32, (nq, sgd), 0)
+                       // t16
+                       == jax.lax.broadcasted_iota(jnp.int32, (nq, sgd), 1)
+                       // dh)
+            outs = []
+            for bb in range(batch):
+                rows_b = slice(bb * t16, bb * t16 + t16)
+                qt = jnp.transpose(q[rows_b], (1, 0))    # (SGd, T16)
+                qblk = jnp.where(qmask, jnp.tile(qt, (1, nsh)),
+                                 jnp.zeros((), x.dtype))
+                slab_k = sk_ref[0, bb]                   # (S, SGd) bf16|int8
+                slab_v = sv_ref[0, bb]
+                # (An s8 x s8 form — qblk quantized per column, the int8 slab
+                # feeding the MXU natively — measured 5.8 vs 5.0 ms/step at
+                # int8 b=8: the quantize chain costs more than the slab
+                # casts, at every batch.)
+                s1t = jax.lax.dot_general(               # (S, nq) f32
+                    slab_k.astype(x.dtype), qblk, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                if sc_t is not None:
-                    s1 = s1 * sc_t[h:h + 1]
-                s1 = s1 + hist_bias
-                s2 = jax.lax.dot_general(
-                    qh, k[rows_b, sl], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) + cb
-                m = jnp.maximum(jnp.max(s1, axis=-1, keepdims=True),
-                                jnp.max(s2, axis=-1, keepdims=True))
-                p1 = jnp.exp(s1 - m)
-                p2 = jnp.exp(s2 - m)
-                den = (jnp.sum(p1, axis=-1, keepdims=True)
-                       + jnp.sum(p2, axis=-1, keepdims=True))
+                if skv_quant:
+                    if "sdq" in _SKIP:                   # debug stub
+                        ks_e = vs_e = jnp.ones((), jnp.float32)
+                    else:
+                        ssb = ss_ref[0, bb]
+                        sl_k = ssb[:, 0:nsh]
+                        sl_v = ssb[:, num_heads:num_heads + nsh]
+                        for g in range(1, n_self):
+                            sl_k = jnp.where(
+                                p == g, ssb[:, g * nsh:(g + 1) * nsh], sl_k)
+                            sl_v = jnp.where(
+                                p == g,
+                                ssb[:, num_heads + g * nsh:
+                                    num_heads + (g + 1) * nsh], sl_v)
+                        ks_e = jax.lax.dot_general(      # (S, nq) f32
+                            sl_k.astype(jnp.float32), e_exp,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        vs_e = jax.lax.dot_general(
+                            sl_v.astype(jnp.float32), e_exp,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                    s1t = s1t * ks_e
+                s1t = jnp.where(s_rowi < off_ref[0, bb], s1t, NEG_SELF)
+                s2t = jax.lax.dot_general(               # (T16k, nq) f32
+                    k[rows_b], qblk, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32) + cb_tiled
+                m = jnp.maximum(jnp.max(s1t, axis=0, keepdims=True),
+                                jnp.max(s2t, axis=0, keepdims=True))
+                p1 = jnp.exp(s1t - m)
+                p2 = jnp.exp(s2t - m)
+                den = (jnp.sum(p1, axis=0, keepdims=True)
+                       + jnp.sum(p2, axis=0, keepdims=True))
                 p1 = p1 / den
-                if sc_t is not None:
-                    p1 = p1 * sc_t[num_heads + h:num_heads + h + 1]
-                p1b = p1.astype(x.dtype)
                 p2b = (p2 / den).astype(x.dtype)
-                oh = (jnp.dot(p1b, sv_h,
-                              preferred_element_type=jnp.float32)
-                      + jnp.dot(p2b, v[rows_b, sl],
-                                preferred_element_type=jnp.float32))
-                outs_h.append(oh.astype(x.dtype))
-            outs.append(jnp.concatenate(outs_h, axis=1))
-        attn = jnp.concatenate(outs, axis=0)             # (B*T16, D)
-        o = (mm(attn, ow_ref, 3) + sp[4:5]).astype(x.dtype)
-        xs[:] = x + o
+                if skv_quant:
+                    p1 = p1 * vs_e
+                pv = jax.lax.dot_general(                # (nq, SGd) f32
+                    p1.astype(x.dtype), slab_v.astype(x.dtype),
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                big = pv + jax.lax.dot_general(
+                    p2b, v[rows_b], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                bigm = jnp.where(bd_mask, big, 0.0)
+                oh = jax.lax.dot_general(                # (T16, SGd)
+                    tile_i, bigm, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                outs.append(oh.astype(x.dtype))
+            attn = jnp.concatenate(outs, axis=0)         # (B*T16, SGd)
+        else:
+            outs = []
+            for bb in range(batch):
+                rows_b = slice(bb * t16, bb * t16 + t16)
+                hist_bias = jnp.where(col < off_ref[0, bb], jnp.float32(0),
+                                      NEG_SELF)
+                slab_k = sk_ref[0, bb]                   # (S, SGd) bf16|int8
+                slab_v = sv_ref[0, bb]
+                sc_t = None
+                if skv_quant and batch >= 5:
+                    # Large batch: dequantize the group's slab lanes up front
+                    # — the position-major scale rows expand to a per-lane
+                    # (S, 2*SGd) map with ONE good-M MXU matmul against the
+                    # group's constant expansion block.  The expansion dot is
+                    # a pure gather (exactly one nonzero per column) and
+                    # int8 -> bf16 casts are exact, leaving one rounding on
+                    # the product.  Committed history rows carry the
+                    # quantization error; the chunk's own rows (s2/p2) are
+                    # fresh bf16.
+                    sc2 = jax.lax.dot_general(
+                        ss_ref[0, bb], se_ref[0], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32
+                    ).astype(x.dtype)                    # (S, 2*SGd) bf16
+                    slab_k = slab_k.astype(x.dtype) * sc2[:, :sgd]
+                    slab_v = slab_v.astype(x.dtype) * sc2[:, sgd:]
+                elif skv_quant:
+                    # Small batch: per-head score/probability scaling from
+                    # one transpose of the group's scale lanes per (layer,
+                    # sub-phase, example) — row hh is local head hh's k-scale
+                    # vector, row nsh + hh its v-scale vector.
+                    ssb = ss_ref[0, bb]
+                    sl_k = ssb[:, 0:nsh]
+                    sl_v = ssb[:, num_heads:num_heads + nsh]
+                    for g in range(1, n_self):
+                        sl_k = jnp.where(p == g,
+                                         ssb[:, g * nsh:(g + 1) * nsh], sl_k)
+                        sl_v = jnp.where(
+                            p == g,
+                            ssb[:, num_heads + g * nsh:
+                                num_heads + (g + 1) * nsh], sl_v)
+                    sc_t = jnp.transpose(
+                        jnp.concatenate([sl_k, sl_v], axis=1)
+                        .astype(jnp.float32), (1, 0))    # (2*nsh, S)
+                outs_h = []
+                for hh in range(nsh):
+                    sl = slice(hh * dh, (hh + 1) * dh)
+                    qh = q[rows_b, sl]
+                    sk_h = slab_k[:, sl]
+                    sv_h = slab_v[:, sl]
+                    if sc_t is not None:
+                        sk_h = sk_h.astype(x.dtype)
+                        sv_h = sv_h.astype(x.dtype)
+                    s1 = jax.lax.dot_general(
+                        qh, sk_h, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    if sc_t is not None:
+                        s1 = s1 * sc_t[hh:hh + 1]
+                    s1 = s1 + hist_bias
+                    s2 = jax.lax.dot_general(
+                        qh, k[rows_b, sl], (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32) + cb
+                    m = jnp.maximum(jnp.max(s1, axis=-1, keepdims=True),
+                                    jnp.max(s2, axis=-1, keepdims=True))
+                    p1 = jnp.exp(s1 - m)
+                    p2 = jnp.exp(s2 - m)
+                    den = (jnp.sum(p1, axis=-1, keepdims=True)
+                           + jnp.sum(p2, axis=-1, keepdims=True))
+                    p1 = p1 / den
+                    if sc_t is not None:
+                        p1 = p1 * sc_t[nsh + hh:nsh + hh + 1]
+                    p1b = p1.astype(x.dtype)
+                    p2b = (p2 / den).astype(x.dtype)
+                    oh = (jnp.dot(p1b, sv_h,
+                                  preferred_element_type=jnp.float32)
+                          + jnp.dot(p2b, v[rows_b, sl],
+                                    preferred_element_type=jnp.float32))
+                    outs_h.append(oh.astype(x.dtype))
+                outs.append(jnp.concatenate(outs_h, axis=1))
+            attn = jnp.concatenate(outs, axis=0)         # (B*T16, SGd)
+        # Partial o-projection for this head group; o's per-output-column
+        # int8 scale is group-invariant (contraction over the group rows) so
+        # it applies once to the accumulated sum (W8A8: each group's
+        # activation row scales ride its own partial).
+        ow = ow_ref[0]
+        if quant and w8a8:
+            a8, asc = quant_rows(attn)
+            part = jax.lax.dot_general(
+                a8, ow, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32) * asc
+        else:
+            if quant:
+                ow = ow.astype(x.dtype)
+            part = jnp.dot(attn, ow, preferred_element_type=jnp.float32)
 
-    # ----------------------------------------------- p1..p_nc: cross-attn
+        @pl.when(p == 0)
+        def _():
+            acc[:] = part
+
+        @pl.when(p > 0)
+        def _():
+            acc[:] = acc[:] + part
+
+        @pl.when(p == n_self - 1)
+        def _():
+            tot = acc[:]
+            if quant:
+                tot = tot * sp[sb + 3:sb + 4]
+            xs[:] = x + (tot + sp[4:5]).astype(x.dtype)
+
+    # ----------------------------------------- p_ns..p_ns+nc-1: cross-attn
     # The cross phase is split into n_cross head-group sub-phases so its
     # VMEM windows (cross K/V + q/o weight slices, all O(B)) stay inside
     # the budget at batch > 2: group g's phase streams only its Hg = H/nc
     # heads of K/V and the matching q-columns / o-rows, computes a PARTIAL
     # o-projection, and accumulates it in the f32 scratch; the residual add
     # and bias land at the last group.
-    @pl.when((p >= 1) & (p <= n_cross) & ("cross" not in _SKIP))
+    @pl.when((p >= n_self) & (p < n_self + n_cross) & ("cross" not in _SKIP))
     def _():
         sp = sp_ref[0]
         x = xs[:]
@@ -575,10 +808,11 @@ def _kernel(
 
         def gsel(row):
             """Current group's (1, Gd) column slice of a packed (1, D) row
-            (static slices selected by the phase id — g = p - 1)."""
+            (static slices selected by the phase id — g = p - n_self)."""
             out = row[:, :gd]
             for g in range(1, n_cross):
-                out = jnp.where(p == 1 + g, row[:, g * gd:(g + 1) * gd], out)
+                out = jnp.where(p == n_self + g,
+                                row[:, g * gd:(g + 1) * gd], out)
             return out
 
         qw = cqw_ref[0]                                  # (D, Gd)
@@ -606,6 +840,10 @@ def _kernel(
             cv = cv_ref[0, bb]                           # (Sp, Gd) head-flat
             outs_h = []
             for hh in range(hg):
+                # (An s8 x s8 form — q/p quantized per row, int8 K/V straight
+                # to the MXU — measured ~0.6 ms SLOWER at int8 b=8 than these
+                # head-sliced casts: the (dh, Sp)/(Sp, dh) cross slices cast
+                # cheaply, unlike the big (S, SGd) self slabs.)
                 s = jnp.dot(cq[rows_b, hh * dh:(hh + 1) * dh],
                             ck[hh].astype(x.dtype),
                             preferred_element_type=jnp.float32)
@@ -618,8 +856,8 @@ def _kernel(
                 pb = e / jnp.sum(e, axis=-1, keepdims=True)
                 if kv_quant:
                     # int8 cross V: dequant by scaling the probabilities —
-                    # (T, Sp) elements instead of (Sp, dh); int8 V feeds the
-                    # MXU directly.
+                    # (T, Sp) elements instead of (Sp, Dh); the int8 V tensor
+                    # feeds the MXU directly.
                     pb = pb * cvs_ref[0, bb, 0, hh:hh + 1, :]
                 # Head hh's values are the static 64-lane slice of the flat
                 # block (same pattern as the self-attn slab above).
@@ -640,15 +878,15 @@ def _kernel(
                 ow = ow.astype(x.dtype)
             part = jnp.dot(cross, ow, preferred_element_type=jnp.float32)
 
-        @pl.when(p == 1)
+        @pl.when(p == n_self)
         def _():
             acc[:] = part
 
-        @pl.when(p > 1)
+        @pl.when(p > n_self)
         def _():
             acc[:] = acc[:] + part
 
-        @pl.when(p == n_cross)
+        @pl.when(p == n_self + n_cross - 1)
         def _():
             tot = acc[:]
             if quant:
@@ -659,21 +897,22 @@ def _kernel(
                 tot = tot * sp[sb + 5:sb + 6]
             xs[:] = x + (tot + sp[8:9]).astype(x.dtype)
 
-    # ---------------------------------------------------- p_nc+1..: ffn chunk
-    @pl.when((p > n_cross) & ("ffn" not in _SKIP))
+    # ------------------------------------------- p_ns+nc..last_p: ffn chunk
+    @pl.when((p >= n_self + n_cross) & ("ffn" not in _SKIP))
     def _():
         sp = sp_ref[0]
         x = xs[:]
         ln = _ln(x, sp[9:10], sp[10:11])
+        c0 = n_self + n_cross
         # fc1 bias chunk lives in the packed rows [base + c*rpc, base +
         # (c+1)*rpc) (static slices selected by a scalar compare — the chunk
-        # index p - n_cross - 1 is a grid value, so the rows can't be sliced
+        # index p - c0 is a grid value, so the rows can't be sliced
         # dynamically).
         f2c = f1_ref.shape[2]
         f1b = sp[base:base + rpc].reshape(1, f2c)
         for c in range(1, n_chunks):
             alt = sp[base + c * rpc:base + (c + 1) * rpc].reshape(1, f2c)
-            f1b = jnp.where(p == n_cross + 1 + c, alt, f1b)
+            f1b = jnp.where(p == c0 + c, alt, f1b)
         f1w = f1_ref[0]
         f2w = f2_ref[0]
         if quant:
@@ -682,7 +921,7 @@ def _kernel(
             f1s = sp[s0:s0 + rpc].reshape(1, f2c)
             for c in range(1, n_chunks):
                 alt = sp[s0 + c * rpc:s0 + (c + 1) * rpc].reshape(1, f2c)
-                f1s = jnp.where(p == n_cross + 1 + c, alt, f1s)
+                f1s = jnp.where(p == c0 + c, alt, f1s)
         if quant and w8a8:
             ln8, lns = quant_rows(ln)
             h = jax.lax.dot_general(
@@ -717,11 +956,11 @@ def _kernel(
         if n_chunks == 1:
             xs[:] = finish(part)
         else:
-            @pl.when(p == n_cross + 1)
+            @pl.when(p == c0)
             def _():
                 acc[:] = part
 
-            @pl.when((p > n_cross + 1) & (p < last_p))
+            @pl.when((p > c0) & (p < last_p))
             def _():
                 acc[:] = acc[:] + part
 
@@ -736,16 +975,20 @@ def _kernel(
         else:
             y_ref[:] = xs[:]
         if "self" not in _SKIP and "commit" not in _SKIP:
-            # Drain the last layer's outstanding cache-commit DMAs.
+            # Drain the last layer's outstanding cache-commit DMAs (one k/v
+            # pair per example — from the last self sub-phase — plus the
+            # scale-slab copy in int8-self-KV mode).
             for bb in range(batch):
                 stage = slice(bb * (t16 + 8), (bb + 1) * (t16 + 8))
                 pltpu.make_async_copy(
                     nk_s.at[stage],
-                    sko_ref.at[num_layers - 1, bb, pl.ds(0, t16 + 8), :],
+                    sko_ref.at[num_layers - 1, bb, pl.ds(0, t16 + 8),
+                               pl.ds(0, sgd)],
                     sems.at[0, bb]).wait()
                 pltpu.make_async_copy(
                     nv_s.at[stage],
-                    svo_ref.at[num_layers - 1, bb, pl.ds(0, t16 + 8), :],
+                    svo_ref.at[num_layers - 1, bb, pl.ds(0, t16 + 8),
+                               pl.ds(0, sgd)],
                     sems.at[1, bb]).wait()
                 if skv_quant:
                     pltpu.make_async_copy(
@@ -847,8 +1090,11 @@ def fused_decoder_layers(
 
     wbytes = 1 if quant else 2
     kvbytes = 1 if cross_k_s is not None else 2
-    nc, nch = _pick_phases(b, t16, d, h, dh, s_len, sp_len, f, sp.shape[1],
-                           wbytes, kvbytes, cross_k_s is not None, skv_quant)
+    ns, nc, nch = _pick_phases(b, t16, d, h, dh, s_len, sp_len, f,
+                               sp.shape[1], wbytes, kvbytes,
+                               cross_k_s is not None, skv_quant)
+    nsh = h // ns
+    sgd = nsh * dh
     hg = h // nc
     gd = hg * dh
     f2 = f // nch
@@ -866,22 +1112,27 @@ def fused_decoder_layers(
 
     off2 = jnp.reshape(offset, (1, b)).astype(jnp.int32)
 
-    grid = (nl, 1 + nc + nch)
+    grid = (nl, ns + nc + nch)
     L_ = nl
 
-    def at_p0(l, p):
-        return jnp.minimum(l + (p > 0), L_ - 1)
+    # Self-phase inputs: group g's block is read at sub-phase p = g; the map
+    # advances to the next group one phase ahead (Mosaic fetches step s+1's
+    # block during step s), rolling to the next layer's group 0 as soon as
+    # the last group's sub-phase has passed — that fetch then hides under
+    # the cross and FFN phases.
+    def self_l(l, p):
+        return jnp.minimum(l + (p >= ns), L_ - 1)
 
-    # Cross-phase inputs: group g's block is read at phase p = g + 1; the
-    # map advances to the next group one phase ahead (Mosaic fetches step
-    # s+1's block during step s), rolling to the next layer's group 0 as
-    # soon as the last group's phase has passed — that fetch then hides
-    # under the FFN and self phases.
+    def self_g(l, p):
+        return jnp.where(p >= ns, 0, jnp.minimum(p, ns - 1))
+
+    # Cross-phase inputs: group g's block is read at phase p = ns + g, same
+    # one-ahead advance pattern.
     def cross_l(l, p):
-        return jnp.minimum(l + (p > nc), L_ - 1)
+        return jnp.minimum(l + (p >= ns + nc), L_ - 1)
 
     def cross_g(l, p):
-        return jnp.where(p > nc, 0, jnp.clip(p - 1, 0, nc - 1))
+        return jnp.where(p >= ns + nc, 0, jnp.clip(p - ns, 0, nc - 1))
 
     kv_quant = cross_k_s is not None
     if kv_quant:
@@ -901,26 +1152,38 @@ def fused_decoder_layers(
         shp = self_s.shape[-1]
         ss_in = self_s
         ss_spec = pl.BlockSpec((1, b, s_len, shp),
-                               lambda l, p: (at_p0(l, p), 0, 0, 0))
-        import numpy as _np
+                               lambda l, p: (self_l(l, p), 0, 0, 0))
+        if _blkdiag():
+            # Block-diagonal attention folds the scales into the f32
+            # scores/probabilities — no expansion matrix to stream.
+            se_in = jnp.zeros((1, 8, 128), jnp.bfloat16)
+            se_spec = pl.BlockSpec((1, 8, 128), lambda l, p: (0, 0, 0))
+        else:
+            import numpy as _np
 
-        se_np = _np.zeros((shp, 2 * d), _np.float32)
-        for hh in range(h):
-            se_np[hh, hh * dh:(hh + 1) * dh] = 1.0
-            se_np[h + hh, d + hh * dh:d + (hh + 1) * dh] = 1.0
-        se_in = jnp.asarray(se_np, jnp.bfloat16)
-        se_spec = pl.BlockSpec((shp, 2 * d), lambda l, p: (0, 0))
+            # Per-group expansion blocks: group g's block maps scale lane
+            # (global head) h to that head's LOCAL dh-lane range within the
+            # group's K (cols [0, SGd)) or V (cols [SGd, 2*SGd)) slab slice.
+            se_np = _np.zeros((ns, shp, 2 * sgd), _np.float32)
+            for hh in range(h):
+                g, lo = divmod(hh, nsh)
+                se_np[g, hh, lo * dh:(lo + 1) * dh] = 1.0
+                se_np[g, h + hh, sgd + lo * dh:sgd + (lo + 1) * dh] = 1.0
+            se_in = jnp.asarray(se_np, jnp.bfloat16)
+            se_spec = pl.BlockSpec((1, shp, 2 * sgd),
+                                   lambda l, p: (self_g(l, p), 0, 0))
     else:
         shp = 128
         ss_in = jnp.zeros((nl, 1, 8, 128), jnp.bfloat16)
         ss_spec = pl.BlockSpec((1, 1, 8, 128), lambda l, p: (0, 0, 0, 0))
-        se_in = jnp.zeros((8, 128), jnp.bfloat16)
-        se_spec = pl.BlockSpec((8, 128), lambda l, p: (0, 0))
+        se_in = jnp.zeros((1, 8, 128), jnp.bfloat16)
+        se_spec = pl.BlockSpec((1, 8, 128), lambda l, p: (0, 0, 0))
     kern = functools.partial(
         _kernel, num_layers=nl, num_heads=num_heads, t16=t16, t_real=t,
-        cross_len=cross_len, n_cross=nc, n_chunks=nch, scale=dh ** -0.5,
-        quant=quant, kv_quant=kv_quant, skv_quant=skv_quant, batch=b,
-        has_block=has_block, w8a8=quant and _w8a8())
+        cross_len=cross_len, n_self=ns, n_cross=nc, n_chunks=nch,
+        scale=dh ** -0.5, quant=quant, kv_quant=kv_quant,
+        skv_quant=skv_quant, batch=b, has_block=has_block,
+        w8a8=quant and _w8a8(), blkdiag=_blkdiag())
     sp_rows = sp.shape[1]
 
     y, y2, sk_new, sv_new, ss_new = pl.pallas_call(
@@ -932,20 +1195,26 @@ def fused_decoder_layers(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((t16, 128), lambda l, p: (0, 0)),
             # sp is read in EVERY phase — its block index must stay on layer l
-            # for the whole layer (an at_p0-style prefetch advance would hand
-            # phases p>=1 the next layer's layernorms/biases/scales; the 14 KB
-            # fetch at the p0 boundary costs nothing).
+            # for the whole layer (a self_l-style prefetch advance would hand
+            # later phases the next layer's layernorms/biases/scales; the
+            # 14 KB fetch at the p0 boundary costs nothing).
             pl.BlockSpec((1, sp_rows, d), lambda l, p: (l, 0, 0)),
-            pl.BlockSpec((1, d, d), lambda l, p: (at_p0(l, p), 0, 0)),  # q
-            pl.BlockSpec((1, d, d), lambda l, p: (at_p0(l, p), 0, 0)),  # k
-            pl.BlockSpec((1, d, d), lambda l, p: (at_p0(l, p), 0, 0)),  # v
-            pl.BlockSpec((1, d, d), lambda l, p: (at_p0(l, p), 0, 0)),  # o
+            pl.BlockSpec((1, d, sgd),                                   # q
+                         lambda l, p: (self_l(l, p), 0, self_g(l, p))),
+            pl.BlockSpec((1, d, sgd),                                   # k
+                         lambda l, p: (self_l(l, p), 0, self_g(l, p))),
+            pl.BlockSpec((1, d, sgd),                                   # v
+                         lambda l, p: (self_l(l, p), 0, self_g(l, p))),
+            pl.BlockSpec((1, sgd, d),                                   # o
+                         lambda l, p: (self_l(l, p), self_g(l, p), 0)),
             pl.BlockSpec((1, d, gd),                                    # cq
                          lambda l, p: (cross_l(l, p), 0, cross_g(l, p))),
             pl.BlockSpec((1, gd, d),                                    # co
                          lambda l, p: (cross_l(l, p), cross_g(l, p), 0)),
-            pl.BlockSpec((1, b, s_len, d), lambda l, p: (at_p0(l, p), 0, 0, 0)),
-            pl.BlockSpec((1, b, s_len, d), lambda l, p: (at_p0(l, p), 0, 0, 0)),
+            pl.BlockSpec((1, b, s_len, sgd),
+                         lambda l, p: (self_l(l, p), 0, 0, self_g(l, p))),
+            pl.BlockSpec((1, b, s_len, sgd),
+                         lambda l, p: (self_l(l, p), 0, 0, self_g(l, p))),
             ss_spec,
             se_spec,
             pl.BlockSpec((1, b, hg, dh, sp_len),
@@ -955,9 +1224,11 @@ def fused_decoder_layers(
             s_spec,
             s_spec,
             pl.BlockSpec((1, d, f2),
-                         lambda l, p: (l, 0, jnp.clip(p - nc - 1, 0, nch - 1))),
+                         lambda l, p: (l, 0,
+                                       jnp.clip(p - ns - nc, 0, nch - 1))),
             pl.BlockSpec((1, f2, d),
-                         lambda l, p: (l, jnp.clip(p - nc - 1, 0, nch - 1), 0)),
+                         lambda l, p: (l, jnp.clip(p - ns - nc, 0, nch - 1),
+                                       0)),
         ],
         out_specs=[
             pl.BlockSpec((b * t16, d), lambda l, p: (0, 0)),
@@ -980,9 +1251,11 @@ def fused_decoder_layers(
         scratch_shapes=[
             pltpu.VMEM((b * t16, d), x.dtype),
             pltpu.VMEM((b * t16, d), jnp.float32),
-            pltpu.VMEM((b * (t16 + 8), d), self_k.dtype),
-            pltpu.VMEM((b * (t16 + 8), d), self_v.dtype),
+            pltpu.VMEM((b * t16, d), x.dtype),
+            pltpu.VMEM((b * (t16 + 8), sgd), self_k.dtype),
+            pltpu.VMEM((b * (t16 + 8), sgd), self_v.dtype),
             pltpu.VMEM((b * (t16 + 8), shp), jnp.bfloat16),
+            pltpu.VMEM((b * t16, shp), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((3, b)),
         ],
         compiler_params=pltpu.CompilerParams(
