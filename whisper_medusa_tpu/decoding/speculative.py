@@ -348,7 +348,7 @@ def speculative_generate(
     n_score_rows = (num_heads + 1 if draft_params is not None
                     else 1) * n_nodes * b
     use_fused_verify = (
-        greedy and not sample and not use_ts and buffers.is_chain and b <= 8
+        greedy and not sample and buffers.is_chain and b <= 8
         and verify_mod.available(
             n_score_rows, dims.vocab_size, dims.d_model))
     sup_masks = verify_mod.masks_for(pcfg) if use_fused_verify else None
@@ -459,44 +459,7 @@ def speculative_generate(
         hidden = out.hidden                                   # (B, N, D)
         am = mx = lse = gth = draft_all = proc = None
         kp1 = num_heads + 1 if draft_params is not None else 1
-        if use_fused_verify:
-            # Row (k, e, n) predicts absolute position cur_len[e] + n + k: the
-            # k=0 verification row for node n, and — because on a chain the
-            # accepted node IS the accept length — head k's draft lands at
-            # new_len + (k-1) = cur_len + n + k when node n is accepted.
-            pos_rows = (s.cur_len[None, :, None] + pos_ids[None, None, :]
-                        + jnp.arange(kp1, dtype=jnp.int32)[:, None, None]
-                        ).reshape(-1)
-            gcol_nodes = jnp.concatenate(
-                [s.chunk[:, 1:], jnp.zeros((b, 1), jnp.int32)], axis=1)
-            gcol_rows = jnp.concatenate(
-                [gcol_nodes.reshape(-1),
-                 jnp.zeros(((kp1 - 1) * b * n_nodes,), jnp.int32)])
-            if fuse_rows:
-                hsrc = out.block_hidden if block is not None else hidden
-                am, mx, lse, gth = verify_mod.verify_hidden(
-                    hidden, hsrc, fv_heads_w, fv_heads_b,
-                    params["decoder"]["embed_tokens"], pos_rows, gcol_rows,
-                    sup_masks, identity0=fv_identity0,
-                    begin_index=pcfg.begin_index, eos_id=pcfg.eos_token_id,
-                    decay=pcfg.exponential_decay_length_penalty)
-            else:
-                stacked = stack_rows(hidden, out.block_hidden)  # (kp1,B,N,D)
-                rows = stacked.reshape(kp1 * b * n_nodes, dims.d_model)
-                am, mx, lse, gth = verify_mod.verify_rows(
-                    rows, params["decoder"]["embed_tokens"], pos_rows,
-                    gcol_rows, sup_masks, begin_index=pcfg.begin_index,
-                    eos_id=pcfg.eos_token_id,
-                    decay=pcfg.exponential_decay_length_penalty)
-            am = am.reshape(kp1, b, n_nodes)
-            mx = mx.reshape(kp1, b, n_nodes)
-            lse = lse.reshape(kp1, b, n_nodes)
-            gth = gth.reshape(kp1, b, n_nodes)
-        else:
-            base, draft_all = fused_verify_and_draft_logits(
-                hidden, out.block_hidden)
-            pred_pos = s.cur_len[:, None] + pos_ids[None, :]
-            proc = apply_processors(base, pred_pos, pcfg)
+        penult_nodes = node_max_ts = None
         if use_ts:
             if buffers.is_chain:
                 # Chain-node history: node l's last token is chunk[l], its
@@ -516,8 +479,59 @@ def speculative_generate(
                 path_max = jnp.max(
                     jnp.where(ts_anc[None], ts_chunk[:, None, :], 0), axis=2)
                 node_max_ts = jnp.maximum(s.max_ts[:, None], path_max)
-            proc = apply_timestamp_rules(
-                proc, pred_pos, s.chunk, penult_nodes, node_max_ts, pcfg)
+        if use_fused_verify:
+            # Row (k, e, n) predicts absolute position cur_len[e] + n + k: the
+            # k=0 verification row for node n, and — because on a chain the
+            # accepted node IS the accept length — head k's draft lands at
+            # new_len + (k-1) = cur_len + n + k when node n is accepted.
+            pos_rows = (s.cur_len[None, :, None] + pos_ids[None, None, :]
+                        + jnp.arange(kp1, dtype=jnp.int32)[:, None, None]
+                        ).reshape(-1)
+            gcol_nodes = jnp.concatenate(
+                [s.chunk[:, 1:], jnp.zeros((b, 1), jnp.int32)], axis=1)
+            zero_tail = jnp.zeros(((kp1 - 1) * b * n_nodes,), jnp.int32)
+            gcol_rows = jnp.concatenate([gcol_nodes.reshape(-1), zero_tail])
+            ts_kw = {}
+            if use_ts:
+                # Per-row history for the fused timestamp rules — only the
+                # k=0 verification rows read it (n_verif); draft rows mirror
+                # the unfused path (base processors only).
+                ts_kw = dict(
+                    ts_cfg=verify_mod.ts_cfg_for(pcfg),
+                    n_verif=b * n_nodes,
+                    last=jnp.concatenate([s.chunk.reshape(-1), zero_tail]),
+                    penult=jnp.concatenate(
+                        [penult_nodes.reshape(-1), zero_tail]),
+                    maxts=jnp.concatenate(
+                        [node_max_ts.reshape(-1), zero_tail]))
+            if fuse_rows:
+                hsrc = out.block_hidden if block is not None else hidden
+                am, mx, lse, gth = verify_mod.verify_hidden(
+                    hidden, hsrc, fv_heads_w, fv_heads_b,
+                    params["decoder"]["embed_tokens"], pos_rows, gcol_rows,
+                    sup_masks, identity0=fv_identity0,
+                    begin_index=pcfg.begin_index, eos_id=pcfg.eos_token_id,
+                    decay=pcfg.exponential_decay_length_penalty, **ts_kw)
+            else:
+                stacked = stack_rows(hidden, out.block_hidden)  # (kp1,B,N,D)
+                rows = stacked.reshape(kp1 * b * n_nodes, dims.d_model)
+                am, mx, lse, gth = verify_mod.verify_rows(
+                    rows, params["decoder"]["embed_tokens"], pos_rows,
+                    gcol_rows, sup_masks, begin_index=pcfg.begin_index,
+                    eos_id=pcfg.eos_token_id,
+                    decay=pcfg.exponential_decay_length_penalty, **ts_kw)
+            am = am.reshape(kp1, b, n_nodes)
+            mx = mx.reshape(kp1, b, n_nodes)
+            lse = lse.reshape(kp1, b, n_nodes)
+            gth = gth.reshape(kp1, b, n_nodes)
+        else:
+            base, draft_all = fused_verify_and_draft_logits(
+                hidden, out.block_hidden)
+            pred_pos = s.cur_len[:, None] + pos_ids[None, :]
+            proc = apply_processors(base, pred_pos, pcfg)
+            if use_ts:
+                proc = apply_timestamp_rules(
+                    proc, pred_pos, s.chunk, penult_nodes, node_max_ts, pcfg)
 
         if use_fused_verify:
             nxt = am[0].astype(jnp.int32)                     # (B, N)
