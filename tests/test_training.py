@@ -220,3 +220,69 @@ def test_shift_tokens_right():
     out = train_mod.shift_tokens_right(labels, pad_token_id=0,
                                        decoder_start_token_id=9)
     np.testing.assert_array_equal(np.asarray(out), [[9, 5, 6, 7]])
+
+
+@pytest.mark.parametrize("variant,kl", [
+    ("base_head", False), ("medusa_block", True)])
+@pytest.mark.parametrize("policy", ["whisper", "all_but_last"])
+def test_structural_freeze_grads_match_masked_full_backward(variant, kl, policy):
+    """freeze_policy prunes the backward structurally (stop_gradient at the
+    backbone boundary / grad_last_only decoder split) — the masked gradients
+    must be bit-identical to the full-backward-then-mask formulation."""
+    import dataclasses as _dc
+    base = tiny_test_config(medusa_num_heads=2, medusa_heads_type=variant)
+    cfg = base
+    if kl:
+        cfg = base.replace(medusa=_dc.replace(
+            base.medusa, medusa_kl_loss=True, medusa_kl_weight=0.5,
+            output_whisper_original=True))
+    r1, r2 = jax.random.split(jax.random.PRNGKey(0))
+    wp = whisper.init_whisper_params(r1, cfg.dims)
+    mp = medusa_mod.init_medusa_params(r2, cfg.dims, cfg.medusa, wp)
+    # Nudge heads off identity-init so head grads are non-trivial.
+    mp = jax.tree.map(lambda a: a + 0.01, mp)
+    params = {"whisper": wp, "medusa": mp}
+    feats, labels = _tiny_batch(cfg)
+
+    def loss_full(p):
+        return train_mod.medusa_train_forward(p, cfg, feats, labels).loss
+
+    def loss_pruned(p):
+        return train_mod.medusa_train_forward(
+            p, cfg, feats, labels, freeze_policy=policy).loss
+
+    l0, g0 = jax.jit(jax.value_and_grad(loss_full))(params)
+    l1, g1 = jax.jit(jax.value_and_grad(loss_pruned))(params)
+    assert float(l0) == pytest.approx(float(l1), abs=1e-6)
+    mask = train_mod.trainable_mask(params, policy)
+    g0m = jax.tree.leaves(train_mod.apply_mask(g0, mask))
+    g1m = jax.tree.leaves(train_mod.apply_mask(g1, mask))
+    for a, b in zip(g0m, g1m):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    # The pruned backward must also produce exact zeros for frozen leaves
+    # (not just masked-to-zero): whisper grads are structurally absent.
+    if policy == "whisper":
+        assert all(float(jnp.max(jnp.abs(g))) == 0.0
+                   for g in jax.tree.leaves(g1["whisper"]))
+
+
+def test_dots_remat_policy_grad_parity():
+    """remat='dots' (selective checkpoint) must not change gradients."""
+    cfg = tiny_test_config(medusa_num_heads=2)
+    r1, r2 = jax.random.split(jax.random.PRNGKey(0))
+    wp = whisper.init_whisper_params(r1, cfg.dims)
+    mp = medusa_mod.init_medusa_params(r2, cfg.dims, cfg.medusa, wp)
+    mp = jax.tree.map(lambda a: a + 0.01, mp)
+    params = {"whisper": wp, "medusa": mp}
+    feats, labels = _tiny_batch(cfg)
+
+    def loss(p, remat):
+        return train_mod.medusa_train_forward(p, cfg, feats, labels,
+                                              remat=remat).loss
+
+    g_full = jax.jit(jax.grad(lambda p: loss(p, True)))(params)
+    g_dots = jax.jit(jax.grad(lambda p: loss(p, "dots")))(params)
+    for a, b in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_dots)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

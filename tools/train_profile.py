@@ -15,7 +15,8 @@ regressions can be attributed to a specific stage instead of guessed at:
   python tools/train_profile.py b=2 t=96 remat=0
   python tools/train_profile.py b=8 t=448 which=step trace=/tmp/tr
 
-Knobs: remat=0|1 (default 1, as the trainer uses), kl=0|1 (medusa_kl_loss),
+Knobs: remat=0|1|dots (default 1=full, as the trainer uses), freeze=whisper|
+all_but_last (structural freeze-policy pruning), kl=0|1 (medusa_kl_loss),
 heads=N, steps=N (timing loop length, default 10).
 """
 
@@ -64,7 +65,8 @@ def main():
     t = int(kw.get("t", 96))
     n_heads = int(kw.get("heads", 10))
     steps = int(kw.get("steps", 10))
-    remat = kw.get("remat", "1") == "1"
+    remat = {"1": True, "0": False, "full": True, "dots": "dots"}[kw.get("remat", "1")]
+    freeze = kw.get("freeze") or None
     use_kl = kw.get("kl", "0") == "1"
     which = kw.get("which", "step,grad,fwd,enc,dec,heads").split(",")
 
@@ -74,7 +76,7 @@ def main():
                             medusa_kl_loss=use_kl,
                             medusa_choices=(1,) * (n_heads + 1)))
     dims = config.dims
-    print(f"CONFIG b={b} t={t} heads={n_heads} remat={remat} kl={use_kl} "
+    print(f"CONFIG b={b} t={t} heads={n_heads} remat={remat} freeze={freeze} kl={use_kl} "
           f"dims=large-v2 device={jax.devices()[0].platform}", flush=True)
     rng = np.random.default_rng(0)
     wp = whisper.init_whisper_params(jax.random.PRNGKey(0), dims, jnp.bfloat16)
@@ -90,19 +92,23 @@ def main():
         opt = train_mod.make_optimizer("adafactor", lr=1e-4)
         state = train_mod.init_train_state(params, opt)
     if "step" in which:
-        step_fn = jax.jit(train_mod.make_train_step(config, opt, None))
+        step_fn = jax.jit(train_mod.make_train_step(config, opt, freeze,
+                                                    remat=remat))
         state2, m = step_fn(state, feats, labels)
         if kw.get("trace"):
             with jax.profiler.trace(kw["trace"]):
                 state2, m = step_fn(state, feats, labels)
                 jax.block_until_ready(m["loss"])
             print(f"trace written to {kw['trace']}", flush=True)
+        # Block on the full (state, metrics) tuple: blocking only on the loss
+        # returns before the optimizer update finishes (it's computed early).
         res["step"] = timeit(
-            "step", lambda s: step_fn(s, feats, labels)[1]["loss"], state,
-            steps=steps)
+            "step", lambda s: step_fn(s, feats, labels), state, steps=steps)
 
     def fwd_loss(p):
-        out = train_mod.medusa_train_forward(p, config, feats, labels)
+        out = train_mod.medusa_train_forward(p, config, feats, labels,
+                                             freeze_policy=freeze,
+                                             remat=remat)
         return out.loss
 
     if "grad" in which:

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from whisper_medusa_tpu.config import WhisperDims
+from whisper_medusa_tpu.ops import gelu as gelu_mod
 
 Params = Dict[str, Any]
 
@@ -267,9 +268,32 @@ def cross_attn_full(lp: Params, x: jnp.ndarray, enc: jnp.ndarray,
     return _out_proj_bhsd(out, lp["o_w"], lp["o_b"], num_heads)
 
 
+def cross_attn_probs(lp: Params, x: jnp.ndarray, enc: jnp.ndarray,
+                     num_heads: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Cross-attention that also returns the softmax probabilities.
+
+    Returns (out (B, T, D), probs (B, H, T, S) float32).  The probs equal the
+    scaled-QK softmax the decode path applies internally — captured for DTW
+    word-level alignment (openai-whisper ``find_alignment`` consumes exactly
+    these maps; the reference's attention-output plumbing is
+    model.py:317-377 ``_update_medusa_outputs``).  Generic dense path so int8
+    (dict) weights work too.
+    """
+    head_dim = x.shape[-1] // num_heads
+    q = _split_heads(dense(x, lp["q_w"], lp["q_b"]), num_heads) * (head_dim ** -0.5)
+    k = _split_heads(dense(enc, lp["k_w"]), num_heads)
+    v = _split_heads(dense(enc, lp["v_w"], lp["v_b"]), num_heads)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    return dense(_merge_heads(out), lp["o_w"], lp["o_b"]), probs
+
+
 def ffn(lp_prefix: Params, x: jnp.ndarray) -> jnp.ndarray:
     h = dense(x, lp_prefix["fc1_w"], lp_prefix["fc1_b"])
-    h = jax.nn.gelu(h, approximate=False)
+    h = gelu_mod.gelu(h)   # exact erf GELU via cheap polynomial (ops/gelu.py)
     return dense(h, lp_prefix["fc2_w"], lp_prefix["fc2_b"])
 
 
@@ -293,6 +317,26 @@ def decoder_layer_full(lp: Params, x: jnp.ndarray, enc_out: jnp.ndarray,
     return h
 
 
+def _remat_wrap(layer_fn, remat):
+    """Apply a rematerialization policy to a scanned layer body.
+
+    ``remat``: False/None — save everything; True/"full" — recompute the whole
+    layer in the backward (min memory, +~1 forward of FLOPs); "dots" — save
+    matmul outputs, recompute only the cheap elementwise chain
+    (jax.checkpoint_policies.dots_with_no_batch_dims_saveable: the standard
+    selective policy — attention score/PV matmuls carry batch dims so they
+    recompute, weight projections don't so they're saved)."""
+    if remat in (False, None):
+        return layer_fn
+    if remat in (True, "full"):
+        return jax.checkpoint(layer_fn)
+    if remat == "dots":
+        return jax.checkpoint(
+            layer_fn,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    raise ValueError(f"remat={remat!r}: expected bool, 'full' or 'dots'")
+
+
 def encode(params: Params, dims: WhisperDims, mel: jnp.ndarray,
            remat: bool = False) -> jnp.ndarray:
     """Whisper encoder: conv stem + transformer stack.
@@ -300,7 +344,8 @@ def encode(params: Params, dims: WhisperDims, mel: jnp.ndarray,
     mel: (B, num_mel_bins, num_frames)  [HF layout]  ->  (B, max_source_positions, D)
 
     ``remat=True`` rematerializes each layer in the backward pass (training-time
-    memory/FLOPs trade; whisper-large activations otherwise exceed a single chip).
+    memory/FLOPs trade; whisper-large activations otherwise exceed a single chip);
+    ``remat="dots"`` saves matmul outputs and recomputes only elementwise ops.
 
     Replaces the reference's HF ``WhisperEncoder`` call
     (reference: whisper_medusa/models/model.py:113-129 -> HF modeling_whisper).
@@ -310,9 +355,9 @@ def encode(params: Params, dims: WhisperDims, mel: jnp.ndarray,
     # Conv stem: k=3 pad=1 stride=1, then k=3 pad=1 stride=2, GELU after each.
     dn = ("NWC", "WIO", "NWC")
     x = lax.conv_general_dilated(x, enc["conv1_w"], (1,), [(1, 1)], dimension_numbers=dn)
-    x = jax.nn.gelu(x + enc["conv1_b"], approximate=False)
+    x = gelu_mod.gelu(x + enc["conv1_b"])
     x = lax.conv_general_dilated(x, enc["conv2_w"], (2,), [(1, 1)], dimension_numbers=dn)
-    x = jax.nn.gelu(x + enc["conv2_b"], approximate=False)
+    x = gelu_mod.gelu(x + enc["conv2_b"])
     x = x + enc["pos_embed"][None, : x.shape[1]]
 
     nh = dims.encoder_attention_heads
@@ -335,8 +380,7 @@ def encode(params: Params, dims: WhisperDims, mel: jnp.ndarray,
         h = h + ffn(lp, layer_norm(h, lp["ffn_ln"]["scale"], lp["ffn_ln"]["bias"]))
         return h, None
 
-    if remat:
-        layer_fn = jax.checkpoint(layer_fn)
+    layer_fn = _remat_wrap(layer_fn, remat)
     x, _ = lax.scan(layer_fn, x, enc["layers"])
     if kv_len is not None:
         x = x[:, :s_real]
@@ -362,27 +406,52 @@ def decode_train(
     enc_out: jnp.ndarray,           # (B, S, D)
     collect_penultimate: bool = False,
     remat: bool = False,
+    grad_last_only: bool = False,
 ) -> DecoderOutput:
     """Teacher-forced decoder pass over a full token sequence.
 
     ``collect_penultimate`` exposes the hidden state entering the last decoder layer,
     needed by the frozen-teacher KL path (reference: model.py:2031-2076 reruns a frozen
     copy of the last decoder layer on ``decoder_hidden_states[-2]``).
+
+    ``grad_last_only`` structurally restricts the backward pass to the LAST
+    decoder layer (the reference's ``all_but_last`` freeze policy,
+    model.py:148-160): layers 0..L-2 run inside the scan with their output
+    stop-gradiented, the last layer runs unscanned on the live slice of the
+    stacked params — XLA then never materializes or differentiates the frozen
+    prefix.  Emitted gradients are bit-identical to running the full backward
+    and masking (frozen-layer grads are exactly zero either way).
     """
     dec = params["decoder"]
     nh = dims.decoder_attention_heads
     t = tokens.shape[1]
     x = embed_lookup(dec["embed_tokens"], tokens) + dec["pos_embed"][None, :t]
 
-    def layer_fn(h, lp):
-        h_in = h
+    def layer_body(h, lp):
         h = h + self_attn_full(lp["self"], layer_norm(h, lp["self_ln"]["scale"], lp["self_ln"]["bias"]), nh, causal=True)
         h = h + cross_attn_full(lp["cross"], layer_norm(h, lp["cross_ln"]["scale"], lp["cross_ln"]["bias"]), enc_out, nh)
         h = h + ffn(lp, layer_norm(h, lp["ffn_ln"]["scale"], lp["ffn_ln"]["bias"]))
+        return h
+
+    if grad_last_only:
+        prefix = jax.tree.map(lambda a: a[:-1], dec["layers"])
+        last = jax.tree.map(lambda a: a[-1], dec["layers"])
+        x, _ = lax.scan(lambda h, lp: (layer_body(h, lp), None), x, prefix)
+        penult_h = jax.lax.stop_gradient(x)
+        x = layer_body(penult_h, last)
+        pre_norm = x
+        hidden = layer_norm(x, dec["ln_post"]["scale"], dec["ln_post"]["bias"])
+        return DecoderOutput(
+            hidden=hidden,
+            penultimate=penult_h if collect_penultimate else None,
+            pre_norm=pre_norm)
+
+    def layer_fn(h, lp):
+        h_in = h
+        h = layer_body(h, lp)
         return h, h_in if collect_penultimate else None
 
-    if remat:
-        layer_fn = jax.checkpoint(layer_fn)
+    layer_fn = _remat_wrap(layer_fn, remat)
     x, layer_inputs = lax.scan(layer_fn, x, dec["layers"])
     pre_norm = x
     hidden = layer_norm(x, dec["ln_post"]["scale"], dec["ln_post"]["bias"])
@@ -390,6 +459,65 @@ def decode_train(
     if collect_penultimate:
         penultimate = layer_inputs[-1]  # input to last layer == output of layer L-1
     return DecoderOutput(hidden=hidden, penultimate=penultimate, pre_norm=pre_norm)
+
+
+def decode_train_cross_attn(
+    params: Params,
+    dims: WhisperDims,
+    tokens: jnp.ndarray,            # (B, T) int32
+    enc_out: jnp.ndarray,           # (B, S, D)
+    select: Optional[Tuple[Tuple[int, int], ...]] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Teacher-forced decoder pass that also captures cross-attention maps.
+
+    ``select``: static tuple of (layer, head) alignment-head pairs — only
+    those maps are kept, returned as (N_sel, B, T, S) float32 in the given
+    order.  ``None`` keeps every head: (L, B, H, T, S) — debug/tiny-model use
+    only at large dims.
+
+    One post-hoc teacher-forced pass over the final sequence reproduces
+    exactly the attention the serving loop computed (same weights, same
+    inputs), so capture never taxes the decode hot path — the TPU-first
+    alternative to the reference hauling per-step attention tuples out of
+    generate (model.py:317-377 ``_update_medusa_outputs``).  The layer loop is
+    unrolled (no scan): unselected maps die at their layer, selected ones are
+    plain Python list entries.  DTW word timestamps consume these
+    (decoding/word_timestamps.py).
+
+    Returns (hidden (B, T, D) after ln_post, maps).
+    """
+    dec = params["decoder"]
+    nh = dims.decoder_attention_heads
+    t = tokens.shape[1]
+    x = embed_lookup(dec["embed_tokens"], tokens) + dec["pos_embed"][None, :t]
+
+    want: Dict[int, list] = {}
+    if select is not None:
+        for i, (l, h) in enumerate(select):
+            want.setdefault(int(l), []).append((i, int(h)))
+    sel_maps: list = [None] * (0 if select is None else len(select))
+    all_maps: list = []
+
+    for l in range(dims.decoder_layers):
+        lp = jax.tree.map(lambda a, _l=l: a[_l], dec["layers"])
+        h = x + self_attn_full(
+            lp["self"], layer_norm(x, lp["self_ln"]["scale"],
+                                   lp["self_ln"]["bias"]), nh, causal=True)
+        c_out, probs = cross_attn_probs(
+            lp["cross"], layer_norm(h, lp["cross_ln"]["scale"],
+                                    lp["cross_ln"]["bias"]), enc_out, nh)
+        h = h + c_out
+        x = h + ffn(lp, layer_norm(h, lp["ffn_ln"]["scale"],
+                                   lp["ffn_ln"]["bias"]))
+        if select is None:
+            all_maps.append(probs)
+        else:
+            for i, hd in want.get(l, []):
+                sel_maps[i] = probs[:, hd]
+
+    hidden = layer_norm(x, dec["ln_post"]["scale"], dec["ln_post"]["bias"])
+    maps = jnp.stack(all_maps) if select is None else jnp.stack(sel_maps)
+    return hidden, maps
 
 
 def project_logits(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:

@@ -46,8 +46,28 @@ def medusa_train_forward(
     input_features: jnp.ndarray,  # (B, n_mels, frames)
     labels: jnp.ndarray,          # (B, T) with -100 padding
     decoder_input_ids: Optional[jnp.ndarray] = None,
+    freeze_policy: Optional[str] = None,
+    remat: Any = True,
 ) -> TrainForwardOut:
     """Full teacher-forced forward with per-head losses.
+
+    ``freeze_policy`` structurally prunes the backward pass to the trainable
+    set (grads are bit-identical to full-backward-then-mask, which
+    make_train_step still applies as a belt-and-braces):
+
+      * ``"whisper"`` (the CLI default, reference model.py:163-166) — the
+        whole backbone is frozen, so the decoder/encoder outputs are
+        stop-gradiented and remat is skipped entirely: the step's backward is
+        just the head matmuls + streamed loss.
+      * ``"all_but_last"`` — encoder stop-gradiented; the decoder backward
+        covers only the last layer (decode_train(grad_last_only=True)).
+      * ``None`` — full fine-tune; ``remat`` selects the checkpoint policy
+        for the backbone stacks (True/"full" or "dots", see
+        whisper.py::_remat_wrap).
+
+    Either way the tied-embedding projection weight is stop-gradiented when
+    the lm head is frozen (reference _freeze_lm_head, model.py:152-154): the
+    (V, D) weight-gradient matmul costs as much as the projection itself.
 
     Mirrors reference ``WhisperMedusaModel.forward`` with labels
     (model.py:1223-1347): per-head shifted CE over base+head logits, optional
@@ -66,11 +86,34 @@ def medusa_train_forward(
         decoder_input_ids = shift_tokens_right(
             labels, pad_token_id=50257, decoder_start_token_id=50258)
 
-    enc_out = whisper.encode(wp, dims, input_features, remat=True)
+    if freeze_policy is not None and freeze_policy not in FREEZE_POLICIES:
+        raise ValueError(
+            f"parts_to_freeze {freeze_policy!r} is not supported, select from "
+            f"{list(FREEZE_POLICIES)}")
+    frozen_bb = freeze_policy is not None
+    enc_out = whisper.encode(wp, dims, input_features,
+                             remat=False if frozen_bb else remat)
+    if frozen_bb:
+        enc_out = jax.lax.stop_gradient(enc_out)
     need_teacher = med.output_whisper_original
-    dec = whisper.decode_train(wp, dims, decoder_input_ids, enc_out,
-                               collect_penultimate=need_teacher, remat=True)
+    if freeze_policy == "whisper":
+        dec = whisper.decode_train(wp, dims, decoder_input_ids, enc_out,
+                                   collect_penultimate=need_teacher,
+                                   remat=False)
+        dec = jax.tree.map(jax.lax.stop_gradient, dec)
+    elif freeze_policy == "all_but_last":
+        dec = whisper.decode_train(wp, dims, decoder_input_ids, enc_out,
+                                   collect_penultimate=need_teacher,
+                                   remat=False, grad_last_only=True)
+    else:
+        dec = whisper.decode_train(wp, dims, decoder_input_ids, enc_out,
+                                   collect_penultimate=need_teacher,
+                                   remat=remat)
     nh = dims.decoder_attention_heads
+    # Frozen lm head: the projection reads the weights but never needs their
+    # gradient (the mask would zero it; structurally skipping it removes a
+    # full (V, D) weight-grad matmul per streamed chunk).
+    wp_proj = jax.lax.stop_gradient(wp) if frozen_bb else wp
 
     # Per-head hidden rows (H+1, B, T, D) — base row 0, then draft heads.
     if med.medusa_heads_type == "base_head":
@@ -99,7 +142,7 @@ def medusa_train_forward(
         teacher_hidden = jax.lax.stop_gradient(teacher_hidden)
 
     per_head_ce, valid, per_head_kl = losses_mod.medusa_losses_streaming(
-        lambda h: whisper.project_logits(wp, h),
+        lambda h: whisper.project_logits(wp_proj, h),
         ce_rows, labels, med.medusa_loss_on_original,
         teacher_hidden=teacher_hidden, kl_lamda=med.medusa_kl_weight)
 
@@ -205,15 +248,19 @@ class TrainState(NamedTuple):
 
 
 def make_train_step(config: ModelConfig, optimizer: optax.GradientTransformation,
-                    freeze_policy: Optional[str]):
+                    freeze_policy: Optional[str], remat: Any = True):
     """Build the jittable train step.  The gradient mask is computed once from the
-    param structure and closed over (static)."""
+    param structure and closed over (static).  ``freeze_policy`` both masks the
+    gradients AND structurally prunes the backward (see medusa_train_forward);
+    ``remat`` picks the backbone checkpoint policy for full fine-tunes."""
 
     def train_step(state: TrainState, input_features, labels):
         mask = trainable_mask(state.params, freeze_policy)
 
         def loss_fn(p):
-            out = medusa_train_forward(p, config, input_features, labels)
+            out = medusa_train_forward(p, config, input_features, labels,
+                                       freeze_policy=freeze_policy,
+                                       remat=remat)
             return out.loss, out
 
         (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
