@@ -61,7 +61,9 @@ def cross_attention_decode(
 
 def ffn_decode(x: jnp.ndarray, w1, b1, w2, b2) -> jnp.ndarray:
     """fc1 -> exact GELU -> fc2 for decode chunks.  x: (B, T, D)."""
+    from whisper_medusa_tpu.ops import gelu as gelu_mod
+
     h = jnp.dot(x, w1, preferred_element_type=jnp.float32)
-    h = jax.nn.gelu(h + b1.astype(jnp.float32), approximate=False)
+    h = gelu_mod.gelu(h + b1.astype(jnp.float32))
     y = jnp.dot(h.astype(x.dtype), w2, preferred_element_type=jnp.float32)
     return (y + b2.astype(jnp.float32)).astype(x.dtype)
