@@ -1,0 +1,251 @@
+"""Full score stacks, cross-attention capture, and DTW word timestamps.
+
+Pins the opt-in post-hoc output surfaces (decoding/scores.py,
+decoding/word_timestamps.py) against the in-loop captures and against
+synthetic alignments with known answers.  Reference parity target:
+``_update_medusa_outputs`` (reference: whisper_medusa/models/model.py:317-377)
+reassembles scores/attentions from the loop; here one teacher-forced replay
+reproduces them exactly (processors are pure functions of position + history).
+"""
+
+import numpy as np
+import pytest
+
+from whisper_medusa_tpu.config import tiny_test_config
+from whisper_medusa_tpu.decoding import word_timestamps as wt
+from whisper_medusa_tpu.models.api import WhisperMedusaModel
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = tiny_test_config(vocab_size=51865, medusa_num_heads=3)
+    return WhisperMedusaModel.from_random(cfg, seed=0)
+
+
+def _feats(cfg, b=2, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.normal(
+        size=(b, cfg.dims.num_mel_bins, cfg.dims.num_frames)).astype(np.float32)
+
+
+# ---------------------------------------------------------------- full scores
+
+def _check_scores_match_inloop(out, prompt_len, max_length, vocab):
+    b = out.sequences.shape[0]
+    assert out.scores.shape == (b, max_length - prompt_len, vocab)
+    for i in range(b):
+        li = int(out.lengths[i])
+        for p in range(prompt_len, li):
+            row = out.scores[i, p - prompt_len]
+            # Rows are log-probs over the processed distribution.
+            lse = np.log(np.sum(np.exp(row[np.isfinite(row)])))
+            assert abs(lse) < 1e-3
+            tok = int(out.sequences[i, p])
+            assert row[tok] == pytest.approx(
+                float(out.token_logprobs[i, p]), abs=2e-2)
+        # Rows past the committed length are zeroed.
+        if li - prompt_len < out.scores.shape[1]:
+            assert np.all(out.scores[i, li - prompt_len:] == 0.0)
+
+
+def test_full_scores_match_inloop_capture(tiny_model):
+    f = _feats(tiny_model.config)
+    out = tiny_model.generate(f, language="en", max_length=20,
+                              return_scores="full")
+    _check_scores_match_inloop(out, 4, 20, 51865)
+
+
+def test_full_scores_with_timestamp_rules(tiny_model):
+    f = _feats(tiny_model.config, seed=7)
+    out = tiny_model.generate(f, language="en", max_length=24,
+                              return_timestamps=True, return_scores="full")
+    # prompt is [sot, lang, task] when timestamps are on
+    _check_scores_match_inloop(out, 3, 24, 51865)
+
+
+def test_full_scores_off_by_default(tiny_model):
+    out = tiny_model.generate(_feats(tiny_model.config), language="en",
+                              max_length=12)
+    assert out.scores is None and out.cross_attentions is None
+    assert out.words is None
+
+
+def test_return_scores_validation(tiny_model):
+    with pytest.raises(ValueError, match="return_scores"):
+        tiny_model.generate(_feats(tiny_model.config), language="en",
+                            max_length=8, return_scores="all")
+
+
+# ------------------------------------------------------- cross-attention maps
+
+def test_cross_attentions_full_and_selected(tiny_model):
+    cfg = tiny_model.config
+    f = _feats(cfg)
+    out = tiny_model.generate(f, language="en", max_length=16,
+                              return_cross_attentions=True)
+    L, H = cfg.dims.decoder_layers, cfg.dims.decoder_attention_heads
+    S = cfg.dims.max_source_positions
+    assert out.cross_attentions.shape == (L, 2, H, 16, S)
+    # Rows are softmax distributions over the audio frames.
+    sums = out.cross_attentions.sum(-1)
+    assert np.allclose(sums, 1.0, atol=1e-3)
+
+    sel = ((0, 1), (1, 0))
+    out_sel = tiny_model.generate(f, language="en", max_length=16,
+                                  return_cross_attentions=sel)
+    assert out_sel.cross_attentions.shape == (2, 2, 16, S)
+    for k, (l, h) in enumerate(sel):
+        np.testing.assert_allclose(out_sel.cross_attentions[k],
+                                   out.cross_attentions[l][:, h],
+                                   rtol=0, atol=1e-5)
+
+
+# ------------------------------------------------------------------- DTW core
+
+def test_dtw_diagonal():
+    n = 6
+    cost = np.ones((n, n)) - np.eye(n)
+    ti, si = wt.dtw_path(cost)
+    np.testing.assert_array_equal(ti, np.arange(n))
+    np.testing.assert_array_equal(si, np.arange(n))
+
+
+def test_dtw_monotonic_and_complete():
+    rng = np.random.default_rng(0)
+    cost = rng.random((5, 12))
+    ti, si = wt.dtw_path(cost)
+    assert ti[0] == 0 and si[0] == 0
+    assert ti[-1] == 4 and si[-1] == 11
+    assert np.all(np.diff(ti) >= 0) and np.all(np.diff(si) >= 0)
+    assert np.all((np.diff(ti) + np.diff(si)) >= 1)
+
+
+def test_dtw_block_alignment():
+    # Token i strongly attends to frame block [4i, 4i+4) -> each token's span
+    # starts at its block.
+    t, frames = 4, 16
+    att = np.full((t, frames), 1.0)
+    for i in range(t):
+        att[i, 4 * i: 4 * i + 4] = 0.0     # low cost on the diagonal blocks
+    ti, si = wt.dtw_path(att)
+    starts = {int(i): int(si[np.argmax(ti == i)]) for i in range(t)}
+    for i in range(t):
+        assert 4 * i <= starts[i] < 4 * i + 4
+
+
+def test_median_filter_known_values():
+    x = np.array([[1.0, 9.0, 1.0, 1.0, 8.0, 1.0, 1.0]])
+    y = wt.median_filter(x, 3)
+    # Reflect padding (OpenAI's choice): the first window is [9, 1, 9].
+    np.testing.assert_allclose(y[0], [9, 1, 1, 1, 1, 1, 1])
+    assert wt.median_filter(x, 1) is x
+
+
+def test_token_times_monotonic_from_synthetic_maps():
+    t, s = 5, 20
+    rng = np.random.default_rng(1)
+    maps = rng.random((2, t, s)) * 0.05
+    for i in range(t):
+        maps[:, i, 4 * i: 4 * i + 4] += 1.0
+    maps /= maps.sum(-1, keepdims=True)
+    starts, ends = wt.token_times(maps, num_frames=s)
+    assert np.all(np.diff(starts) >= 0)
+    assert np.all(ends >= starts)
+    assert ends[-1] == pytest.approx(s * wt.SECONDS_PER_ENC_FRAME)
+
+
+# ------------------------------------------------------------- word splitting
+
+class _StubTokenizer:
+    """decode() renders each id as a space-separated pseudo-word."""
+
+    def decode(self, ids, skip_special_tokens=True, **kw):
+        return "".join(f" t{int(i)}" for i in ids)
+
+
+def test_words_with_times_synthetic():
+    tokens = [11, 12, 13]
+    t, s = 3, 12
+    maps = np.full((1, t, s), 0.01)
+    for i in range(t):
+        maps[:, i, 4 * i: 4 * i + 4] = 1.0
+    words = wt.words_with_times(
+        tokens, maps, _StubTokenizer(), num_frames=s,
+        eos_id=50257, timestamp_begin=50364)
+    assert [w["word"].strip() for w in words] == ["t11", "t12", "t13"]
+    for a, b in zip(words, words[1:]):
+        assert a["end"] <= b["start"] + 1e-9
+    assert words[0]["start"] >= 0.0
+    assert words[-1]["end"] == pytest.approx(s * wt.SECONDS_PER_ENC_FRAME)
+
+
+def test_words_skip_specials_and_offset():
+    # Timestamp + EOS rows are excluded from words but alignment still works.
+    tokens = [50364, 11, 12, 50380, 50257]
+    t, s = 5, 10
+    maps = np.full((1, t, s), 0.01)
+    blocks = [(0, 2), (2, 5), (5, 8), (8, 10), (8, 10)]
+    for i, (a, b) in enumerate(blocks):
+        maps[:, i, a:b] = 1.0
+    words = wt.words_with_times(
+        tokens, maps, _StubTokenizer(), num_frames=s,
+        eos_id=50257, timestamp_begin=50364, time_offset=10.0)
+    assert [w["word"].strip() for w in words] == ["t11", "t12"]
+    assert all(w["start"] >= 10.0 for w in words)
+
+
+def test_split_tokens_on_spaces_real_bpe(tmp_path):
+    # A miniature byte-level BPE (same machinery as the real vocab) round-trips
+    # words through split_tokens_on_spaces.
+    from whisper_medusa_tpu.data.bpe import WhisperBPETokenizer, bytes_to_unicode
+
+    byte_enc = bytes_to_unicode()
+    vocab = {c: i for i, c in enumerate(byte_enc.values())}
+    vocab["<|endoftext|>"] = len(vocab)
+    tok = WhisperBPETokenizer(vocab, [])
+    text = " the quick brown fox, naïve café 日本"
+    ids = tok.encode(text)
+    words, word_tokens = wt.split_tokens_on_spaces(ids, tok)
+    assert "".join(words) == text
+    assert sum(len(g) for g in word_tokens) == len(ids)
+    # Each word starts with a space or is punctuation glued onto its neighbor.
+    rejoined = [w for w in words if w.strip()]
+    assert rejoined[0].strip() == "the"
+    assert any("fox," == w.strip() for w in rejoined)  # comma glued to fox
+
+
+# ------------------------------------------------------------- end-to-end API
+
+def test_word_timestamps_end_to_end(tiny_model):
+    f = _feats(tiny_model.config, seed=9)
+    out = tiny_model.generate(
+        f, language="en", max_length=24, return_timestamps=True,
+        word_timestamps=True, tokenizer=_StubTokenizer())
+    assert out.words is not None and len(out.words) == 2
+    dur = tiny_model.config.dims.max_source_positions * \
+        wt.SECONDS_PER_ENC_FRAME
+    for ws in out.words:
+        for w in ws:
+            assert 0.0 <= w["start"] <= w["end"] <= dur + 1e-6
+        for a, b in zip(ws, ws[1:]):
+            assert a["start"] <= b["start"] + 1e-9
+    # Words attach to segments.
+    if out.segments is not None:
+        for segs in out.segments:
+            for seg in segs:
+                assert "words" in seg
+
+
+def test_word_timestamps_validation(tiny_model):
+    f = _feats(tiny_model.config)
+    with pytest.raises(ValueError, match="return_timestamps"):
+        tiny_model.generate(f, language="en", word_timestamps=True,
+                            tokenizer=_StubTokenizer())
+    with pytest.raises(ValueError, match="tokenizer"):
+        tiny_model.generate(f, language="en", return_timestamps=True,
+                            word_timestamps=True)
+
+
+def test_default_alignment_heads():
+    heads = wt.default_alignment_heads(4, 2)
+    assert heads == ((2, 0), (2, 1), (3, 0), (3, 1))

@@ -256,6 +256,10 @@ class GenerationConfig:
     no_speech_threshold: Optional[float] = None
     return_timestamps: bool = False
     max_initial_timestamp_index: int = 50
+    # (layer, head) pairs of the cross-attention heads that track time —
+    # consumed by word-level timestamp DTW (decoding/word_timestamps.py).
+    # HF checkpoints ship this in generation_config.json as `alignment_heads`.
+    alignment_heads: Optional[Tuple[Tuple[int, int], ...]] = None
 
     def to_dict(self) -> dict:
         return dataclasses.asdict(self)
@@ -268,6 +272,9 @@ class GenerationConfig:
                   "exponential_decay_length_penalty", "temperature_fallback"):
             if d.get(k) is not None:
                 d[k] = tuple(d[k])
+        if d.get("alignment_heads") is not None:
+            d["alignment_heads"] = tuple(
+                tuple(int(x) for x in pair) for pair in d["alignment_heads"])
         return cls(**d)
 
 

@@ -61,6 +61,19 @@ class GenerateOutput:
     # per-example provenance for accepted/token_logprobs (the reference keeps
     # per-segment scores the same way, model.py:1929-1969).
     steps_per_example: Optional[np.ndarray] = None  # (B,)
+    # ``return_scores="full"``: the complete processed score stack —
+    # (B, max_length - prompt_len, V) float32 log-probs, one row per generated
+    # position (the reference's ``output_scores`` surface, model.py:716-758,
+    # rebuilt post-hoc — see decoding/scores.py for why not in-loop).
+    scores: Optional[np.ndarray] = None
+    # ``return_cross_attentions``: captured cross-attention maps —
+    # (L, B, H, T, S) for ``True`` or (N_sel, B, T, S) for an explicit
+    # (layer, head) selection (reference output surface model.py:317-377).
+    cross_attentions: Optional[np.ndarray] = None
+    # ``word_timestamps=True``: per-example [{"word", "start", "end"}] lists
+    # via cross-attention DTW (decoding/word_timestamps.py) — the reference
+    # raises NotImplementedError for all timestamp modes (model.py:1171-1175).
+    words: Optional[List[List[dict]]] = None
 
 
 class WhisperMedusaModel:
@@ -254,6 +267,11 @@ class WhisperMedusaModel:
         time_precision: float = 0.02,
         condition_on_prev_tokens: bool = False,
         seed: int = 0,
+        return_scores: Union[bool, str] = False,
+        return_cross_attentions: Union[bool, Sequence[Tuple[int, int]]] = False,
+        word_timestamps: bool = False,
+        alignment_heads: Optional[Sequence[Tuple[int, int]]] = None,
+        tokenizer=None,
     ) -> GenerateOutput:
         """Transcribe a batch of 30 s mel segments.
 
@@ -265,7 +283,27 @@ class WhisperMedusaModel:
         timestamp rules mid-chain with full history.  Longform (>30 s) inputs run
         through a seek loop (also NotImplementedError in the reference).  Beam
         search still raises like the reference (model.py:1153-1156).
+
+        ``return_scores="full"`` materializes the complete per-position
+        processed score stack (the reference's ``output_scores``,
+        model.py:716-758); ``return_cross_attentions`` captures cross-attention
+        maps (all heads for ``True``, or a (layer, head) selection);
+        ``word_timestamps=True`` adds DTW word-level timestamps (requires
+        ``return_timestamps=True`` and a ``tokenizer``).  All three are served
+        by post-hoc teacher-forced passes — see decoding/scores.py and
+        decoding/word_timestamps.py.
         """
+        if return_scores not in (False, True, "full"):
+            raise ValueError(f"return_scores must be False/True/'full', "
+                             f"got {return_scores!r}")
+        if word_timestamps:
+            if not return_timestamps:
+                raise ValueError("word_timestamps=True requires "
+                                 "return_timestamps=True (words are attached "
+                                 "to segments, like OpenAI Whisper)")
+            if tokenizer is None:
+                raise ValueError("word_timestamps=True requires tokenizer= "
+                                 "(token->word splitting needs the BPE vocab)")
         if num_beams != 1:
             # Beyond the reference (which raises, model.py:1153-1156): vanilla
             # beam search — speculation and beams are not combined.  Length
@@ -283,6 +321,9 @@ class WhisperMedusaModel:
                             ("no_speech_threshold", no_speech_threshold)):
                 if v is not None:
                     unsupported.append(name)
+            if return_scores == "full" or return_cross_attentions or \
+                    word_timestamps:
+                unsupported.append("full scores/attentions/word timestamps")
             if unsupported:
                 raise ValueError(
                     f"num_beams={num_beams} does not support: "
@@ -305,6 +346,15 @@ class WhisperMedusaModel:
         if n_mels != cfg.dims.num_mel_bins:
             raise ValueError(f"expected {cfg.dims.num_mel_bins} mel bins, got {n_mels}")
         if n_frames > cfg.dims.num_frames:
+            if return_scores == "full" or return_cross_attentions:
+                raise ValueError(
+                    "return_scores='full'/return_cross_attentions are "
+                    "shortform-only (per-window stacks of a seek loop have no "
+                    "single well-defined positional layout)")
+            if word_timestamps:
+                raise ValueError(
+                    "word_timestamps on longform input is not supported yet; "
+                    "segment the audio or pass a single 30 s window")
             # Longform: sequential 30 s seek loop with timestamp-based advancement
             # (the reference raises NotImplementedError here, model.py:1214, 1840).
             return self._generate_longform(
@@ -488,6 +538,69 @@ class WhisperMedusaModel:
                                   prompt.shape[1], time_precision, st)
                 for i in range(final_tokens.shape[0])
             ]
+
+        # ---- opt-in post-hoc outputs (decoding/scores.py rationale) ----
+        full_score_stack = None
+        if return_scores == "full":
+            from whisper_medusa_tpu.decoding import scores as scores_mod
+
+            full_score_stack = scores_mod.full_scores(
+                self.params["whisper"], cfg.dims, final_tokens, lengths,
+                enc_out, pcfg, max_length)
+        cross_attns = None
+        words = None
+        if return_cross_attentions or word_timestamps:
+            # ONE teacher-forced capture pass serves both surfaces: full
+            # capture when asked for every head, else the union of the user's
+            # selection and the alignment heads (only those maps leave HBM).
+            select = None
+            if return_cross_attentions and return_cross_attentions is not True:
+                select = tuple((int(l), int(h))
+                               for l, h in return_cross_attentions)
+            align_sel = ()
+            if word_timestamps:
+                from whisper_medusa_tpu.decoding import word_timestamps as wt
+
+                align_sel = tuple(
+                    (int(l), int(h)) for l, h in (
+                        alignment_heads
+                        or self.generation_config.alignment_heads
+                        or wt.default_alignment_heads(
+                            cfg.dims.decoder_layers,
+                            cfg.dims.decoder_attention_heads)))
+            full_capture = return_cross_attentions is True
+            want = (None if full_capture
+                    else tuple(dict.fromkeys((select or ()) + align_sel)))
+            dec_in = jnp.asarray(final_tokens[:, :max_length], jnp.int32)
+            _, maps = jax.jit(
+                lambda p, t, e: whisper.decode_train_cross_attn(
+                    p, cfg.dims, t, e, select=want)
+            )(self.params["whisper"], dec_in, enc_out)
+            maps = np.asarray(maps, np.float32)
+            if full_capture:
+                cross_attns = maps                      # (L, B, H, T, S)
+            elif select is not None:
+                cross_attns = maps[[want.index(p) for p in select]]
+            if word_timestamps:
+                if full_capture:                        # (L, B, H, T, S)
+                    amaps = np.stack([maps[l][:, h] for l, h in align_sel])
+                else:
+                    amaps = maps[[want.index(p) for p in align_sel]]
+                live_frames = min(n_frames, cfg.dims.num_frames) // 2
+                words = []
+                for i in range(final_tokens.shape[0]):
+                    li = int(lengths[i])
+                    # Attention row for a generated token = the query at the
+                    # token's own position (it is input at that position in
+                    # the teacher-forced replay).
+                    rows = np.arange(prompt.shape[1], li)
+                    words.append(wt.words_with_times(
+                        final_tokens[i, prompt.shape[1]:li],
+                        amaps[:, i][:, rows], tokenizer,
+                        live_frames, st.eos, st.timestamp_begin))
+                if segments is not None:
+                    _attach_words_to_segments(segments, words)
+
         return GenerateOutput(
             sequences=final_tokens,
             lengths=lengths,
@@ -500,6 +613,9 @@ class WhisperMedusaModel:
             token_logprobs=merged["logprobs"],
             avg_logprobs=final_avg_lp,
             steps_per_example=merged["steps"],
+            scores=full_score_stack,
+            cross_attentions=cross_attns,
+            words=words,
         )
 
     def _generate_longform(
@@ -982,6 +1098,28 @@ def _extract_segments(tokens: np.ndarray, length: int, prompt_len: int,
             "tokens": text,
         })
     return segments
+
+
+def _attach_words_to_segments(segments: List[List[dict]],
+                              words: List[List[dict]]) -> None:
+    """Attach word dicts to the segment whose [start, end) span contains the
+    word's midpoint (OpenAI groups words into segments the same way)."""
+    for segs, wrds in zip(segments, words):
+        for seg in segs:
+            seg["words"] = []
+        for w in wrds:
+            mid = 0.5 * (w["start"] + w["end"])
+            target = None
+            for seg in segs:
+                end = seg["end"] if seg["end"] is not None else float("inf")
+                if seg["start"] <= mid < end:
+                    target = seg
+                    break
+            if target is None and segs:
+                target = min(
+                    segs, key=lambda s: abs(s["start"] - w["start"]))
+            if target is not None:
+                target["words"].append(w)
 
 
 def _compression_ratio(token_ids: np.ndarray, vocab_size: int) -> float:
