@@ -46,15 +46,25 @@ from whisper_medusa_tpu.models import whisper
 from whisper_medusa_tpu.training import train as train_mod
 
 
+def fetch(out):
+    """Force completion by round-tripping one element to the host —
+    ``block_until_ready`` is a NO-OP through this environment's remote-TPU
+    tunnel (same workaround as bench.py::fetch).  First AND last leaf, in
+    case the runtime completes output buffers out of order."""
+    leaves = jax.tree.leaves(out)
+    np.asarray(leaves[-1].ravel()[0])
+    return np.asarray(leaves[0].ravel()[0])
+
+
 def timeit(name, fn, *args, steps=10):
     out = fn(*args)
-    jax.block_until_ready(out)
+    fetch(out)
     dts = []
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(steps):
             out = fn(*args)
-        jax.block_until_ready(out)
+        fetch(out)
         dts.append((time.perf_counter() - t0) / steps)
     print(f"ABLATION {name}: {min(dts) * 1e3:.1f} ms", flush=True)
     return min(dts)
