@@ -50,6 +50,40 @@ def test_kernel_grad_matches_xla():
                                    atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("kv_len", [1024, 999])
+def test_pallas_backward_multiblock(causal, kv_len):
+    """The purpose-built backward kernel (dK/dV accumulated across q-block
+    grid steps) against the XLA vjp, at a sequence spanning 2 q-blocks."""
+    q, k, v = _qkv((2, 2, 1024, 64), seed=11)
+    g = jnp.asarray(
+        np.random.default_rng(5).normal(size=q.shape), q.dtype)
+    dq, dk, dv = A._attention_bwd_pallas(q, k, v, g, kv_len, causal)
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: A._attention_xla(q_, k_, v_, kv_len, causal),
+        q, k, v)
+    dq_x, dk_x, dv_x = vjp(g)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_x),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_x),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_x),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_backward_dispatch_prefers_pallas(monkeypatch):
+    """_attention_bwd routes to the purpose-built kernel by default and to
+    XLA when WM_ATTENTION_BWD=xla."""
+    q, k, v = _qkv((1, 1, 512, 64), seed=2)
+    g = jnp.ones_like(q)
+    out_pallas = A._attention_bwd(500, False, (q, k, v), g)
+    monkeypatch.setenv("WM_ATTENTION_BWD", "xla")
+    out_xla = A._attention_bwd(500, False, (q, k, v), g)
+    for a, b in zip(out_pallas, out_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
 def test_full_attention_bhsd_dispatch():
     """Below _MIN_SEQ or on CPU without interpret -> XLA path, same results."""
     q, k, v = _qkv((1, 2, 256, 32), seed=3)

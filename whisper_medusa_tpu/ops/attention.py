@@ -153,8 +153,105 @@ def _flash_bwd_ok(q) -> bool:
             and q.shape[3] in (64, 128, 256))
 
 
+def _attention_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
+                          dk_acc, dv_acc, *, kv_len: int, causal: bool,
+                          block_q: int, nq: int):
+    """One (batch, head, q-block) backward cell.
+
+    Same one-pass design as the forward: K/V (and here dO) stay resident, the
+    (block_q, S) score matrix is recomputed in VMEM and never touches HBM —
+    the XLA backward materializes P and dP at (B, H, S, S) f32, which is what
+    makes the encoder backward HBM-bound.  dK/dV accumulate in f32 scratch
+    across the q-block grid steps (sequential on TPU) and are written once at
+    the last step."""
+    import jax.experimental.pallas as pl
+
+    q = q_ref[0, 0]                      # (block_q, D), pre-scaled
+    k = k_ref[0, 0]                      # (S_pad, D)
+    v = v_ref[0, 0]
+    g = g_ref[0, 0]                      # (block_q, D) upstream dO
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (block_q, S_pad)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    mask = col < kv_len
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) \
+            + pl.program_id(2) * block_q
+        mask = mask & (col <= row)
+    s = jnp.where(mask, s, NEG_BIG)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)         # f32, matches fwd
+
+    dp = jax.lax.dot_general(
+        g, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (block_q, S_pad)
+    # Softmax backward: dS = P * (dP - sum_k(P * dP)).  The forward casts P
+    # to bf16 before PV; using f32 P here only tightens the gradient.
+    dsum = jnp.sum(p * dp, axis=-1, keepdims=True)
+    ds = (p * (dp - dsum)).astype(q.dtype)             # (block_q, S_pad)
+
+    dq_ref[0, 0] = jnp.dot(
+        ds, k, preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    dk_acc[...] += jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (S_pad, D)
+    dv_acc[...] += jax.lax.dot_general(
+        p.astype(g.dtype), g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(2) == nq - 1)
+    def _():
+        dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _attention_bwd_pallas(q, k, v, g, kv_len: int, causal: bool):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, s_pad, d = q.shape
+    block_q = min(_BLOCK_Q, s_pad)
+    nq = s_pad // block_q
+    grid = (b, h, nq)
+    kern = functools.partial(_attention_bwd_kernel, kv_len=kv_len,
+                             causal=causal, block_q=block_q, nq=nq)
+    qblk = pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i: (b_, h_, i, 0))
+    full = pl.BlockSpec((1, 1, s_pad, d), lambda b_, h_, i: (b_, h_, 0, 0))
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[qblk, full, full, qblk],
+        out_specs=[qblk, full, full],
+        out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype) for _ in range(3)],
+        scratch_shapes=[pltpu.VMEM((s_pad, d), jnp.float32),
+                        pltpu.VMEM((s_pad, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=_INTERPRET,
+    )(q, k, v, g.astype(q.dtype))
+
+
+def _pallas_bwd_ok(q) -> bool:
+    """Purpose-built backward kernel gate (default ON; WM_ATTENTION_BWD=xla
+    or =flash selects the fallbacks)."""
+    return (os.environ.get("WM_ATTENTION_BWD", "pallas") == "pallas"
+            and (_on_tpu() or _INTERPRET)
+            and q.shape[2] % min(_BLOCK_Q, q.shape[2]) == 0)
+
+
 def _attention_bwd(kv_len, causal, res, g):
     q, k, v = res
+    if _pallas_bwd_ok(q):
+        return _attention_bwd_pallas(q, k, v, g, kv_len, causal)
     if _flash_bwd_ok(q):
         # JAX's in-tree TPU flash kernels recompute probabilities per block
         # in VMEM; our tensors are already in their native (B, H, S, D)
