@@ -432,13 +432,20 @@ def main(batch: int = 1, int8: bool = False):
     if (not int8 and batch == 1 and on_tpu
             and _os.environ.get("WM_BENCH_TRAIN", "1") == "1"):
         # Training throughput: the REAL train step (medusa_train_forward with
-        # per-layer remat + adafactor + freeze mask — what cli/train.py runs)
-        # at large-v2 shapes.  MFU models fwd+bwd as 3 x 2 x params x tokens.
+        # encoder remat + adafactor + freeze mask — what cli/train.py runs)
+        # at large-v2 shapes, B=8 (VERDICT r3 #2: measure where it means
+        # something).  MFU models fwd+bwd as 3 x 2 x params x tokens, where
+        # params INCLUDE the 11 medusa output streams' vocab projections —
+        # they are model layers, not loss overhead (the same convention that
+        # counts an LM's tied head).  Attention's quadratic FLOPs and the
+        # remat recompute pass are real executed work NOT counted, per the
+        # standard MFU definition.
         from whisper_medusa_tpu.training import train as train_mod
 
-        bt, lab_len = 2, 96
+        bt, lab_len = 8, 224
         opt = train_mod.make_optimizer("adafactor", lr=1e-4)
-        step_fn = jax.jit(train_mod.make_train_step(config, opt, None))
+        step_fn = jax.jit(train_mod.make_train_step(config, opt, None,
+                                                    decoder_remat=False))
         state = train_mod.init_train_state(
             {"whisper": wp, "medusa": mp}, opt)
         feats_t = jnp.tile(feats[:1], (bt, 1, 1))
@@ -455,11 +462,15 @@ def main(batch: int = 1, int8: bool = False):
         dt = min(dts)
         p_enc = 0.64e9
         p_dec = 0.91e9
+        n_streams = config.medusa.medusa_num_heads + 1
+        p_heads = (n_streams * dims.vocab_size * dims.d_model
+                   + config.medusa.medusa_num_heads * dims.d_model ** 2)
         flops = 3 * 2 * (p_enc * bt * dims.max_source_positions
-                         + p_dec * bt * lab_len)
+                         + (p_dec + p_heads) * bt * lab_len)
         mfu = flops / dt / 197e12
-        log(f"train step (B={bt}, remat, adafactor): {dt * 1e3:.0f} ms, "
-            f"{bt * lab_len / dt:.0f} label-tok/s, MFU {100 * mfu:.0f}%")
+        log(f"train step (B={bt}, T={lab_len}, enc-remat, adafactor): "
+            f"{dt * 1e3:.0f} ms, {bt * lab_len / dt:.0f} label-tok/s, "
+            f"MFU {100 * mfu:.0f}%")
         extra["train_step_ms"] = round(dt * 1e3, 1)
         extra["train_mfu_pct"] = round(100 * mfu, 1)
 

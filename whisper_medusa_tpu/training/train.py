@@ -48,6 +48,7 @@ def medusa_train_forward(
     decoder_input_ids: Optional[jnp.ndarray] = None,
     freeze_policy: Optional[str] = None,
     remat: Any = True,
+    decoder_remat: Any = None,
 ) -> TrainForwardOut:
     """Full teacher-forced forward with per-head losses.
 
@@ -106,9 +107,14 @@ def medusa_train_forward(
                                    collect_penultimate=need_teacher,
                                    remat=False, grad_last_only=True)
     else:
-        dec = whisper.decode_train(wp, dims, decoder_input_ids, enc_out,
-                                   collect_penultimate=need_teacher,
-                                   remat=remat)
+        # The decoder's activations are T/S_enc ~ 7x smaller than the
+        # encoder's; ``decoder_remat=False`` skips its recompute pass while
+        # the encoder keeps full remat (bench.py measured the split worth
+        # ~5% step time at B=8, T=224 for +1.8 GB of live activations).
+        dec = whisper.decode_train(
+            wp, dims, decoder_input_ids, enc_out,
+            collect_penultimate=need_teacher,
+            remat=remat if decoder_remat is None else decoder_remat)
     nh = dims.decoder_attention_heads
     # Frozen lm head: the projection reads the weights but never needs their
     # gradient (the mask would zero it; structurally skipping it removes a
@@ -248,7 +254,8 @@ class TrainState(NamedTuple):
 
 
 def make_train_step(config: ModelConfig, optimizer: optax.GradientTransformation,
-                    freeze_policy: Optional[str], remat: Any = True):
+                    freeze_policy: Optional[str], remat: Any = True,
+                    decoder_remat: Any = None):
     """Build the jittable train step.  The gradient mask is computed once from the
     param structure and closed over (static).  ``freeze_policy`` both masks the
     gradients AND structurally prunes the backward (see medusa_train_forward);
@@ -260,7 +267,8 @@ def make_train_step(config: ModelConfig, optimizer: optax.GradientTransformation
         def loss_fn(p):
             out = medusa_train_forward(p, config, input_features, labels,
                                        freeze_policy=freeze_policy,
-                                       remat=remat)
+                                       remat=remat,
+                                       decoder_remat=decoder_remat)
             return out.loss, out
 
         (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
