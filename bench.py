@@ -20,6 +20,7 @@ Secondary diagnostics go to stderr.
 
 from __future__ import annotations
 
+import contextlib as _contextlib
 import json
 import sys
 import time
@@ -305,174 +306,195 @@ def main(batch: int = 1, int8: bool = False):
 
     extra = {}
 
+    @_contextlib.contextmanager
+    def _leg(name):
+        # Optional legs must never take down the headline JSON (an OOM in the
+        # B=8 train leg would otherwise leave the driver with no bench at all).
+        try:
+            yield
+        except Exception:
+            import traceback
+            log(f"bench leg {name!r} FAILED (continuing):\n"
+                + traceback.format_exc()[-2000:])
+            extra[f"{name}_error"] = True
+
     if (not int8 and batch == 1 and on_tpu
             and _os.environ.get("WM_BENCH_BLOCK", "1") == "1"):
-        # Medusa-Block variant (the reference's second headline architecture,
-        # model.py:1349-1417): the extra decoder layer rides the fused kernel
-        # as one more grid layer — target within ~10% of base_head (it runs
-        # L+1 layers, ~3% more weight bytes).
-        from whisper_medusa_tpu.config import MedusaConfig
+        with _leg("block"):
+            # Medusa-Block variant (the reference's second headline architecture,
+            # model.py:1349-1417): the extra decoder layer rides the fused kernel
+            # as one more grid layer — target within ~10% of base_head (it runs
+            # L+1 layers, ~3% more weight bytes).
+            from whisper_medusa_tpu.config import MedusaConfig
 
-        mc_b = MedusaConfig(
-            medusa_num_heads=10, medusa_hidden_size=dims.d_model,
-            medusa_heads_type="medusa_block",
-            medusa_choices=(1,) * 11)
-        mp_b = medusa_mod.init_medusa_params(
-            jax.random.PRNGKey(2), dims, mc_b, wp, jnp.bfloat16)
-        # Zero the block layer's residual-writing projections so the (random-
-        # weight) block acts as identity and the identity-initialized heads
-        # draft the backbone's own greedy trajectory — the same operating
-        # regime as base_head above.  A trained checkpoint needs no such
-        # trick; without it drafts are noise and accept pins at 0, which
-        # measures ms/iter fine but not the accept-dependent throughput.
-        for k in ("o_w", "o_b"):
-            mp_b["block"]["self"][k] = jnp.zeros_like(mp_b["block"]["self"][k])
-            mp_b["block"]["cross"][k] = jnp.zeros_like(mp_b["block"]["cross"][k])
-        mp_b["block"]["fc2_w"] = jnp.zeros_like(mp_b["block"]["fc2_w"])
-        mp_b["block"]["fc2_b"] = jnp.zeros_like(mp_b["block"]["fc2_b"])
-        jax.block_until_ready(mp_b)
-        _, _, b_dt, b_steps, _ = timed(
-            medusa_buffers, "medusa_block", mp_b,
-            "medusa-block corruption=0.3", corruption=0.3)
-        block_ms = (b_dt - overhead) / max(b_steps, 1) * 1e3
-        log(f"medusa-block decode: {block_ms:.2f} ms/iter "
-            f"({100 * block_ms / spec_ms:.0f}% of base_head's "
-            f"{spec_ms:.2f} ms)")
-        extra.update({
-            "block_ms_per_iter": round(block_ms, 3),
-            "block_vs_base_head_pct": round(100 * block_ms / spec_ms, 1),
-        })
+            mc_b = MedusaConfig(
+                medusa_num_heads=10, medusa_hidden_size=dims.d_model,
+                medusa_heads_type="medusa_block",
+                medusa_choices=(1,) * 11)
+            mp_b = medusa_mod.init_medusa_params(
+                jax.random.PRNGKey(2), dims, mc_b, wp, jnp.bfloat16)
+            # Zero the block layer's residual-writing projections so the (random-
+            # weight) block acts as identity and the identity-initialized heads
+            # draft the backbone's own greedy trajectory — the same operating
+            # regime as base_head above.  A trained checkpoint needs no such
+            # trick; without it drafts are noise and accept pins at 0, which
+            # measures ms/iter fine but not the accept-dependent throughput.
+            for k in ("o_w", "o_b"):
+                mp_b["block"]["self"][k] = jnp.zeros_like(mp_b["block"]["self"][k])
+                mp_b["block"]["cross"][k] = jnp.zeros_like(mp_b["block"]["cross"][k])
+            mp_b["block"]["fc2_w"] = jnp.zeros_like(mp_b["block"]["fc2_w"])
+            mp_b["block"]["fc2_b"] = jnp.zeros_like(mp_b["block"]["fc2_b"])
+            jax.block_until_ready(mp_b)
+            _, _, b_dt, b_steps, _ = timed(
+                medusa_buffers, "medusa_block", mp_b,
+                "medusa-block corruption=0.3", corruption=0.3)
+            block_ms = (b_dt - overhead) / max(b_steps, 1) * 1e3
+            log(f"medusa-block decode: {block_ms:.2f} ms/iter "
+                f"({100 * block_ms / spec_ms:.0f}% of base_head's "
+                f"{spec_ms:.2f} ms)")
+            extra.update({
+                "block_ms_per_iter": round(block_ms, 3),
+                "block_vs_base_head_pct": round(100 * block_ms / spec_ms, 1),
+            })
 
     if (not int8 and batch == 1 and on_tpu
             and _os.environ.get("WM_BENCH_INT8", "1") == "1"):
-        # int8 serving mode mini-sweep (full sweep: `bench.py --int8`).
-        from whisper_medusa_tpu.ops.qmm import quantize_decoder
+        with _leg("int8_mini"):
+            # int8 serving mode mini-sweep (full sweep: `bench.py --int8`).
+            from whisper_medusa_tpu.ops.qmm import quantize_decoder
 
-        t0 = time.perf_counter()
-        wp8, mp8 = quantize_decoder(wp, mp)
-        jax.block_until_ready((wp8, mp8))
-        log(f"int8 decoder quantization: {time.perf_counter() - t0:.1f}s")
-        _, _, q_dt, q_steps, _ = timed(generate_medusa_buffers([1]), "vanilla",
-                                       None, "int8 vanilla greedy", weights=wp8)
-        _, q_acc, s_dt, s_steps, s_toks = timed(
-            medusa_buffers, "base_head", mp8, "int8 medusa corruption=0.3",
-            corruption=0.3, weights=wp8)
-        q_ms = (q_dt - overhead) / max(q_steps, 1) * 1e3
-        q_min = decode_step_hbm_bytes(max_length + 2, 1, 1) / (bw * 1e9) * 1e3
-        q_tps = s_toks / max(s_dt - overhead, 1e-9)
-        log(f"int8 vanilla decode: {q_ms:.2f} ms/step, roofline min "
-            f"{q_min:.2f} ms -> {100 * q_min / q_ms:.0f}%; medusa "
-            f"{q_tps:.0f} tok/s at accept {q_acc:.2f}")
-        extra.update({
-            "int8_decode_ms_per_step": round(q_ms, 3),
-            "int8_roofline_pct": round(100 * q_min / q_ms, 1),
-            "int8_medusa_tok_s_at_accept2": round(q_tps, 1),
-        })
+            t0 = time.perf_counter()
+            wp8, mp8 = quantize_decoder(wp, mp)
+            jax.block_until_ready((wp8, mp8))
+            log(f"int8 decoder quantization: {time.perf_counter() - t0:.1f}s")
+            _, _, q_dt, q_steps, _ = timed(generate_medusa_buffers([1]), "vanilla",
+                                           None, "int8 vanilla greedy", weights=wp8)
+            _, q_acc, s_dt, s_steps, s_toks = timed(
+                medusa_buffers, "base_head", mp8, "int8 medusa corruption=0.3",
+                corruption=0.3, weights=wp8)
+            q_ms = (q_dt - overhead) / max(q_steps, 1) * 1e3
+            q_min = decode_step_hbm_bytes(max_length + 2, 1, 1) / (bw * 1e9) * 1e3
+            q_tps = s_toks / max(s_dt - overhead, 1e-9)
+            log(f"int8 vanilla decode: {q_ms:.2f} ms/step, roofline min "
+                f"{q_min:.2f} ms -> {100 * q_min / q_ms:.0f}%; medusa "
+                f"{q_tps:.0f} tok/s at accept {q_acc:.2f}")
+            extra.update({
+                "int8_decode_ms_per_step": round(q_ms, 3),
+                "int8_roofline_pct": round(100 * q_min / q_ms, 1),
+                "int8_medusa_tok_s_at_accept2": round(q_tps, 1),
+            })
 
     if (not int8 and batch == 1 and on_tpu
             and _os.environ.get("WM_BENCH_SWEEP", "1") == "1"):
-        # Batched-serving sweep (VERDICT r2 #1): chained fused-kernel loop at
-        # B = 2/4/8, bf16 + int8, T=11 speculative chunk — ms/step and % of
-        # the per-batch HBM roofline (no vocab projection in the bare kernel).
-        from whisper_medusa_tpu.utils.profiling import megastep_chain_ms
+        with _leg("batch_sweep"):
+            # Batched-serving sweep (VERDICT r2 #1): chained fused-kernel loop at
+            # B = 2/4/8, bf16 + int8, T=11 speculative chunk — ms/step and % of
+            # the per-batch HBM roofline (no vocab projection in the bare kernel).
+            from whisper_medusa_tpu.utils.profiling import megastep_chain_ms
 
-        if "wp8" not in dir():   # int8 mini-sweep disabled: quantize here
-            from whisper_medusa_tpu.ops.qmm import quantize_decoder
+            if "wp8" not in dir():   # int8 mini-sweep disabled: quantize here
+                from whisper_medusa_tpu.ops.qmm import quantize_decoder
 
-            wp8, _ = quantize_decoder(wp, mp)
-        sweep = {}
-        for wl, weights in (("bf16", wp), ("int8", wp8)):
-            wb = 1 if wl == "int8" else 2
-            for bsw in (2, 4, 8):
-                enc_b = jnp.tile(enc, (bsw, 1, 1))
-                ms = megastep_chain_ms(weights, dims, enc_b, t=11,
-                                       max_len=max_length)
-                mn = decode_step_hbm_bytes(max_length + 13, 11, wb, b=bsw,
-                                           with_embed=False) / (bw * 1e9) * 1e3
-                sweep[f"{wl}_b{bsw}_ms"] = round(ms, 3)
-                sweep[f"{wl}_b{bsw}_roofline_pct"] = round(100 * mn / ms, 1)
-                log(f"batch sweep {wl} B={bsw}: {ms:.2f} ms/step "
-                    f"(kernel roofline min {mn:.2f} -> {100 * mn / ms:.0f}%)")
-        extra["batch_sweep"] = sweep
+                wp8, _ = quantize_decoder(wp, mp)
+            sweep = {}
+            for wl, weights in (("bf16", wp), ("int8", wp8)):
+                wb = 1 if wl == "int8" else 2
+                for bsw in (2, 4, 8):
+                    enc_b = jnp.tile(enc, (bsw, 1, 1))
+                    ms = megastep_chain_ms(weights, dims, enc_b, t=11,
+                                           max_len=max_length)
+                    mn = decode_step_hbm_bytes(max_length + 13, 11, wb, b=bsw,
+                                               with_embed=False) / (bw * 1e9) * 1e3
+                    sweep[f"{wl}_b{bsw}_ms"] = round(ms, 3)
+                    sweep[f"{wl}_b{bsw}_roofline_pct"] = round(100 * mn / ms, 1)
+                    log(f"batch sweep {wl} B={bsw}: {ms:.2f} ms/step "
+                        f"(kernel roofline min {mn:.2f} -> {100 * mn / ms:.0f}%)")
+            extra["batch_sweep"] = sweep
 
     if (not int8 and batch == 1 and on_tpu
             and _os.environ.get("WM_BENCH_B4E2E", "1") == "1"):
-        # Batched END-TO-END speculative serving (the sweep above times the
-        # bare decode kernel; this is the full engine — megastep + fused
-        # verify + acceptance — at B=4 int8, corruption 0.3).  Aggregate
-        # tok/s across the batch is the serving-throughput headline.
-        if "mp8" not in dir():
-            from whisper_medusa_tpu.ops.qmm import quantize_decoder
+        with _leg("b4_e2e"):
+            # Batched END-TO-END speculative serving (the sweep above times the
+            # bare decode kernel; this is the full engine — megastep + fused
+            # verify + acceptance — at B=4 int8, corruption 0.3).  Aggregate
+            # tok/s across the batch is the serving-throughput headline.
+            if "mp8" not in dir():
+                from whisper_medusa_tpu.ops.qmm import quantize_decoder
 
-            wp8, mp8 = quantize_decoder(wp, mp)
-        b4 = 4
-        enc4 = jnp.tile(enc[:1], (b4, 1, 1))
-        prompt4 = jnp.tile(prompt[:1], (b4, 1))
-        fn4 = jax.jit(lambda w, m, e, p, c: speculative_generate(
-            w, m, dims, medusa_buffers, pcfg, gen, e, p,
-            variant="base_head", draft_corruption=c))
-        c = jnp.float32(0.3)
-        res = fn4(wp8, mp8, enc4, prompt4, c)
-        fetch(res.tokens)
-        dts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
+                wp8, mp8 = quantize_decoder(wp, mp)
+            b4 = 4
+            enc4 = jnp.tile(enc[:1], (b4, 1, 1))
+            prompt4 = jnp.tile(prompt[:1], (b4, 1))
+            fn4 = jax.jit(lambda w, m, e, p, c: speculative_generate(
+                w, m, dims, medusa_buffers, pcfg, gen, e, p,
+                variant="base_head", draft_corruption=c))
+            c = jnp.float32(0.3)
             res = fn4(wp8, mp8, enc4, prompt4, c)
             fetch(res.tokens)
-            dts.append(time.perf_counter() - t0)
-        dt = min(dts)
-        toks = int(np.asarray(res.lengths).sum()) - b4 * prompt4.shape[1]
-        steps4 = int(res.steps)
-        acc4 = int(res.accepted.sum()) / max(steps4 * b4, 1)
-        tps = toks / max(dt - overhead, 1e-9)
-        log(f"batched e2e int8 B={b4}: {dt * 1e3:.1f} ms, {toks} tokens, "
-            f"{steps4} steps, {tps:.0f} tok/s aggregate, accept={acc4:.2f}")
-        extra["int8_b4_e2e_tok_s"] = round(tps, 1)
+            dts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                res = fn4(wp8, mp8, enc4, prompt4, c)
+                fetch(res.tokens)
+                dts.append(time.perf_counter() - t0)
+            dt = min(dts)
+            toks = int(np.asarray(res.lengths).sum()) - b4 * prompt4.shape[1]
+            steps4 = int(res.steps)
+            acc4 = int(res.accepted.sum()) / max(steps4 * b4, 1)
+            tps = toks / max(dt - overhead, 1e-9)
+            log(f"batched e2e int8 B={b4}: {dt * 1e3:.1f} ms, {toks} tokens, "
+                f"{steps4} steps, {tps:.0f} tok/s aggregate, accept={acc4:.2f}")
+            extra["int8_b4_e2e_tok_s"] = round(tps, 1)
 
     if (not int8 and batch == 1 and on_tpu
             and _os.environ.get("WM_BENCH_TRAIN", "1") == "1"):
-        # Training throughput: the REAL train step (medusa_train_forward with
-        # encoder remat + adafactor + freeze mask — what cli/train.py runs)
-        # at large-v2 shapes, B=8 (VERDICT r3 #2: measure where it means
-        # something).  MFU models fwd+bwd as 3 x 2 x params x tokens, where
-        # params INCLUDE the 11 medusa output streams' vocab projections —
-        # they are model layers, not loss overhead (the same convention that
-        # counts an LM's tied head).  Attention's quadratic FLOPs and the
-        # remat recompute pass are real executed work NOT counted, per the
-        # standard MFU definition.
-        from whisper_medusa_tpu.training import train as train_mod
+        with _leg("train"):
+            # Training throughput: the REAL train step (medusa_train_forward with
+            # encoder remat + adafactor + freeze mask — what cli/train.py runs)
+            # at large-v2 shapes, B=8 (VERDICT r3 #2: measure where it means
+            # something).  MFU models fwd+bwd as 3 x 2 x params x tokens, where
+            # params INCLUDE the 11 medusa output streams' vocab projections —
+            # they are model layers, not loss overhead (the same convention that
+            # counts an LM's tied head).  Attention's quadratic FLOPs and the
+            # remat recompute pass are real executed work NOT counted, per the
+            # standard MFU definition.
+            from whisper_medusa_tpu.training import train as train_mod
 
-        bt, lab_len = 8, 224
-        opt = train_mod.make_optimizer("adafactor", lr=1e-4)
-        step_fn = jax.jit(train_mod.make_train_step(config, opt, None,
-                                                    decoder_remat=False))
-        state = train_mod.init_train_state(
-            {"whisper": wp, "medusa": mp}, opt)
-        feats_t = jnp.tile(feats[:1], (bt, 1, 1))
-        labels = jnp.asarray(
-            rng.integers(0, dims.vocab_size, (bt, lab_len)), jnp.int32)
-        state, metrics = step_fn(state, feats_t, labels)
-        fetch(metrics["loss"])
-        dts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
+            bt, lab_len = 8, 224
+            opt = train_mod.make_optimizer("adafactor", lr=1e-4)
+            # decoder_remat=False (skip the decoder recompute pass) needs 42 GB
+            # of live decoder activations at B=8 and "dots" still OOMs on the
+            # cross-attention score dots vs S=1500 — full remat on both stacks
+            # is the config that fits a 16 GB v5e at this batch (measured,
+            # tools/train_profile.py b=8 t=224).
+            step_fn = jax.jit(train_mod.make_train_step(config, opt, None))
+            state = train_mod.init_train_state(
+                {"whisper": wp, "medusa": mp}, opt)
+            feats_t = jnp.tile(feats[:1], (bt, 1, 1))
+            labels = jnp.asarray(
+                rng.integers(0, dims.vocab_size, (bt, lab_len)), jnp.int32)
             state, metrics = step_fn(state, feats_t, labels)
             fetch(metrics["loss"])
-            dts.append(time.perf_counter() - t0)
-        dt = min(dts)
-        p_enc = 0.64e9
-        p_dec = 0.91e9
-        n_streams = config.medusa.medusa_num_heads + 1
-        p_heads = (n_streams * dims.vocab_size * dims.d_model
-                   + config.medusa.medusa_num_heads * dims.d_model ** 2)
-        flops = 3 * 2 * (p_enc * bt * dims.max_source_positions
-                         + (p_dec + p_heads) * bt * lab_len)
-        mfu = flops / dt / 197e12
-        log(f"train step (B={bt}, T={lab_len}, enc-remat, adafactor): "
-            f"{dt * 1e3:.0f} ms, {bt * lab_len / dt:.0f} label-tok/s, "
-            f"MFU {100 * mfu:.0f}%")
-        extra["train_step_ms"] = round(dt * 1e3, 1)
-        extra["train_mfu_pct"] = round(100 * mfu, 1)
+            dts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                state, metrics = step_fn(state, feats_t, labels)
+                fetch(metrics["loss"])
+                dts.append(time.perf_counter() - t0)
+            dt = min(dts)
+            p_enc = 0.64e9
+            p_dec = 0.91e9
+            n_streams = config.medusa.medusa_num_heads + 1
+            p_heads = (n_streams * dims.vocab_size * dims.d_model
+                       + config.medusa.medusa_num_heads * dims.d_model ** 2)
+            flops = 3 * 2 * (p_enc * bt * dims.max_source_positions
+                             + (p_dec + p_heads) * bt * lab_len)
+            mfu = flops / dt / 197e12
+            log(f"train step (B={bt}, T={lab_len}, enc-remat, adafactor): "
+                f"{dt * 1e3:.0f} ms, {bt * lab_len / dt:.0f} label-tok/s, "
+                f"MFU {100 * mfu:.0f}%")
+            extra["train_step_ms"] = round(dt * 1e3, 1)
+            extra["train_mfu_pct"] = round(100 * mfu, 1)
 
     print(json.dumps({
         "metric": "decode_speedup_vs_vanilla_greedy_at_accept2",

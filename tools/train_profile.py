@@ -75,7 +75,9 @@ def main():
     t = int(kw.get("t", 96))
     n_heads = int(kw.get("heads", 10))
     steps = int(kw.get("steps", 10))
-    remat = {"1": True, "0": False, "full": True, "dots": "dots"}[kw.get("remat", "1")]
+    _remats = {"1": True, "0": False, "full": True, "dots": "dots"}
+    remat = _remats[kw.get("remat", "1")]
+    dec_remat = _remats[kw["dec_remat"]] if "dec_remat" in kw else None
     freeze = kw.get("freeze") or None
     use_kl = kw.get("kl", "0") == "1"
     which = kw.get("which", "step,grad,fwd,enc,dec,heads").split(",")
@@ -103,7 +105,8 @@ def main():
         state = train_mod.init_train_state(params, opt)
     if "step" in which:
         step_fn = jax.jit(train_mod.make_train_step(config, opt, freeze,
-                                                    remat=remat))
+                                                    remat=remat,
+                                                    decoder_remat=dec_remat))
         state2, m = step_fn(state, feats, labels)
         if kw.get("trace"):
             with jax.profiler.trace(kw["trace"]):
