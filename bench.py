@@ -490,7 +490,7 @@ def main(batch: int = 1, int8: bool = False):
             flops = 3 * 2 * (p_enc * bt * dims.max_source_positions
                              + (p_dec + p_heads) * bt * lab_len)
             mfu = flops / dt / 197e12
-            log(f"train step (B={bt}, T={lab_len}, enc-remat, adafactor): "
+            log(f"train step (B={bt}, T={lab_len}, full-remat, adafactor): "
                 f"{dt * 1e3:.0f} ms, {bt * lab_len / dt:.0f} label-tok/s, "
                 f"MFU {100 * mfu:.0f}%")
             extra["train_step_ms"] = round(dt * 1e3, 1)

@@ -94,6 +94,18 @@ def main():
             print(f"trace -> {kw['trace']}")
 
     x0 = jnp.asarray(rng.normal(size=(b, s, d)) * 0.1, jnp.bfloat16)
+    # Attention ablations must mirror whisper.encode's kernel entry: pad the
+    # sequence to the Pallas block alignment (1500 -> 1536) and mask the pad
+    # as keys via kv_len — an unpadded 1500 fails full_attention_bhsd's
+    # s_pad % 256 gate and silently falls back to XLA attention, which would
+    # make the attn ablation non-comparable to the 'full' leg (ADVICE r4).
+    s_pad = attn_mod.pad_to_block(s)
+    kv_len = s if s_pad != s else None
+    x0p = jnp.pad(x0, ((0, 0), (0, s_pad - s), (0, 0)))
+    # FLOPs in the padded attention matmuls scale by s_pad (queries) x s_pad
+    # (keys); masked columns still burn MXU cycles.
+    fl_attn_mm_pad = nl * 2 * 2 * b * s_pad * s_pad * d
+    fl_proj_pad = nl * 4 * 2 * b * s_pad * d * d
 
     if "xla" in which:
         # Same stack, forcing the plain-XLA attention path.  Weights are jit
@@ -103,7 +115,8 @@ def main():
             def layer_fn(h, lp):
                 q = layer_norm(h, lp["self_ln"]["scale"], lp["self_ln"]["bias"])
                 lps = lp["self"]
-                qh = whisper._split_heads(whisper.dense(q, lps["q_w"], lps["q_b"]), nh)
+                qh = whisper._split_heads(whisper.dense(q, lps["q_w"], lps["q_b"]), nh) \
+                    * (d // nh) ** -0.5  # whisper.attention expects pre-scaled q
                 kh = whisper._split_heads(whisper.dense(q, lps["k_w"], None), nh)
                 vh = whisper._split_heads(whisper.dense(q, lps["v_w"], lps["v_b"]), nh)
                 a = whisper.attention(qh, kh, vh, None)
@@ -135,12 +148,12 @@ def main():
                 h = h + self_attn_full(
                     lp["self"],
                     layer_norm(h, lp["self_ln"]["scale"], lp["self_ln"]["bias"]),
-                    nh, causal=False)
+                    nh, causal=False, kv_len=kv_len)
                 return h, None
             x, _ = lax.scan(layer_fn, x, layers)
             return x
         timeit(f"stack attn-only b={b}", jax.jit(stack_attn), enc["layers"],
-               x0, steps=steps, flops=fl_proj + fl_attn_mm)
+               x0p, steps=steps, flops=fl_proj_pad + fl_attn_mm_pad)
 
     if "ffn" in which:
         def stack_ffn(layers, x):

@@ -14,7 +14,8 @@ logits processor in this repo is a pure function of
 ``(logits, pred_pos, history)`` (decoding/processors.py), and the history at
 position ``p`` is fully determined by the committed tokens ``< p`` — so the
 recomputed rows are the rows the serving loop scored, not an approximation.
-``tests/test_scores.py`` pins the gathered values against the in-loop capture.
+``tests/test_scores_words.py`` pins the gathered values against the in-loop
+capture.
 
 Memory: the (B, T_gen, V) float32 stack is materialized on the HOST, built
 from bounded device-side chunks (``chunk`` positions x V at a time); the full

@@ -109,8 +109,9 @@ def medusa_train_forward(
     else:
         # The decoder's activations are T/S_enc ~ 7x smaller than the
         # encoder's; ``decoder_remat=False`` skips its recompute pass while
-        # the encoder keeps full remat (bench.py measured the split worth
-        # ~5% step time at B=8, T=224 for +1.8 GB of live activations).
+        # the encoder keeps full remat.  The split only fits at smaller
+        # batch/chip counts — at B=8 on a 16 GB v5e it OOMs, so bench.py's
+        # train leg runs full remat on both stacks.
         dec = whisper.decode_train(
             wp, dims, decoder_input_ids, enc_out,
             collect_penultimate=need_teacher,
