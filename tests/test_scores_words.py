@@ -249,3 +249,204 @@ def test_word_timestamps_validation(tiny_model):
 def test_default_alignment_heads():
     heads = wt.default_alignment_heads(4, 2)
     assert heads == ((2, 0), (2, 1), (3, 0), (3, 1))
+
+
+# ---------------------- decoder self-attentions / hidden states (VERDICT r4 #6)
+
+def test_decoder_attentions_and_hidden_states(tiny_model):
+    cfg = tiny_model.config
+    f = _feats(cfg, seed=3)
+    max_length = 16
+    out = tiny_model.generate(f, language="en", max_length=max_length,
+                              return_decoder_attentions=True,
+                              return_hidden_states=True)
+    L = cfg.dims.decoder_layers
+    H = cfg.dims.decoder_attention_heads
+    D = cfg.dims.d_model
+    b = f.shape[0]
+    assert out.decoder_attentions.shape == (L, b, H, max_length, max_length)
+    # Rows are causal softmax distributions.
+    att = out.decoder_attentions
+    assert np.allclose(att.sum(-1), 1.0, atol=1e-3)
+    iu = np.triu_indices(max_length, k=1)
+    assert np.all(att[..., iu[0], iu[1]] < 1e-6)
+    assert out.decoder_hidden_states.shape == (L + 1, b, max_length, D)
+    # Row 0 is the embedding output, later rows differ from it.
+    assert not np.allclose(out.decoder_hidden_states[0],
+                           out.decoder_hidden_states[-1])
+
+
+def test_decoder_attentions_selection(tiny_model):
+    cfg = tiny_model.config
+    f = _feats(cfg, seed=3)
+    sel = ((1, 0), (0, 1))
+    out_full = tiny_model.generate(f, language="en", max_length=12,
+                                   return_decoder_attentions=True)
+    out_sel = tiny_model.generate(f, language="en", max_length=12,
+                                  return_decoder_attentions=sel)
+    assert out_sel.decoder_attentions.shape == (2, f.shape[0], 12, 12)
+    for i, (l, h) in enumerate(sel):
+        np.testing.assert_allclose(out_sel.decoder_attentions[i],
+                                   out_full.decoder_attentions[l][:, h],
+                                   rtol=1e-5, atol=1e-6)
+
+
+# ------------------------------- longform capture composition (VERDICT r4 #4)
+
+def _longform_feats(cfg, b=1, windows=2.5, seed=11):
+    rng = np.random.default_rng(seed)
+    frames = int(cfg.dims.num_frames * windows)
+    return rng.normal(
+        size=(b, cfg.dims.num_mel_bins, frames)).astype(np.float32)
+
+
+def test_longform_word_timestamps_monotonic(tiny_model):
+    """>1-window input: word times are absolute and non-decreasing across
+    windows (VERDICT r4 #4 'done' criterion)."""
+    cfg = tiny_model.config
+    f = _longform_feats(cfg, b=1, windows=2.5)
+    out = tiny_model.generate(
+        f, language="en", max_length=24, return_timestamps=True,
+        word_timestamps=True, tokenizer=_StubTokenizer())
+    assert out.words is not None and len(out.words) == 1
+    ws = out.words[0]
+    assert len(ws) > 0
+    for a, b_ in zip(ws, ws[1:]):
+        assert a["start"] <= b_["start"] + 1e-9
+    # The seek loop advances at least one full window, so some words must
+    # carry offsets beyond the first 30s-equivalent window.
+    win_seconds = cfg.dims.max_source_positions * wt.SECONDS_PER_ENC_FRAME
+    assert ws[-1]["end"] > win_seconds - 1e-6
+    # Words attach to the offset segments.
+    assert out.segments is not None
+    assert any("words" in seg for segs in out.segments for seg in segs)
+
+
+def test_longform_scores_and_attention_capture(tiny_model):
+    cfg = tiny_model.config
+    f = _longform_feats(cfg, b=2, windows=2.2, seed=5)
+    sel = ((1, 0),)
+    out = tiny_model.generate(
+        f, language="en", max_length=20, return_scores="full",
+        return_cross_attentions=sel)
+    b = 2
+    # scores: one row per emitted token, rows are processed log-prob dists.
+    assert out.scores.shape[0] == b
+    assert out.scores.shape[2] == cfg.dims.vocab_size
+    for i in range(b):
+        li = int(out.lengths[i])
+        for j in range(li):
+            row = out.scores[i, j]
+            lse = np.log(np.sum(np.exp(row[np.isfinite(row)])))
+            assert abs(lse) < 1e-3
+            tok = int(out.sequences[i, j])
+            assert row[tok] == pytest.approx(
+                float(out.token_logprobs[i, j]), abs=2e-2)
+        assert np.all(out.scores[i, li:] == 0.0)
+    # cross_attentions: per-example list of per-window dicts with increasing
+    # time offsets and (N_sel, T_w, S) maps.
+    assert isinstance(out.cross_attentions, list) and \
+        len(out.cross_attentions) == b
+    for caps in out.cross_attentions:
+        assert len(caps) >= 2
+        offs = [c["time_offset"] for c in caps]
+        assert offs == sorted(offs) and offs[0] == 0.0
+        for c in caps:
+            m = c["cross_attentions"]
+            assert m.shape[0] == 1 and \
+                m.shape[-1] == cfg.dims.max_source_positions
+
+
+def test_longform_hidden_state_capture(tiny_model):
+    cfg = tiny_model.config
+    f = _longform_feats(cfg, b=1, windows=2.2, seed=6)
+    out = tiny_model.generate(f, language="en", max_length=16,
+                              return_hidden_states=True)
+    caps = out.cross_attentions[0]   # capture entries ride this field longform
+    assert len(caps) >= 2
+    L, D = cfg.dims.decoder_layers, cfg.dims.d_model
+    for c in caps:
+        assert c["decoder_hidden_states"].shape[0] == L + 1
+        assert c["decoder_hidden_states"].shape[-1] == D
+
+
+# ------------------------------ DTW oracle pins (VERDICT r4 #8)
+
+def _brute_force_min_path(cost):
+    """Exhaustive min path sum (0,0)->(n-1,m-1), moves (+1,0),(0,+1),(+1,+1);
+    cost counted at every visited cell — the oracle for dtw_path."""
+    import functools
+
+    n, m = cost.shape
+
+    @functools.lru_cache(maxsize=None)
+    def best(i, j):
+        if i == 0 and j == 0:
+            return float(cost[0, 0])
+        cands = []
+        if i > 0 and j > 0:
+            cands.append(best(i - 1, j - 1))
+        if i > 0:
+            cands.append(best(i - 1, j))
+        if j > 0:
+            cands.append(best(i, j - 1))
+        return float(cost[i, j]) + min(cands)
+
+    return best(n - 1, m - 1)
+
+
+def _path_cost(cost, ti, si):
+    # A valid DTW path visits each (text, time) cell once in monotone order.
+    cells = list(zip(ti.tolist(), si.tolist()))
+    assert cells[0] == (0, 0) and cells[-1] == (cost.shape[0] - 1,
+                                                cost.shape[1] - 1)
+    for (a, b), (c, d) in zip(cells, cells[1:]):
+        assert (c - a, d - b) in ((1, 0), (0, 1), (1, 1))
+    return sum(float(cost[i, j]) for i, j in cells)
+
+
+def test_dtw_fuzz_vs_bruteforce():
+    rng = np.random.default_rng(0)
+    for trial in range(40):
+        n = int(rng.integers(1, 7))
+        m = int(rng.integers(1, 8))
+        cost = rng.normal(size=(n, m))
+        ti, si = wt.dtw_path(cost)
+        got = _path_cost(cost, ti, si)
+        want = _brute_force_min_path(cost)
+        assert got == pytest.approx(want, abs=1e-9), (trial, n, m)
+
+
+def test_word_times_hand_derived_golden():
+    """Hand-derived end-to-end golden: a synthetic block-diagonal attention
+    map with a known monotone path + a real byte-level BPE (same machinery as
+    the production vocab) pins exact words AND exact start/end times."""
+    from whisper_medusa_tpu.data.bpe import WhisperBPETokenizer, bytes_to_unicode
+
+    byte_enc = bytes_to_unicode()
+    vocab = {c: i for i, c in enumerate(byte_enc.values())}
+    vocab["<|endoftext|>"] = len(vocab)
+    tok = WhisperBPETokenizer(vocab, [])
+    eos = vocab["<|endoftext|>"]
+    # " hi yo" -> byte-level ids; every byte is one token here.
+    ids = tok.encode(" hi yo")
+    assert len(ids) == 6        # " ", "h", "i", " ", "y", "o"
+    num_frames = 12
+    # Token t owns exactly frames [2t, 2t+2): maps put all mass there, so
+    # after z-normalization + median filter (width 1 disables it) the DTW
+    # diagonal runs through the blocks and token t starts at frame 2t.
+    t_gen = len(ids) + 1        # + EOS row (dropped by words_with_times)
+    maps = np.full((2, t_gen, num_frames), 0.01)
+    for t in range(len(ids)):
+        maps[:, t, 2 * t: 2 * t + 2] = 5.0
+    maps[:, -1, -2:] = 5.0      # EOS row attends to the tail
+    words = wt.words_with_times(
+        list(ids) + [eos], maps, tok, num_frames=num_frames, eos_id=eos,
+        timestamp_begin=eos + 1, filter_width=1)
+    assert [w["word"] for w in words] == [" hi", " yo"]
+    # " hi" = tokens 0..2 -> frames [0, 6); " yo" = tokens 3..5 -> [6, 12).
+    # 0.02 s per frame (SECONDS_PER_ENC_FRAME).
+    assert words[0]["start"] == pytest.approx(0.00, abs=1e-9)
+    assert words[0]["end"] == pytest.approx(0.12, abs=1e-9)
+    assert words[1]["start"] == pytest.approx(0.12, abs=1e-9)
+    assert words[1]["end"] == pytest.approx(0.24, abs=1e-9)

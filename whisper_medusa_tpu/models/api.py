@@ -74,6 +74,21 @@ class GenerateOutput:
     # via cross-attention DTW (decoding/word_timestamps.py) — the reference
     # raises NotImplementedError for all timestamp modes (model.py:1171-1175).
     words: Optional[List[List[dict]]] = None
+    # ``return_decoder_attentions``: decoder SELF-attention maps —
+    # (L, B, H, T, T) for ``True`` or (N_sel, B, T, T) for a (layer, head)
+    # selection (the reference's ``decoder_attentions``, model.py:317-377).
+    decoder_attentions: Optional[np.ndarray] = None
+    # ``return_hidden_states``: per-layer decoder hidden states
+    # (L+1, B, T, D) — row 0 the embedding output, row 1+l layer l's output,
+    # pre-ln_post (the reference's ``decoder_hidden_states``,
+    # model.py:317-377; HF tuple layout).
+    decoder_hidden_states: Optional[np.ndarray] = None
+    # Longform (>30 s) composition: ``scores`` keeps the (B, T_out, V) layout
+    # with row j the processed logprob row that emitted ``sequences[:, j]``;
+    # the attention/hidden surfaces become per-example LISTS of per-window
+    # dicts {"time_offset": s, "cross_attentions": ..., "decoder_attentions":
+    # ..., "decoder_hidden_states": ...} (windows have no common positional
+    # layout to stack over).  ``words`` carry absolute times across windows.
 
 
 class WhisperMedusaModel:
@@ -272,6 +287,9 @@ class WhisperMedusaModel:
         word_timestamps: bool = False,
         alignment_heads: Optional[Sequence[Tuple[int, int]]] = None,
         tokenizer=None,
+        return_decoder_attentions: Union[bool, Sequence[Tuple[int, int]]] = False,
+        return_hidden_states: bool = False,
+        length_penalty: float = 1.0,
     ) -> GenerateOutput:
         """Transcribe a batch of 30 s mel segments.
 
@@ -282,16 +300,23 @@ class WhisperMedusaModel:
         processors only as dead code) — the speculative loop evaluates the Whisper
         timestamp rules mid-chain with full history.  Longform (>30 s) inputs run
         through a seek loop (also NotImplementedError in the reference).  Beam
-        search still raises like the reference (model.py:1153-1156).
+        search works (``num_beams>1``; the reference raises,
+        model.py:1153-1156) with GNMT ``length_penalty`` (HF semantics;
+        n-best ordering follows the length-normalized score).
 
         ``return_scores="full"`` materializes the complete per-position
         processed score stack (the reference's ``output_scores``,
-        model.py:716-758); ``return_cross_attentions`` captures cross-attention
+        model.py:716-758); ``return_cross_attentions`` /
+        ``return_decoder_attentions`` capture cross- / decoder-self-attention
         maps (all heads for ``True``, or a (layer, head) selection);
-        ``word_timestamps=True`` adds DTW word-level timestamps (requires
-        ``return_timestamps=True`` and a ``tokenizer``).  All three are served
-        by post-hoc teacher-forced passes — see decoding/scores.py and
-        decoding/word_timestamps.py.
+        ``return_hidden_states`` the per-layer decoder hidden states (the
+        reference's ``decoder_attentions`` / ``decoder_hidden_states``
+        surfaces, model.py:317-377); ``word_timestamps=True`` adds DTW
+        word-level timestamps (requires ``return_timestamps=True`` and a
+        ``tokenizer``).  All are served by post-hoc teacher-forced passes —
+        see decoding/scores.py and decoding/word_timestamps.py.  On longform
+        input the surfaces compose per window — see the GenerateOutput field
+        docs for the longform layouts.
         """
         if return_scores not in (False, True, "full"):
             raise ValueError(f"return_scores must be False/True/'full', "
@@ -322,8 +347,10 @@ class WhisperMedusaModel:
                 if v is not None:
                     unsupported.append(name)
             if return_scores == "full" or return_cross_attentions or \
-                    word_timestamps:
-                unsupported.append("full scores/attentions/word timestamps")
+                    word_timestamps or return_decoder_attentions or \
+                    return_hidden_states:
+                unsupported.append(
+                    "full scores/attentions/hidden states/word timestamps")
             if unsupported:
                 raise ValueError(
                     f"num_beams={num_beams} does not support: "
@@ -334,6 +361,7 @@ class WhisperMedusaModel:
                 max_length=max_length, num_beams=num_beams,
                 suppress_tokens=suppress_tokens,
                 begin_suppress_tokens=begin_suppress_tokens,
+                length_penalty=length_penalty,
                 exponential_decay_length_penalty=exponential_decay_length_penalty,
                 prompt_ids=prompt_ids,
                 return_timestamps=return_timestamps,
@@ -346,17 +374,12 @@ class WhisperMedusaModel:
         if n_mels != cfg.dims.num_mel_bins:
             raise ValueError(f"expected {cfg.dims.num_mel_bins} mel bins, got {n_mels}")
         if n_frames > cfg.dims.num_frames:
-            if return_scores == "full" or return_cross_attentions:
-                raise ValueError(
-                    "return_scores='full'/return_cross_attentions are "
-                    "shortform-only (per-window stacks of a seek loop have no "
-                    "single well-defined positional layout)")
-            if word_timestamps:
-                raise ValueError(
-                    "word_timestamps on longform input is not supported yet; "
-                    "segment the audio or pass a single 30 s window")
             # Longform: sequential 30 s seek loop with timestamp-based advancement
             # (the reference raises NotImplementedError here, model.py:1214, 1840).
+            # Scores / attention maps / hidden states / word timestamps compose
+            # per window (each window's post-hoc capture runs inside the inner
+            # shortform call; times shift by the window offset) — see the
+            # GenerateOutput longform field docs.
             return self._generate_longform(
                 feats, language=language, task=task, max_length=max_length,
                 medusa_choices=medusa_choices, disable_medusa=disable_medusa,
@@ -367,7 +390,13 @@ class WhisperMedusaModel:
                 no_speech_threshold=no_speech_threshold,
                 return_timestamps=return_timestamps,
                 time_precision=time_precision,
-                condition_on_prev_tokens=condition_on_prev_tokens)
+                condition_on_prev_tokens=condition_on_prev_tokens,
+                return_scores=return_scores,
+                return_cross_attentions=return_cross_attentions,
+                word_timestamps=word_timestamps,
+                alignment_heads=alignment_heads, tokenizer=tokenizer,
+                return_decoder_attentions=return_decoder_attentions,
+                return_hidden_states=return_hidden_states)
         if n_frames < cfg.dims.num_frames:
             feats = jnp.pad(feats, ((0, 0), (0, 0),
                                     (0, cfg.dims.num_frames - n_frames)))
@@ -549,8 +578,11 @@ class WhisperMedusaModel:
                 enc_out, pcfg, max_length)
         cross_attns = None
         words = None
-        if return_cross_attentions or word_timestamps:
-            # ONE teacher-forced capture pass serves both surfaces: full
+        dec_attns = None
+        dec_hidden = None
+        if (return_cross_attentions or word_timestamps
+                or return_decoder_attentions or return_hidden_states):
+            # ONE teacher-forced capture pass serves every surface: full
             # capture when asked for every head, else the union of the user's
             # selection and the alignment heads (only those maps leave HBM).
             select = None
@@ -569,17 +601,31 @@ class WhisperMedusaModel:
                             cfg.dims.decoder_layers,
                             cfg.dims.decoder_attention_heads)))
             full_capture = return_cross_attentions is True
+            need_cross = bool(return_cross_attentions) or word_timestamps
             want = (None if full_capture
                     else tuple(dict.fromkeys((select or ()) + align_sel)))
+            cross_arg = (None if not need_cross
+                         else "all" if full_capture else want)
+            self_arg = None
+            if return_decoder_attentions is True:
+                self_arg = "all"
+            elif return_decoder_attentions:
+                self_arg = tuple((int(l), int(h))
+                                 for l, h in return_decoder_attentions)
             dec_in = jnp.asarray(final_tokens[:, :max_length], jnp.int32)
-            _, maps = jax.jit(
-                lambda p, t, e: whisper.decode_train_cross_attn(
-                    p, cfg.dims, t, e, select=want)
+            _, maps, smaps, hid = jax.jit(
+                lambda p, t, e: whisper.decode_train_capture(
+                    p, cfg.dims, t, e, cross=cross_arg, self_attn=self_arg,
+                    collect_hidden=return_hidden_states)
             )(self.params["whisper"], dec_in, enc_out)
-            maps = np.asarray(maps, np.float32)
+            if smaps is not None:
+                dec_attns = np.asarray(smaps, np.float32)
+            if hid is not None:
+                dec_hidden = np.asarray(hid, np.float32)
+            maps = None if maps is None else np.asarray(maps, np.float32)
             if full_capture:
                 cross_attns = maps                      # (L, B, H, T, S)
-            elif select is not None:
+            elif select:
                 cross_attns = maps[[want.index(p) for p in select]]
             if word_timestamps:
                 if full_capture:                        # (L, B, H, T, S)
@@ -616,6 +662,8 @@ class WhisperMedusaModel:
             scores=full_score_stack,
             cross_attentions=cross_attns,
             words=words,
+            decoder_attentions=dec_attns,
+            decoder_hidden_states=dec_hidden,
         )
 
     def _generate_longform(
@@ -624,6 +672,9 @@ class WhisperMedusaModel:
         compression_ratio_threshold, logprob_threshold,
         no_speech_threshold=None, return_timestamps=False,
         time_precision=0.02, condition_on_prev_tokens: bool = False,
+        return_scores=False, return_cross_attentions=False,
+        word_timestamps=False, alignment_heads=None, tokenizer=None,
+        return_decoder_attentions=False, return_hidden_states=False,
     ) -> GenerateOutput:
         """Sequential seek loop over 30 s windows (reference scaffolding:
         model.py:1591-1703, unreachable there for >30 s inputs).
@@ -650,7 +701,16 @@ class WhisperMedusaModel:
         Metrics: ``steps`` counts decode-loop iterations summed over rounds
         (each batched round serves every active example at once, so it is not
         comparable to the sequential path's per-example sum); ``accepted`` /
-        ``mean_accept_length`` are accumulated over *active* examples only."""
+        ``mean_accept_length`` are accumulated over *active* examples only.
+
+        Capture surfaces compose per window (VERDICT r4 #4; the reference
+        raises for ALL of this, model.py:1171-1175, 1214): each inner
+        shortform call runs its own post-hoc capture; word/segment times
+        shift by the window's seek offset; score rows follow the kept tokens
+        (one row per emitted token); attention maps / hidden states are
+        returned as per-example lists of per-window dicts keyed by
+        ``time_offset`` (no common positional layout exists to stack over).
+        """
         cfg = self.config
         st = self.special
         b, _, total_frames = feats.shape
@@ -659,6 +719,47 @@ class WhisperMedusaModel:
         all_tokens: List[List[int]] = [[] for _ in range(b)]
         all_segments: List[List[dict]] = [[] for _ in range(b)]
         steps_total, accepted_total = 0, 0
+        want_caps = bool(return_cross_attentions or return_decoder_attentions
+                         or return_hidden_states)
+        all_words: List[List[dict]] = [[] for _ in range(b)]
+        all_caps: List[List[dict]] = [[] for _ in range(b)]
+        all_score_rows: List[List[np.ndarray]] = [[] for _ in range(b)]
+        all_lp_rows: List[List[np.ndarray]] = [[] for _ in range(b)]
+        cap_kwargs = dict(
+            return_scores=return_scores,
+            return_cross_attentions=return_cross_attentions,
+            word_timestamps=word_timestamps,
+            alignment_heads=alignment_heads, tokenizer=tokenizer,
+            return_decoder_attentions=return_decoder_attentions,
+            return_hidden_states=return_hidden_states)
+
+        def fold_window(i, out, row, p_len, seek):
+            """Fold example ``i``'s kept tokens (+ capture surfaces) from
+            window output row ``row`` into the running transcript."""
+            raw = np.asarray(out.sequences[row, p_len: out.lengths[row]])
+            keep = raw != st.eos
+            if not return_timestamps:
+                keep &= raw < st.timestamp_begin
+            all_tokens[i].extend(raw[keep].tolist())
+            lp = np.asarray(out.token_logprobs[row, p_len: out.lengths[row]])
+            all_lp_rows[i].append(lp[keep])
+            if out.scores is not None:
+                all_score_rows[i].append(out.scores[row, : len(raw)][keep])
+            t_off = seek * 0.01
+            if out.words is not None:
+                all_words[i].extend(
+                    {**w, "start": w["start"] + t_off, "end": w["end"] + t_off}
+                    for w in out.words[row])
+            if want_caps:
+                entry = {"time_offset": t_off}
+                if out.cross_attentions is not None:
+                    entry["cross_attentions"] = out.cross_attentions[:, row]
+                if out.decoder_attentions is not None:
+                    entry["decoder_attentions"] = out.decoder_attentions[:, row]
+                if out.decoder_hidden_states is not None:
+                    entry["decoder_hidden_states"] = \
+                        out.decoder_hidden_states[:, row]
+                all_caps[i].append(entry)
 
         def pad_window(window):
             if window.shape[-1] < win:
@@ -707,7 +808,8 @@ class WhisperMedusaModel:
                     compression_ratio_threshold=compression_ratio_threshold,
                     logprob_threshold=logprob_threshold,
                     no_speech_threshold=no_speech_threshold,
-                    return_timestamps=True, time_precision=time_precision)
+                    return_timestamps=True, time_precision=time_precision,
+                    **cap_kwargs)
                 steps_total += out.steps
                 # Finished 'rider' rows decode too (static shapes) but their
                 # accepted counts must not inflate the speedup metric.
@@ -716,11 +818,7 @@ class WhisperMedusaModel:
                 for i in range(b):
                     if not active[i]:
                         continue
-                    toks = out.sequences[i, prompt_len: out.lengths[i]].tolist()
-                    toks = [t for t in toks if t != st.eos]
-                    if not return_timestamps:
-                        toks = [t for t in toks if t < st.timestamp_begin]
-                    all_tokens[i].extend(toks)
+                    fold_window(i, out, i, prompt_len, seeks[i])
                     seeks[i] += harvest(i, out, i, seeks[i])
                     if seeks[i] >= total_frames:
                         active[i] = False
@@ -729,7 +827,10 @@ class WhisperMedusaModel:
                     [(i, seeks[i], total_frames) for i in range(b) if active[i]])
             return self._longform_output(
                 all_tokens, all_segments, steps_total, accepted_total,
-                return_timestamps)
+                return_timestamps, all_words=all_words, all_caps=all_caps,
+                all_score_rows=all_score_rows, all_lp_rows=all_lp_rows,
+                return_scores=return_scores, word_timestamps=word_timestamps,
+                want_caps=want_caps)
 
         for i in range(b):
             lang_i = language if (language is None or isinstance(language, str)) \
@@ -763,16 +864,14 @@ class WhisperMedusaModel:
                     no_speech_threshold=no_speech_threshold,
                     return_timestamps=True,
                     time_precision=time_precision,
-                    prompt_ids=prompt_ids)
+                    prompt_ids=prompt_ids, **cap_kwargs)
                 steps_total += out.steps
                 accepted_total += int(out.accepted.sum())
                 p_len = prompt_len + (len(prompt_ids) if prompt_ids else 0)
                 toks = out.sequences[0, p_len: out.lengths[0]].tolist()
                 toks = [t for t in toks if t != st.eos]
                 prev_text = [t for t in toks if t < st.eos]
-                if not return_timestamps:
-                    toks = [t for t in toks if t < st.timestamp_begin]
-                all_tokens[i].extend(toks)
+                fold_window(i, out, 0, p_len, seek)
                 # Advance to the end of the last *complete* segment when possible.
                 seek += harvest(i, out, 0, seek)
             if seek < total_frames:
@@ -780,10 +879,17 @@ class WhisperMedusaModel:
 
         return self._longform_output(
             all_tokens, all_segments, steps_total, accepted_total,
-            return_timestamps)
+            return_timestamps, all_words=all_words, all_caps=all_caps,
+            all_score_rows=all_score_rows, all_lp_rows=all_lp_rows,
+            return_scores=return_scores, word_timestamps=word_timestamps,
+            want_caps=want_caps)
 
     def _longform_output(self, all_tokens, all_segments, steps_total,
-                         accepted_total, return_timestamps) -> GenerateOutput:
+                         accepted_total, return_timestamps, *,
+                         all_words=None, all_caps=None, all_score_rows=None,
+                         all_lp_rows=None, return_scores=False,
+                         word_timestamps=False,
+                         want_caps=False) -> GenerateOutput:
         st = self.special
         b = len(all_tokens)
         max_len_out = max((len(t) for t in all_tokens), default=0) + 1
@@ -792,11 +898,37 @@ class WhisperMedusaModel:
         for i, toks in enumerate(all_tokens):
             sequences[i, : len(toks)] = toks
             lengths[i] = len(toks)
+        # In-loop per-token logprobs compose for free: row j scores the token
+        # that landed at sequences[:, j].
+        token_logprobs = None
+        avg_logprobs = None
+        if all_lp_rows is not None:
+            token_logprobs = np.zeros((b, max_len_out), np.float32)
+            avg_logprobs = np.zeros((b,), np.float32)
+            for i, rows in enumerate(all_lp_rows):
+                lp = (np.concatenate(rows) if rows
+                      else np.zeros((0,), np.float32))
+                token_logprobs[i, : len(lp)] = lp
+                avg_logprobs[i] = lp.mean() if len(lp) else 0.0
+        scores = None
+        if return_scores == "full" and all_score_rows is not None:
+            v = self.config.dims.vocab_size
+            scores = np.zeros((b, max_len_out, v), np.float32)
+            for i, rows in enumerate(all_score_rows):
+                if rows:
+                    stk = np.concatenate(rows, axis=0)
+                    scores[i, : stk.shape[0]] = stk
+        words = all_words if word_timestamps else None
+        if words is not None and return_timestamps and all_segments:
+            _attach_words_to_segments(all_segments, words)
         return GenerateOutput(
             sequences=sequences, lengths=lengths, steps=steps_total,
             accepted=np.asarray([accepted_total]),
             mean_accept_length=accepted_total / max(steps_total, 1),
             segments=all_segments if return_timestamps else None,
+            token_logprobs=token_logprobs, avg_logprobs=avg_logprobs,
+            scores=scores, words=words,
+            cross_attentions=all_caps if want_caps else None,
         )
 
     def generate_stream(

@@ -461,6 +461,123 @@ def decode_train(
     return DecoderOutput(hidden=hidden, penultimate=penultimate, pre_norm=pre_norm)
 
 
+def self_attn_probs(lp: Params, x: jnp.ndarray,
+                    num_heads: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Causal self-attention that also returns the softmax probabilities.
+
+    Returns (out (B, T, D), probs (B, H, T, T) float32) — the decoder
+    self-attention maps the reference reassembles into
+    ``decoder_attentions`` (model.py:317-377 ``_update_medusa_outputs``).
+    Capture-path only (the probs tensor is exactly what the Pallas kernels
+    exist to avoid materializing).
+    """
+    head_dim = x.shape[-1] // num_heads
+    q = _split_heads(dense(x, lp["q_w"], lp["q_b"]), num_heads) * (head_dim ** -0.5)
+    k = _split_heads(dense(x, lp["k_w"]), num_heads)
+    v = _split_heads(dense(x, lp["v_w"], lp["v_b"]), num_heads)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    t = x.shape[1]
+    causal = jnp.tril(jnp.ones((t, t), jnp.bool_))[None, None]
+    logits = jnp.where(causal, logits, jnp.float32(-1e30))
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    return dense(_merge_heads(out), lp["o_w"], lp["o_b"]), probs
+
+
+def decode_train_capture(
+    params: Params,
+    dims: WhisperDims,
+    tokens: jnp.ndarray,            # (B, T) int32
+    enc_out: jnp.ndarray,           # (B, S, D)
+    cross: Optional[Any] = None,    # None | "all" | ((layer, head), ...)
+    self_attn: Optional[Any] = None,  # None | "all" | ((layer, head), ...)
+    collect_hidden: bool = False,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray],
+           Optional[jnp.ndarray]]:
+    """Teacher-forced decoder pass capturing attention maps / hidden states.
+
+    One post-hoc teacher-forced pass over the final sequence reproduces
+    exactly the activations the serving loop computed (same weights, same
+    inputs), so capture never taxes the decode hot path — the TPU-first
+    alternative to the reference hauling per-step attention/hidden-state
+    tuples out of generate (model.py:317-377 ``_update_medusa_outputs``,
+    which reassembles ``cross_attentions``, ``decoder_attentions`` AND
+    ``decoder_hidden_states``).  The layer loop is unrolled (no scan):
+    unselected maps die at their layer, selected ones are plain Python list
+    entries.
+
+    ``cross`` / ``self_attn``: ``None`` skips capture; ``"all"`` keeps every
+    head — (L, B, H, T, S) cross / (L, B, H, T, T) self; a static tuple of
+    (layer, head) pairs keeps only those maps — (N_sel, B, T, S) /
+    (N_sel, B, T, T) float32 in the given order.  DTW word timestamps consume
+    the cross maps (decoding/word_timestamps.py).
+
+    ``collect_hidden``: also return the per-layer hidden-state stack
+    (L+1, B, T, D) — row 0 the embedding output, row 1+l layer l's output
+    (pre-ln_post, matching HF's ``decoder_hidden_states`` tuple layout).
+
+    Returns (hidden (B, T, D) after ln_post, cross_maps, self_maps, hiddens);
+    un-requested captures are None.
+    """
+    dec = params["decoder"]
+    nh = dims.decoder_attention_heads
+    t = tokens.shape[1]
+    x = embed_lookup(dec["embed_tokens"], tokens) + dec["pos_embed"][None, :t]
+
+    def want_map(sel):
+        want: Dict[int, list] = {}
+        if sel is not None and sel != "all":
+            for i, (l, h) in enumerate(sel):
+                want.setdefault(int(l), []).append((i, int(h)))
+        return want
+
+    c_want, s_want = want_map(cross), want_map(self_attn)
+    c_sel: list = [None] * (0 if cross in (None, "all") else len(cross))
+    s_sel: list = [None] * (0 if self_attn in (None, "all") else len(self_attn))
+    c_all: list = []
+    s_all: list = []
+    hiddens: list = [x] if collect_hidden else []
+
+    for l in range(dims.decoder_layers):
+        lp = jax.tree.map(lambda a, _l=l: a[_l], dec["layers"])
+        ln_x = layer_norm(x, lp["self_ln"]["scale"], lp["self_ln"]["bias"])
+        if self_attn == "all" or l in s_want:
+            s_out, s_probs = self_attn_probs(lp["self"], ln_x, nh)
+            if self_attn == "all":
+                s_all.append(s_probs)
+            else:
+                for i, hd in s_want[l]:
+                    s_sel[i] = s_probs[:, hd]
+        else:
+            s_out = self_attn_full(lp["self"], ln_x, nh, causal=True)
+        h = x + s_out
+        ln_h = layer_norm(h, lp["cross_ln"]["scale"], lp["cross_ln"]["bias"])
+        if cross == "all" or l in c_want:
+            c_out, probs = cross_attn_probs(lp["cross"], ln_h, enc_out, nh)
+            if cross == "all":
+                c_all.append(probs)
+            else:
+                for i, hd in c_want[l]:
+                    c_sel[i] = probs[:, hd]
+        else:
+            c_out = cross_attn_full(lp["cross"], ln_h, enc_out, nh)
+        h = h + c_out
+        x = h + ffn(lp, layer_norm(h, lp["ffn_ln"]["scale"],
+                                   lp["ffn_ln"]["bias"]))
+        if collect_hidden:
+            hiddens.append(x)
+
+    hidden = layer_norm(x, dec["ln_post"]["scale"], dec["ln_post"]["bias"])
+    cross_maps = (jnp.stack(c_all) if cross == "all"
+                  else jnp.stack(c_sel) if c_sel else None)
+    self_maps = (jnp.stack(s_all) if self_attn == "all"
+                 else jnp.stack(s_sel) if s_sel else None)
+    hid = jnp.stack(hiddens) if collect_hidden else None
+    return hidden, cross_maps, self_maps, hid
+
+
 def decode_train_cross_attn(
     params: Params,
     dims: WhisperDims,
@@ -468,55 +585,16 @@ def decode_train_cross_attn(
     enc_out: jnp.ndarray,           # (B, S, D)
     select: Optional[Tuple[Tuple[int, int], ...]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Teacher-forced decoder pass that also captures cross-attention maps.
+    """Cross-attention-only capture (see :func:`decode_train_capture`).
 
     ``select``: static tuple of (layer, head) alignment-head pairs — only
     those maps are kept, returned as (N_sel, B, T, S) float32 in the given
     order.  ``None`` keeps every head: (L, B, H, T, S) — debug/tiny-model use
-    only at large dims.
-
-    One post-hoc teacher-forced pass over the final sequence reproduces
-    exactly the attention the serving loop computed (same weights, same
-    inputs), so capture never taxes the decode hot path — the TPU-first
-    alternative to the reference hauling per-step attention tuples out of
-    generate (model.py:317-377 ``_update_medusa_outputs``).  The layer loop is
-    unrolled (no scan): unselected maps die at their layer, selected ones are
-    plain Python list entries.  DTW word timestamps consume these
-    (decoding/word_timestamps.py).
-
-    Returns (hidden (B, T, D) after ln_post, maps).
+    only at large dims.  Returns (hidden after ln_post, maps).
     """
-    dec = params["decoder"]
-    nh = dims.decoder_attention_heads
-    t = tokens.shape[1]
-    x = embed_lookup(dec["embed_tokens"], tokens) + dec["pos_embed"][None, :t]
-
-    want: Dict[int, list] = {}
-    if select is not None:
-        for i, (l, h) in enumerate(select):
-            want.setdefault(int(l), []).append((i, int(h)))
-    sel_maps: list = [None] * (0 if select is None else len(select))
-    all_maps: list = []
-
-    for l in range(dims.decoder_layers):
-        lp = jax.tree.map(lambda a, _l=l: a[_l], dec["layers"])
-        h = x + self_attn_full(
-            lp["self"], layer_norm(x, lp["self_ln"]["scale"],
-                                   lp["self_ln"]["bias"]), nh, causal=True)
-        c_out, probs = cross_attn_probs(
-            lp["cross"], layer_norm(h, lp["cross_ln"]["scale"],
-                                    lp["cross_ln"]["bias"]), enc_out, nh)
-        h = h + c_out
-        x = h + ffn(lp, layer_norm(h, lp["ffn_ln"]["scale"],
-                                   lp["ffn_ln"]["bias"]))
-        if select is None:
-            all_maps.append(probs)
-        else:
-            for i, hd in want.get(l, []):
-                sel_maps[i] = probs[:, hd]
-
-    hidden = layer_norm(x, dec["ln_post"]["scale"], dec["ln_post"]["bias"])
-    maps = jnp.stack(all_maps) if select is None else jnp.stack(sel_maps)
+    hidden, maps, _, _ = decode_train_capture(
+        params, dims, tokens, enc_out,
+        cross="all" if select is None else select)
     return hidden, maps
 
 
