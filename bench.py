@@ -140,15 +140,32 @@ def main(batch: int = 1, int8: bool = False):
     feats = feats.astype(jnp.bfloat16)
     enc = enc_fn(wp, feats)
     fetch(enc)
+    # Chain the timing loop ON DEVICE (fori_loop with a negligible scalar
+    # data dependency): the axon tunnel costs ~0.3 ms per dispatch + ~25 ms
+    # per fetch, which inflated the round-4 host-side 5-call groups by
+    # ~5-8 ms/call — encoder_mfu_pct was a measurement artifact, not an
+    # encoder property (no-op calibration, round 5).  Same rationale as the
+    # decode legs' fori_loop chains.
+    enc_steps = 20
+
+    def enc_chain(p, m):
+        def body(i, carry):
+            mc, acc = carry
+            out = whisper.encode(p, dims, mc)
+            lead = out.ravel()[0]
+            eps = (lead.astype(jnp.float32) * 1e-24).astype(m.dtype)
+            return (m + eps, acc + lead.astype(jnp.float32))
+        return jax.lax.fori_loop(0, enc_steps, body,
+                                 (m, jnp.float32(0)))[1]
+
+    enc_chained = jax.jit(enc_chain)
+    fetch(enc_chained(wp, feats))
     enc_dts = []
-    for _ in range(4):
+    for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(5):
-            enc = enc_fn(wp, feats)
-        fetch(enc)
-        enc_dts.append((time.perf_counter() - t0) / 5)
-    # One fetch amortized over 5 chained calls; min-over-groups for tunnel
-    # jitter immunity (same rationale as timed() below).
+        out = enc_chained(wp, feats)
+        fetch(out)
+        enc_dts.append((time.perf_counter() - t0) / enc_steps)
     enc_ms = min(enc_dts) * 1e3
     enc_flops = encoder_fwd_flops(dims)
     # v5e bf16 peak 197 TFLOP/s (v4 275, v5p 459).
@@ -462,12 +479,13 @@ def main(batch: int = 1, int8: bool = False):
 
             bt, lab_len = 8, 224
             opt = train_mod.make_optimizer("adafactor", lr=1e-4)
-            # decoder_remat=False (skip the decoder recompute pass) needs 42 GB
-            # of live decoder activations at B=8 and "dots" still OOMs on the
-            # cross-attention score dots vs S=1500 — full remat on both stacks
-            # is the config that fits a 16 GB v5e at this batch (measured,
-            # tools/train_profile.py b=8 t=224).
-            step_fn = jax.jit(train_mod.make_train_step(config, opt, None))
+            # decoder_remat=False needs 42 GB of live decoder activations at
+            # B=8 and "dots" still OOMs — remat="attn" (save only the tagged
+            # attention outputs, ~1.3 GB at B=8; the recompute pass skips the
+            # attention kernels) is the best config that fits a 16 GB v5e at
+            # this batch: 1045 ms vs full remat's 1095 (round-5 measurements,
+            # /tmp/train_meas harness; decomposition in DESIGN.md).
+            step_fn = jax.jit(train_mod.make_train_step(config, opt, None, remat="attn"))
             state = train_mod.init_train_state(
                 {"whisper": wp, "medusa": mp}, opt)
             feats_t = jnp.tile(feats[:1], (bt, 1, 1))
@@ -490,7 +508,7 @@ def main(batch: int = 1, int8: bool = False):
             flops = 3 * 2 * (p_enc * bt * dims.max_source_positions
                              + (p_dec + p_heads) * bt * lab_len)
             mfu = flops / dt / 197e12
-            log(f"train step (B={bt}, T={lab_len}, full-remat, adafactor): "
+            log(f"train step (B={bt}, T={lab_len}, attn-remat, adafactor): "
                 f"{dt * 1e3:.0f} ms, {bt * lab_len / dt:.0f} label-tok/s, "
                 f"MFU {100 * mfu:.0f}%")
             extra["train_step_ms"] = round(dt * 1e3, 1)

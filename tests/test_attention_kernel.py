@@ -17,6 +17,9 @@ import whisper_medusa_tpu.ops.attention as A
 def interpret_mode(monkeypatch):
     monkeypatch.setattr(A, "_INTERPRET", True)
     monkeypatch.setattr(A, "_ENABLED", True)
+    # Pin a sub-sequence block so the multi-q-block grid paths stay covered
+    # (the production default is whole-sequence 1536).
+    monkeypatch.setattr(A, "_BLOCK_Q", 512)
 
 
 def _qkv(shape, seed=0, dtype=jnp.float32):
@@ -116,3 +119,65 @@ def test_encoder_padding_equivalence(monkeypatch):
     assert padded.shape == ref.shape
     np.testing.assert_allclose(np.asarray(padded), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+# -------------------------- rectangular q (VERDICT r4 #2: train cross-attn)
+
+@pytest.mark.parametrize("q_len,kv_len", [(256, 1024), (256, 1000), (512, 1536)])
+def test_rect_kernel_matches_xla(q_len, kv_len):
+    rng = np.random.default_rng(q_len + kv_len)
+    s_pad = 1024 if kv_len <= 1024 else 1536
+    q = jnp.asarray(rng.normal(size=(2, 2, q_len, 64)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(2, 2, s_pad, 64)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(2, 2, s_pad, 64)), jnp.float32)
+    out_k = A._attention_pallas(q, k, v, kv_len, False)
+    out_x = A._attention_xla(q, k, v, kv_len, False)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_rect_grad_matches_xla():
+    """Rectangular fwd+bwd through the custom vjp (the decode_train cross
+    attention shape class: T queries vs S_pad keys, pad keys masked)."""
+    rng = np.random.default_rng(17)
+    q = jnp.asarray(rng.normal(size=(1, 2, 256, 64)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, 2, 1024, 64)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(1, 2, 1024, 64)), jnp.float32)
+
+    def loss_kernel(q, k, v):
+        return jnp.sum(A._attention_custom(1000, False, q, k, v) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(A._attention_xla(q, k, v, 1000, False) ** 2)
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gk, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_rect_entry_pads_and_slices():
+    """full_attention_bhsd pads unaligned q (224 -> 256) and slices back;
+    value AND gradient match the XLA formulation, incl. dK/dV zero-fill from
+    the pad rows."""
+    rng = np.random.default_rng(23)
+    q = jnp.asarray(rng.normal(size=(1, 2, 224, 64)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, 2, 1024, 64)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(1, 2, 1024, 64)), jnp.float32)
+
+    def loss_entry(q, k, v):
+        return jnp.sum(A.full_attention_bhsd(q, k, v, kv_len=1000) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(A._attention_xla(q, k, v, 1000, False) ** 2)
+
+    np.testing.assert_allclose(
+        np.asarray(A.full_attention_bhsd(q, k, v, kv_len=1000)),
+        np.asarray(A._attention_xla(q, k, v, 1000, False)),
+        atol=1e-5, rtol=1e-5)
+    gk = jax.grad(loss_entry, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gk, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)

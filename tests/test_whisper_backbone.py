@@ -155,3 +155,29 @@ def test_incremental_decode_per_example_offsets(hf_pair):
         got = np.asarray(out.hidden[i])
         want = np.asarray(full[i, pl : pl + 3])
         np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
+
+
+def test_conv1d_stem_matches_lax_conv():
+    """The im2col matmul stem (round 5: replaces XLA's 1-6%-MFU conv
+    lowering) computes exactly lax.conv_general_dilated's taps for both
+    stride-1 and stride-2, odd and even lengths."""
+    import numpy as np
+    from jax import lax
+
+    from whisper_medusa_tpu.models import whisper as W
+    from whisper_medusa_tpu.ops import gelu as gelu_mod
+
+    rng = np.random.default_rng(0)
+    for t, stride in ((3000, 1), (3000, 2), (17, 1), (17, 2), (8, 2)):
+        cin, cout = 16, 24
+        x = jnp.asarray(rng.normal(size=(2, t, cin)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(3, cin, cout)) * 0.1, jnp.float32)
+        b = jnp.asarray(rng.normal(size=(cout,)), jnp.float32)
+        got = W.conv1d_stem(x, w, b, stride=stride)
+        ref = lax.conv_general_dilated(
+            x, w, (stride,), [(1, 1)],
+            dimension_numbers=("NWC", "WIO", "NWC"))
+        ref = gelu_mod.gelu(ref + b)
+        assert got.shape == ref.shape, (t, stride, got.shape, ref.shape)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)

@@ -47,13 +47,35 @@ def fetch(out):
 
 
 def timeit(name, fn, *args, steps=10, flops=None):
-    out = fn(*args)
-    fetch(out)
+    """Time ``fn(*args)`` per call with the loop ON DEVICE.
+
+    The axon tunnel costs ~0.3 ms per dispatch plus ~25 ms per fetch; a
+    host-side steps=10 loop therefore inflates every ablation by ~3 ms/call
+    (round-5 no-op calibration) — which is how the conv stem 'measured'
+    6 ms at 1% MFU regardless of implementation.  Chaining the calls in a
+    ``fori_loop`` with a negligible scalar data dependency (out[0]*1e-24
+    folded into the input) pays ONE dispatch + fetch per group, like the
+    decode-path profilers.
+    """
+    *consts, x = args
+
+    def run(cs, x0):
+        def body(i, carry):
+            xc, acc = carry
+            out = fn(*cs, xc)
+            lead = out.ravel()[0]
+            eps = (lead.astype(jnp.float32) * 1e-24).astype(x0.dtype)
+            return (x0 + eps, acc + lead.astype(jnp.float32))
+        return lax.fori_loop(0, steps, body, (x0, jnp.float32(0)))[1]
+
+    # Weights ride as jit ARGUMENTS (embedding them as closed-over literals
+    # 413s the axon remote-compile endpoint on 600 MB HLO bodies).
+    chained = jax.jit(run)
+    fetch(chained(consts, x))
     dts = []
     for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(steps):
-            out = fn(*args)
+        out = chained(consts, x)
         fetch(out)
         dts.append((time.perf_counter() - t0) / steps)
     dt = min(dts)
@@ -131,6 +153,14 @@ def main():
     if "conv" in which:
         def conv_stem(m):
             x = jnp.swapaxes(m, 1, 2).astype(jnp.bfloat16)
+            x = whisper.conv1d_stem(x, enc["conv1_w"], enc["conv1_b"], 1)
+            return whisper.conv1d_stem(x, enc["conv2_w"], enc["conv2_b"], 2)
+        timeit(f"conv stem b={b}", jax.jit(conv_stem), mel, steps=steps,
+               flops=fl_conv)
+    if "convxla" in which:
+        # The lax.conv lowering the im2col stem replaced (round-5 A/B).
+        def conv_stem_xla(m):
+            x = jnp.swapaxes(m, 1, 2).astype(jnp.bfloat16)
             dn = ("NWC", "WIO", "NWC")
             from whisper_medusa_tpu.ops import gelu as gelu_mod
             x = lax.conv_general_dilated(x, enc["conv1_w"], (1,), [(1, 1)],
@@ -139,8 +169,8 @@ def main():
             x = lax.conv_general_dilated(x, enc["conv2_w"], (2,), [(1, 1)],
                                          dimension_numbers=dn)
             return gelu_mod.gelu(x + enc["conv2_b"])
-        timeit(f"conv stem b={b}", jax.jit(conv_stem), mel, steps=steps,
-               flops=fl_conv)
+        timeit(f"conv stem XLA-conv b={b}", jax.jit(conv_stem_xla), mel,
+               steps=steps, flops=fl_conv)
 
     if "attn" in which:
         def stack_attn(layers, x):

@@ -252,7 +252,16 @@ def self_attn_full(lp: Params, x: jnp.ndarray, num_heads: int, causal: bool,
 
 
 def cross_attn_full(lp: Params, x: jnp.ndarray, enc: jnp.ndarray,
-                    num_heads: int) -> jnp.ndarray:
+                    num_heads: int,
+                    kv_len: Optional[int] = None) -> jnp.ndarray:
+    """Full cross-attention (teacher-forced decoder).
+
+    ``kv_len``: real encoder positions when ``enc`` is pre-padded to the
+    Pallas kernel's 256-key alignment (see :func:`pad_enc_for_cross`) — the
+    rectangular (T queries x S_pad keys) kernel then keeps the probability
+    matrix out of HBM in BOTH directions (round 5; was the last
+    probs-in-HBM site in training, VERDICT r4 #2).
+    """
     from whisper_medusa_tpu.ops import attention as attn_mod
 
     head_dim = x.shape[-1] // num_heads
@@ -264,8 +273,24 @@ def cross_attn_full(lp: Params, x: jnp.ndarray, enc: jnp.ndarray,
     q = _proj_bhsd(x, lp["q_w"], lp["q_b"], num_heads) * (head_dim ** -0.5)
     k = _proj_bhsd(enc, lp["k_w"], None, num_heads)
     v = _proj_bhsd(enc, lp["v_w"], lp["v_b"], num_heads)
-    out = attn_mod.full_attention_bhsd(q, k, v, causal=False)
+    out = attn_mod.full_attention_bhsd(q, k, v, kv_len=kv_len, causal=False)
     return _out_proj_bhsd(out, lp["o_w"], lp["o_b"], num_heads)
+
+
+def pad_enc_for_cross(enc_out: jnp.ndarray) -> Tuple[jnp.ndarray, Optional[int]]:
+    """Pad encoder output once to the cross-attention kernel's 256-key
+    alignment (1500 -> 1536 at Whisper dims).  Returns (enc, kv_len) where
+    kv_len is None when unpadded (kernel unavailable or already aligned —
+    the XLA fallback then masks nothing).  Padding BEFORE the per-layer K/V
+    projections costs ~2% extra projection FLOPs and zero copies per layer;
+    pad keys are masked via kv_len so real rows never read them."""
+    from whisper_medusa_tpu.ops import attention as attn_mod
+
+    s_real = enc_out.shape[1]
+    s_pad = attn_mod.pad_to_block(s_real, attn_mod._BLOCK_Q_MIN)
+    if s_pad != s_real and attn_mod.kernel_available(s_pad):
+        return jnp.pad(enc_out, ((0, 0), (0, s_pad - s_real), (0, 0))), s_real
+    return enc_out, None
 
 
 def cross_attn_probs(lp: Params, x: jnp.ndarray, enc: jnp.ndarray,
@@ -302,19 +327,29 @@ def ffn(lp_prefix: Params, x: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def decoder_layer_full(lp: Params, x: jnp.ndarray, enc_out: jnp.ndarray,
-                       num_heads: int) -> jnp.ndarray:
+                       num_heads: int,
+                       enc_kv_len: Optional[int] = None) -> jnp.ndarray:
     """One full-sequence decoder layer (causal self + cross + ffn).
 
     Used for the medusa-block extra layer and the frozen-teacher replay layer in
-    teacher-forced training (reference: model.py:1382-1393, 2062-2073)."""
+    teacher-forced training (reference: model.py:1382-1393, 2062-2073).
+    ``enc_kv_len``: real key count when ``enc_out`` is kernel-pad-aligned
+    (see :func:`pad_enc_for_cross`)."""
     h = x + self_attn_full(
         lp["self"], layer_norm(x, lp["self_ln"]["scale"], lp["self_ln"]["bias"]),
         num_heads, causal=True)
     h = h + cross_attn_full(
         lp["cross"], layer_norm(h, lp["cross_ln"]["scale"], lp["cross_ln"]["bias"]),
-        enc_out, num_heads)
+        enc_out, num_heads, kv_len=enc_kv_len)
     h = h + ffn(lp, layer_norm(h, lp["ffn_ln"]["scale"], lp["ffn_ln"]["bias"]))
     return h
+
+
+def _ckpt_name(x: jnp.ndarray, name: str) -> jnp.ndarray:
+    """Tag a value for selective remat policies (no-op outside remat)."""
+    from jax.ad_checkpoint import checkpoint_name
+
+    return checkpoint_name(x, name)
 
 
 def _remat_wrap(layer_fn, remat):
@@ -325,7 +360,12 @@ def _remat_wrap(layer_fn, remat):
     matmul outputs, recompute only the cheap elementwise chain
     (jax.checkpoint_policies.dots_with_no_batch_dims_saveable: the standard
     selective policy — attention score/PV matmuls carry batch dims so they
-    recompute, weight projections don't so they're saved)."""
+    recompute, weight projections don't so they're saved); "attn" — save ONLY
+    the attention block outputs (tagged ``checkpoint_name("attn_out")`` in
+    the layer bodies): the recompute pass then skips re-running the attention
+    kernels — the priciest ~40% of an encoder layer's forward — for
+    ~32 MB/layer at B=8 (round 5; full-remat's recompute was the train-MFU
+    bottleneck, tools/train_profile.py)."""
     if remat in (False, None):
         return layer_fn
     if remat in (True, "full"):
@@ -334,7 +374,43 @@ def _remat_wrap(layer_fn, remat):
         return jax.checkpoint(
             layer_fn,
             policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
-    raise ValueError(f"remat={remat!r}: expected bool, 'full' or 'dots'")
+    if remat == "attn":
+        return jax.checkpoint(
+            layer_fn,
+            policy=jax.checkpoint_policies.save_only_these_names("attn_out"))
+    raise ValueError(
+        f"remat={remat!r}: expected bool, 'full', 'dots' or 'attn'")
+
+
+def conv1d_stem(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+                stride: int) -> jnp.ndarray:
+    """k=3, pad=1 1-D convolution as an im2col matmul, followed by GELU.
+
+    ``x``: (B, T, C_in); ``w``: (3, C_in, C_out) in WIO layout (exactly the
+    ``lax.conv_general_dilated`` weight this replaces — checkpoints are
+    unchanged); ``b``: (C_out,).  Output: (B, ceil(T/stride), C_out).
+
+    Output position t reads padded inputs [stride*t, stride*t+2], i.e. the
+    three stride-phased slices of the padded sequence — so the conv is ONE
+    (B*T_out, 3*C_in) x (3*C_in, C_out) matmul with f32 accumulation.  XLA's
+    TPU conv lowering runs the Whisper stem at 1-6% MFU; this form runs at
+    matmul efficiency and is what HF/torch Conv1d computes bit-for-bit (same
+    taps, same weights; reference path: model.py:113-129 -> HF
+    WhisperEncoder.conv1/conv2).
+    """
+    t = x.shape[1]
+    t_out = -(-t // stride)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0)))
+    taps = [xp[:, w0:w0 + 1 + stride * (t_out - 1) + 1:stride]
+            for w0 in range(3)]
+    # Slices can overrun by one row when stride=1 (t_out*stride+2 >
+    # t_pad for the last tap); jnp slicing clamps, so pad the short tap.
+    taps = [jnp.pad(s, ((0, 0), (0, t_out - s.shape[1]), (0, 0)))
+            if s.shape[1] < t_out else s[:, :t_out] for s in taps]
+    cat = jnp.concatenate(taps, axis=-1)               # (B, T_out, 3*C_in)
+    w2 = w.reshape(-1, w.shape[-1])                    # (3*C_in, C_out)
+    y = jnp.dot(cat, w2, preferred_element_type=jnp.float32)
+    return gelu_mod.gelu((y + b.astype(jnp.float32)).astype(x.dtype))
 
 
 def encode(params: Params, dims: WhisperDims, mel: jnp.ndarray,
@@ -353,11 +429,12 @@ def encode(params: Params, dims: WhisperDims, mel: jnp.ndarray,
     enc = params["encoder"]
     x = jnp.swapaxes(mel, 1, 2).astype(enc["conv1_w"].dtype)  # (B, T, mel)
     # Conv stem: k=3 pad=1 stride=1, then k=3 pad=1 stride=2, GELU after each.
-    dn = ("NWC", "WIO", "NWC")
-    x = lax.conv_general_dilated(x, enc["conv1_w"], (1,), [(1, 1)], dimension_numbers=dn)
-    x = gelu_mod.gelu(x + enc["conv1_b"])
-    x = lax.conv_general_dilated(x, enc["conv2_w"], (2,), [(1, 1)], dimension_numbers=dn)
-    x = gelu_mod.gelu(x + enc["conv2_b"])
+    # Expressed as im2col MATMULS, not lax.conv: XLA's TPU conv lowering runs
+    # this stem at 1-6% MFU (6.1 ms of the 30 ms B=1 encoder,
+    # tools/encoder_profile.py round 5); three shifted slices + one MXU-shaped
+    # matmul run the same math at matmul efficiency.
+    x = conv1d_stem(x, enc["conv1_w"], enc["conv1_b"], stride=1)
+    x = conv1d_stem(x, enc["conv2_w"], enc["conv2_b"], stride=2)
     x = x + enc["pos_embed"][None, : x.shape[1]]
 
     nh = dims.encoder_attention_heads
@@ -376,7 +453,8 @@ def encode(params: Params, dims: WhisperDims, mel: jnp.ndarray,
         kv_len = s_real
 
     def layer_fn(h, lp):
-        h = h + self_attn_full(lp["self"], layer_norm(h, lp["self_ln"]["scale"], lp["self_ln"]["bias"]), nh, causal=False, kv_len=kv_len)
+        a = self_attn_full(lp["self"], layer_norm(h, lp["self_ln"]["scale"], lp["self_ln"]["bias"]), nh, causal=False, kv_len=kv_len)
+        h = h + _ckpt_name(a, "attn_out")
         h = h + ffn(lp, layer_norm(h, lp["ffn_ln"]["scale"], lp["ffn_ln"]["bias"]))
         return h, None
 
@@ -426,10 +504,13 @@ def decode_train(
     nh = dims.decoder_attention_heads
     t = tokens.shape[1]
     x = embed_lookup(dec["embed_tokens"], tokens) + dec["pos_embed"][None, :t]
+    enc_out, enc_kv_len = pad_enc_for_cross(enc_out)
 
     def layer_body(h, lp):
-        h = h + self_attn_full(lp["self"], layer_norm(h, lp["self_ln"]["scale"], lp["self_ln"]["bias"]), nh, causal=True)
-        h = h + cross_attn_full(lp["cross"], layer_norm(h, lp["cross_ln"]["scale"], lp["cross_ln"]["bias"]), enc_out, nh)
+        a = self_attn_full(lp["self"], layer_norm(h, lp["self_ln"]["scale"], lp["self_ln"]["bias"]), nh, causal=True)
+        h = h + _ckpt_name(a, "attn_out")
+        c = cross_attn_full(lp["cross"], layer_norm(h, lp["cross_ln"]["scale"], lp["cross_ln"]["bias"]), enc_out, nh, kv_len=enc_kv_len)
+        h = h + _ckpt_name(c, "attn_out")
         h = h + ffn(lp, layer_norm(h, lp["ffn_ln"]["scale"], lp["ffn_ln"]["bias"]))
         return h
 

@@ -36,8 +36,19 @@ import jax
 import jax.numpy as jnp
 
 _MIN_SEQ = 1024          # kernel pays off for encoder-scale sequences
-_BLOCK_Q = 512           # fastest in-context on v5e (encoder sweep: 24.6 ms
-                         # at 384/512 vs 26.5 at 128, 25.7 at 768)
+_BLOCK_Q = int(os.environ.get("WM_ATTENTION_BLOCK_Q", "1536"))
+                         # Whole-sequence q block: the round-5 on-device-
+                         # chained sweep (tools/encoder_profile.py b=1/b=8,
+                         # bq in 256..1536) has 1536 fastest at BOTH batches
+                         # (b=8 encoder 186.5 -> 183.0 ms vs 512) — one
+                         # (1536, 1536) f32 score tile fits VMEM at Dh=64,
+                         # so there is no reason to split q.  Rectangular
+                         # callers still block at min(_BLOCK_Q, q_pad).
+_BLOCK_Q_BWD = int(os.environ.get("WM_ATTENTION_BLOCK_Q_BWD", "512"))
+                         # The backward cell keeps ~4 (block_q, S) f32 tiles
+                         # live (s, p, dp, ds); a whole-sequence 1536 block
+                         # exceeds VMEM and fails Mosaic compile, so the
+                         # backward stays at 512 q-rows per grid step.
 _LANE = 128
 
 _ENABLED = os.environ.get("WM_ATTENTION_KERNEL", "1") == "1"
@@ -84,14 +95,21 @@ def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int,
 
 
 def _attention_pallas(q, k, v, kv_len: int, causal: bool):
-    """q, k, v: (B, H, S_pad, D) with S_pad % block_q == 0."""
+    """q: (B, H, Q_pad, D), k/v: (B, H, S_pad, D); Q_pad % block_q == 0.
+
+    Rectangular (Q_pad != S_pad) is first-class (round 5): the grid runs over
+    q-blocks while K/V stay fully resident per (batch, head) — the shape of
+    the decoder's teacher-forced CROSS attention (224-448 queries against
+    1536 keys), which previously fell back to the probs-in-HBM XLA path and
+    capped train MFU (VERDICT r4 #2)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    b, h, s_pad, d = q.shape
-    block_q = min(_BLOCK_Q, s_pad)
-    assert s_pad % block_q == 0, (s_pad, block_q)
-    grid = (b, h, s_pad // block_q)
+    b, h, q_pad, d = q.shape
+    s_pad = k.shape[2]
+    block_q = min(_BLOCK_Q, q_pad)
+    assert q_pad % block_q == 0, (q_pad, block_q)
+    grid = (b, h, q_pad // block_q)
 
     kern = functools.partial(_attention_kernel, kv_len=kv_len, causal=causal,
                              block_q=block_q)
@@ -151,6 +169,11 @@ def _flash_bwd_ok(q) -> bool:
             and _on_tpu()
             and q.shape[2] % 512 == 0
             and q.shape[3] in (64, 128, 256))
+
+
+def _is_square(res) -> bool:
+    q, k, _ = res
+    return q.shape[2] == k.shape[2]
 
 
 def _attention_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
@@ -218,9 +241,10 @@ def _attention_bwd_pallas(q, k, v, g, kv_len: int, causal: bool):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    b, h, s_pad, d = q.shape
-    block_q = min(_BLOCK_Q, s_pad)
-    nq = s_pad // block_q
+    b, h, q_pad, d = q.shape
+    s_pad = k.shape[2]
+    block_q = _bwd_block(q_pad)
+    nq = q_pad // block_q
     grid = (b, h, nq)
     kern = functools.partial(_attention_bwd_kernel, kv_len=kv_len,
                              causal=causal, block_q=block_q, nq=nq)
@@ -231,7 +255,9 @@ def _attention_bwd_pallas(q, k, v, g, kv_len: int, causal: bool):
         grid=grid,
         in_specs=[qblk, full, full, qblk],
         out_specs=[qblk, full, full],
-        out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype) for _ in range(3)],
+        out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype),
+                   jax.ShapeDtypeStruct(k.shape, k.dtype),
+                   jax.ShapeDtypeStruct(v.shape, v.dtype)],
         scratch_shapes=[pltpu.VMEM((s_pad, d), jnp.float32),
                         pltpu.VMEM((s_pad, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -240,19 +266,28 @@ def _attention_bwd_pallas(q, k, v, g, kv_len: int, causal: bool):
     )(q, k, v, g.astype(q.dtype))
 
 
+def _bwd_block(q_pad: int) -> int:
+    """Largest q-block <= _BLOCK_Q_BWD that divides q_pad (0 if none)."""
+    for bq in range(min(_BLOCK_Q_BWD, q_pad), 0, -128):
+        if q_pad % bq == 0:
+            return bq
+    return 0
+
+
 def _pallas_bwd_ok(q) -> bool:
     """Purpose-built backward kernel gate (default ON; WM_ATTENTION_BWD=xla
-    or =flash selects the fallbacks)."""
+    or =flash selects the fallbacks).  Rectangular q is fine (the q axis is
+    the grid axis; K/V stay resident)."""
     return (os.environ.get("WM_ATTENTION_BWD", "pallas") == "pallas"
             and (_on_tpu() or _INTERPRET)
-            and q.shape[2] % min(_BLOCK_Q, q.shape[2]) == 0)
+            and _bwd_block(q.shape[2]) >= 128)
 
 
 def _attention_bwd(kv_len, causal, res, g):
     q, k, v = res
     if _pallas_bwd_ok(q):
         return _attention_bwd_pallas(q, k, v, g, kv_len, causal)
-    if _flash_bwd_ok(q):
+    if _flash_bwd_ok(q) and _is_square(res):
         # JAX's in-tree TPU flash kernels recompute probabilities per block
         # in VMEM; our tensors are already in their native (B, H, S, D)
         # layout.  (The in-tree FORWARD lost to the purpose-built kernel at
@@ -281,18 +316,34 @@ def _attention_bwd(kv_len, causal, res, g):
 _attention_custom.defvjp(_attention_fwd, _attention_bwd)
 
 
+_BLOCK_Q_MIN = 256       # q-axis pad granularity for rectangular calls
+
+
 def full_attention_bhsd(
-    q: jnp.ndarray,     # (B, H, S_pad, D), pre-scaled
+    q: jnp.ndarray,     # (B, H, Q, D), pre-scaled — Q may differ from S_pad
     k: jnp.ndarray,     # (B, H, S_pad, D)
     v: jnp.ndarray,
     kv_len: Optional[int] = None,   # real key count; None = all
     causal: bool = False,
 ) -> jnp.ndarray:
-    """Full-sequence attention in (B, H, S, D) layout — kernel on TPU, XLA off."""
+    """Full-sequence attention in (B, H, S, D) layout — kernel on TPU, XLA off.
+
+    Rectangular q (teacher-forced cross attention: T queries vs S_pad keys)
+    takes the kernel too: q pads to a 256-row block multiple, the pad rows'
+    outputs are sliced off, and their zero upstream gradients keep dK/dV
+    exact (the vjp of the slice zero-fills them).  Requires S_pad % 256 == 0
+    — keys must be pre-padded by the caller (with ``kv_len`` masking) since
+    K/V are semantic inputs the kernel cannot invent."""
     s_pad = k.shape[2]
+    q_len = q.shape[2]
     kv_len = kv_len if kv_len is not None else s_pad
-    if kernel_available(s_pad) and s_pad % 256 == 0 and q.shape[2] == s_pad:
-        return _attention_custom(kv_len, causal, q, k, v)
+    if kernel_available(s_pad) and s_pad % 256 == 0:
+        q_pad = -(-q_len // _BLOCK_Q_MIN) * _BLOCK_Q_MIN
+        if q_pad == q_len:
+            return _attention_custom(kv_len, causal, q, k, v)
+        qp = jnp.pad(q, ((0, 0), (0, 0), (0, q_pad - q_len), (0, 0)))
+        out = _attention_custom(kv_len, causal, qp, k, v)
+        return out[:, :, :q_len]
     return _attention_xla(q, k, v, kv_len, causal)
 
 

@@ -215,13 +215,39 @@ def _pick_phases(b: int, t16: int, d: int, h: int, dh: int, s_len: int,
     budget = (int(os.environ.get("WM_MEGASTEP_VMEM_MB", "128")) - 20) * 2**20
     nss = _self_groups(h, dh)
     nchs = [n for n in (1, 2, 4, 8) if f % n == 0 and (f // n) % d == 0]
-    # Measured-best splits (clean forced sweeps, v5e large-v2 t=11, blkdiag
-    # attention): b <= 2 single-phase everywhere (90% of roofline); b in
-    # [3, 4] -> (2, 2, est); b >= 5 -> (2, 5, 2) (int8 5.02 / bf16 5.77
-    # ms/step vs 6.7-8.1 for the VMEM-greedy picks — the big nc bounds the
-    # cross window AND the per-example compute liveness; nearby picks swing
-    # 2x: (2,5,1) 9.97, (5,5,1) 5.72, (2,2,2) 9.5-10.1).  FFN chunks stay
-    # estimator-driven above the measured floor.
+
+    def fits(ns_, nc_, nch_):
+        return (ns_ in nss and nc_ in nss and nch_ in nchs
+                and _estimate_vmem(b, t16, d, h, dh, s_len, sp_len, f,
+                                   sp_rows, ns_, nc_, nch_, wbytes, kvbytes,
+                                   kv_quant, skv_quant) <= budget)
+
+    # Measured-best splits per (dtype, batch) from the round-5 forced sweeps
+    # (tools/megastep_sweep.py, v5e large-v2 t=11, blkdiag attention; every
+    # (ns, nc, nch) in {1,2,5} x {1,2,5,10} x {1,2,4} timed per batch).  The
+    # table is per-DTYPE because int8 and bf16 prefer different splits at the
+    # same batch; each preference is estimator-verified before use and the
+    # round-3/4 floor search remains the fallback for foreign dims.
+    # int8 measured: b=2 (2,1,1) 1.93 ms (vs (1,1,1) 1.96); b=4 (2,1,2) 2.83
+    # (vs r4 pick (2,2,1) 2.96); b=8 (2,5,2) 4.95 — best of 30 splits, incl.
+    # ns/nc=10 and nch=4.  (BENCH_r04's int8 b=2 = 2.43 did not reproduce
+    # under identical config this round: clean re-runs give 1.96-2.02.)
+    quant8 = wbytes == 1
+    if b <= 1:
+        prefs = [(1, 1, 1)]
+    elif b == 2:
+        prefs = [(2, 1, 1), (1, 1, 1)] if quant8 else [(1, 1, 1), (1, 1, 2)]
+    elif b <= 4:
+        prefs = [(2, 1, 2), (2, 1, 4), (2, 2, 1)] if quant8 \
+            else [(2, 1, 2), (2, 2, 1)]
+    else:
+        prefs = [(2, 5, 2), (2, 5, 4), (5, 5, 1)]
+    for p in prefs:
+        if fits(*p):
+            return p
+
+    # Fallback for dims/batches outside the measured table: the round-3/4
+    # VMEM-floor search.
     if b <= 2:
         ns, nc_floor, nch_floor = 1, 1, 1
     elif b <= 4:

@@ -126,8 +126,9 @@ def medusa_train_forward(
     if med.medusa_heads_type == "base_head":
         head_stack = medusa_mod.apply_heads(mp, dec.hidden)
     else:
+        enc_p, enc_kv = whisper.pad_enc_for_cross(enc_out)
         block_out = whisper.decoder_layer_full(mp["block"], dec.hidden,
-                                               enc_out, nh)
+                                               enc_p, nh, enc_kv_len=enc_kv)
         head_out = medusa_mod.apply_heads(mp, block_out)    # (H, B, T, D)
         head_stack = jnp.concatenate([dec.hidden[None], head_out], axis=0)
 
@@ -139,8 +140,10 @@ def medusa_train_forward(
             # Frozen replay of the (possibly fine-tuned) last decoder layer's
             # *original* weights on the penultimate hidden state
             # (reference: model.py:2031-2076).
+            enc_p, enc_kv = whisper.pad_enc_for_cross(enc_out)
             teacher_h = whisper.decoder_layer_full(
-                mp["teacher_layer"], dec.penultimate, enc_out, nh)
+                mp["teacher_layer"], dec.penultimate, enc_p, nh,
+                enc_kv_len=enc_kv)
             teacher_hidden = whisper.layer_norm(
                 teacher_h, wp["decoder"]["ln_post"]["scale"],
                 wp["decoder"]["ln_post"]["bias"])
@@ -255,7 +258,7 @@ class TrainState(NamedTuple):
 
 
 def make_train_step(config: ModelConfig, optimizer: optax.GradientTransformation,
-                    freeze_policy: Optional[str], remat: Any = True,
+                    freeze_policy: Optional[str], remat: Any = "attn",
                     decoder_remat: Any = None):
     """Build the jittable train step.  The gradient mask is computed once from the
     param structure and closed over (static).  ``freeze_policy`` both masks the
