@@ -390,3 +390,37 @@ def test_spec_loop_fused_matches_unfused_batch2():
     np.testing.assert_allclose(np.asarray(res_fused.logprobs),
                                np.asarray(res_ref.logprobs),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("corruption", [None, 0.5])
+def test_two_pass_matches_single_pass(monkeypatch, corruption):
+    """WM_VERIFY_TWOPASS=1 (verify-only kernel rows + accepted-node drafting)
+    emits identical tokens/accepts/logprobs to the forced single-pass kernel,
+    including under draft corruption (same fold_in draws)."""
+    dims, med, wp, mp = _tiny_aligned_model()
+    enc = (jax.random.normal(jax.random.PRNGKey(9), (2, 32, dims.d_model))
+           .astype(jnp.bfloat16))
+    buffers = generate_medusa_buffers(list(med.medusa_choices))
+    pcfg = ProcessorConfig(vocab_size=dims.vocab_size,
+                           suppress_tokens=(5, 6, 7),
+                           begin_suppress_tokens=(11,), begin_index=2,
+                           eos_token_id=3)
+    gen = GenerationConfig(max_length=24, eos_token_id=3, pad_token_id=3)
+    prompt = jnp.asarray([[1, 2], [4, 2]], jnp.int32)
+    corr = None if corruption is None else jnp.float32(corruption)
+
+    monkeypatch.setenv("WM_VERIFY_TWOPASS", "1")
+    res_tp = speculative_generate(wp, mp, dims, buffers, pcfg, gen, enc,
+                                  prompt, variant="base_head",
+                                  draft_corruption=corr)
+    monkeypatch.setenv("WM_VERIFY_TWOPASS", "0")
+    res_sp = speculative_generate(wp, mp, dims, buffers, pcfg, gen, enc,
+                                  prompt, variant="base_head",
+                                  draft_corruption=corr)
+    np.testing.assert_array_equal(np.asarray(res_tp.tokens),
+                                  np.asarray(res_sp.tokens))
+    np.testing.assert_array_equal(np.asarray(res_tp.accepted),
+                                  np.asarray(res_sp.accepted))
+    np.testing.assert_allclose(np.asarray(res_tp.logprobs),
+                               np.asarray(res_sp.logprobs),
+                               rtol=2e-4, atol=2e-4)

@@ -353,14 +353,33 @@ def speculative_generate(
             n_score_rows, dims.vocab_size, dims.d_model))
     sup_masks = verify_mod.masks_for(pcfg) if use_fused_verify else None
 
+    # Two-pass verification at batch (round 5).  The single fused pass scores
+    # every (head, node, example) row — (K+1) x N x B of them — so the
+    # accepted node's drafts fall out of the SAME embedding stream: optimal
+    # at B=1, where that stream dominates the cost.  At B >= 2 the projection
+    # turns FLOPs/VPU-bound (measured: 0.20 ms at r=121 vs 0.94 ms at r=484
+    # on v5e int8) and ~10/11 of the rows are draft rows whose logits are
+    # only ever read at ONE node.  Split instead: pass A scores just the
+    # B x N verification rows in the kernel; after acceptance, pass B
+    # projects the K draft heads at the accepted hidden state only (the
+    # prefill drafting path, K x B rows) — ~5x fewer scored rows per
+    # iteration for one extra (overlappable) embedding stream.  Emitted
+    # tokens are bit-identical: same positions, same processors, same
+    # corruption draws (tests/test_verify_kernel.py).
+    _tp_env = os.environ.get("WM_VERIFY_TWOPASS", "auto")
+    two_pass = (use_fused_verify and draft_params is not None
+                and (_tp_env == "1" or (_tp_env == "auto" and b >= 2)))
+
     # Row construction fused into the verify kernel too (ops/verify.py::
     # verify_hidden): the head matmuls, concat and reshape leave the XLA
     # graph and the (R, D) row matrix never round-trips HBM.  Single-res-
     # block-layer heads only; the stacked-rows path remains the fallback.
+    # (Two-pass mode never needs it: pass A's B x N rows cost one small
+    # head-0 einsum to build.)
     fuse_rows = False
     fv_heads_w = fv_heads_b = None
     fv_identity0 = False
-    if (use_fused_verify and medusa_params is not None
+    if (use_fused_verify and not two_pass and medusa_params is not None
             and os.environ.get("WM_VERIFY_FUSE_ROWS", "1") != "0"
             and variant in ("base_head", "medusa_block")):
         hw_all = medusa_params["heads"]["w"]            # (H, L, D, D)
@@ -459,6 +478,8 @@ def speculative_generate(
         hidden = out.hidden                                   # (B, N, D)
         am = mx = lse = gth = draft_all = proc = None
         kp1 = num_heads + 1 if draft_params is not None else 1
+        if two_pass:
+            kp1 = 1   # pass A: verification rows only; drafts come in pass B
         penult_nodes = node_max_ts = None
         if use_ts:
             if buffers.is_chain:
@@ -513,7 +534,16 @@ def speculative_generate(
                     begin_index=pcfg.begin_index, eos_id=pcfg.eos_token_id,
                     decay=pcfg.exponential_decay_length_penalty, **ts_kw)
             else:
-                stacked = stack_rows(hidden, out.block_hidden)  # (kp1,B,N,D)
+                if two_pass:
+                    # Pass A rows: verification only — mirror stack_rows'
+                    # verif_in construction exactly.
+                    if variant == "base_head":
+                        head0 = _head_slice(medusa_params, 0, 1)
+                        stacked = medusa_mod.apply_heads(head0, hidden)
+                    else:
+                        stacked = hidden[None]                  # (1,B,N,D)
+                else:
+                    stacked = stack_rows(hidden, out.block_hidden)
                 rows = stacked.reshape(kp1 * b * n_nodes, dims.d_model)
                 am, mx, lse, gth = verify_mod.verify_rows(
                     rows, params["decoder"]["embed_tokens"], pos_rows,
@@ -606,7 +636,16 @@ def speculative_generate(
 
         # Drafts for the next iteration: gather the accepted node's pre-computed
         # head logits (no extra matmuls — they came out of the fused projection).
-        if use_fused_verify and draft_params is not None:
+        if two_pass:
+            # Pass B: draft heads at the accepted node's hidden state only
+            # (K x B rows vs the single-pass kernel's K x B x N) — the same
+            # path prefill uses, so positions/processors/corruption match the
+            # single-pass kernel bit-for-bit.  Chain: accepted node == accept.
+            hsrc = out.block_hidden if block is not None else hidden
+            h_acc = jnp.take_along_axis(
+                hsrc, accept[:, None, None], axis=1)[:, 0]    # (B, D)
+            chunk = drafts_to_chunk(bonus, h_acc, new_len, s.steps + 1)
+        elif use_fused_verify and draft_params is not None:
             # Chain: accepted node index == accept; head k's draft is that
             # node's processed-argmax, already computed in the kernel.
             draft_am = jnp.transpose(am[1:], (1, 0, 2))       # (B, K, N)
