@@ -283,6 +283,29 @@ def test_longform_batched_matches_sequential(tiny_model):
         assert out_b.segments[i] == segs[i]
 
 
+def test_cut_after_last_complete():
+    """The seek loop's anti-duplication cut: tokens after the last CLOSED
+    segment are dropped (that audio is re-decoded from the next window —
+    OpenAI transcribe.py / HF ``_retrieve_segment`` semantics)."""
+    from whisper_medusa_tpu.models.api import _cut_after_last_complete
+
+    TS, EOS = 100, 9  # timestamp_begin, eos
+    def cut(toks):
+        return _cut_after_last_complete(np.asarray(toks, np.int32), TS, EOS)
+
+    # <t0> a b <t1> <t2> c  -> cut one past <t1> (index 4); trailing
+    # incomplete segment (<t2> c) dropped.
+    assert cut([TS, 1, 2, TS + 1, TS + 2, 3]) == 4
+    # Two closed segments: cut lands after the SECOND close.
+    assert cut([TS, 1, TS + 1, TS + 2, 2, TS + 3]) == 6
+    # No closing timestamp at all -> None (emit everything).
+    assert cut([TS, 1, 2, 3]) is None
+    assert cut([1, 2, 3]) is None
+    # EOS stops the scan: a 'close' after EOS is padding, not a segment.
+    assert cut([TS, 1, EOS, TS + 1]) is None
+    assert cut([TS, 1, TS + 2, EOS, TS + 3]) == 3
+
+
 def test_fallback_subset_retry_and_provenance(tiny_model):
     """Mixed-keep batch: the example kept at rung 0 must return rung-0 tokens,
     logprobs, accepted counts, and steps; the retry decodes ONLY the failing

@@ -302,7 +302,9 @@ class WhisperMedusaModel:
         through a seek loop (also NotImplementedError in the reference).  Beam
         search works (``num_beams>1``; the reference raises,
         model.py:1153-1156) with GNMT ``length_penalty`` (HF semantics;
-        n-best ordering follows the length-normalized score).
+        n-best ordering follows the length-normalized score), and composes
+        with longform: >30 s inputs run the seek loop with beam-decoded
+        windows (thresholds/temperature fallback stay greedy-path-only).
 
         ``return_scores="full"`` materializes the complete per-position
         processed score stack (the reference's ``output_scores``,
@@ -356,6 +358,26 @@ class WhisperMedusaModel:
                     f"num_beams={num_beams} does not support: "
                     f"{', '.join(unsupported)} (sampling/fallback is a greedy-"
                     "path feature; run beams at temperature=0 without thresholds)")
+            feats_b = jnp.asarray(input_features)
+            if feats_b.ndim == 2:
+                feats_b = feats_b[None]
+            if feats_b.shape[-1] > self.config.dims.num_frames:
+                # Beam x longform: the seek loop decodes each 30 s window with
+                # beam search (timestamp rules drive the seek advancement
+                # exactly as on the greedy path).  The reference supports
+                # neither beams nor longform (model.py:1153-1156, 1214).
+                return self._generate_longform(
+                    feats_b, language=language, task=task,
+                    max_length=max_length, medusa_choices=medusa_choices,
+                    disable_medusa=disable_medusa,
+                    exponential_decay_length_penalty=
+                    exponential_decay_length_penalty,
+                    temperature=0.0, compression_ratio_threshold=None,
+                    logprob_threshold=None, no_speech_threshold=None,
+                    return_timestamps=return_timestamps,
+                    time_precision=time_precision,
+                    condition_on_prev_tokens=condition_on_prev_tokens,
+                    num_beams=num_beams, length_penalty=length_penalty)
             return self._generate_beam(
                 input_features, language=language, task=task,
                 max_length=max_length, num_beams=num_beams,
@@ -675,6 +697,7 @@ class WhisperMedusaModel:
         return_scores=False, return_cross_attentions=False,
         word_timestamps=False, alignment_heads=None, tokenizer=None,
         return_decoder_attentions=False, return_hidden_states=False,
+        num_beams: int = 1, length_penalty: float = 1.0,
     ) -> GenerateOutput:
         """Sequential seek loop over 30 s windows (reference scaffolding:
         model.py:1591-1703, unreachable there for >30 s inputs).
@@ -734,22 +757,53 @@ class WhisperMedusaModel:
             return_hidden_states=return_hidden_states)
 
         def fold_window(i, out, row, p_len, seek):
-            """Fold example ``i``'s kept tokens (+ capture surfaces) from
-            window output row ``row`` into the running transcript."""
+            """Fold example ``i``'s kept tokens, segments and capture surfaces
+            from window output row ``row`` into the running transcript;
+            returns ``(advance_frames, kept_tokens)``.
+
+            When the window contains complete segments and more audio remains,
+            the seek advances to the last complete segment's end and
+            everything after that boundary — tokens, words, the trailing
+            incomplete segment — is DROPPED: that audio is re-decoded from the
+            next window's start, so emitting it here would duplicate the
+            overlap (OpenAI transcribe.py / HF ``_retrieve_segment``
+            semantics).  Otherwise the full window is emitted and the seek
+            advances a whole window."""
+            t_off = seek * 0.01
+            segs = out.segments[row]
+            complete_ends = [s["end"] for s in segs if s["end"] is not None]
+            advance, cut_time = win, None
+            if complete_ends and seek + win < total_frames:
+                adv = int(round(complete_ends[-1] / 0.01))
+                if adv > 0:
+                    advance = min(adv, win)
+                    cut_time = complete_ends[-1]
+                    segs = [s for s in segs if s["end"] is not None]
             raw = np.asarray(out.sequences[row, p_len: out.lengths[row]])
+            if cut_time is not None:
+                cut = _cut_after_last_complete(raw, st.timestamp_begin, st.eos)
+                if cut is not None:
+                    raw = raw[:cut]
             keep = raw != st.eos
             if not return_timestamps:
                 keep &= raw < st.timestamp_begin
             all_tokens[i].extend(raw[keep].tolist())
-            lp = np.asarray(out.token_logprobs[row, p_len: out.lengths[row]])
-            all_lp_rows[i].append(lp[keep])
+            if out.token_logprobs is not None:   # beam windows: n-best scores
+                lp = np.asarray(out.token_logprobs[row, p_len: p_len + len(raw)])
+                all_lp_rows[i].append(lp[keep])
             if out.scores is not None:
                 all_score_rows[i].append(out.scores[row, : len(raw)][keep])
-            t_off = seek * 0.01
+            for s in segs:
+                all_segments[i].append({
+                    "start": s["start"] + t_off,
+                    "end": None if s["end"] is None else s["end"] + t_off,
+                    "tokens": s["tokens"],
+                })
             if out.words is not None:
                 all_words[i].extend(
                     {**w, "start": w["start"] + t_off, "end": w["end"] + t_off}
-                    for w in out.words[row])
+                    for w in out.words[row]
+                    if cut_time is None or w["start"] < cut_time)
             if want_caps:
                 entry = {"time_offset": t_off}
                 if out.cross_attentions is not None:
@@ -760,6 +814,7 @@ class WhisperMedusaModel:
                     entry["decoder_hidden_states"] = \
                         out.decoder_hidden_states[:, row]
                 all_caps[i].append(entry)
+            return advance, raw[keep].tolist()
 
         def pad_window(window):
             if window.shape[-1] < win:
@@ -768,25 +823,6 @@ class WhisperMedusaModel:
                     window, ((0, 0), (0, 0), (0, win - window.shape[-1])),
                     constant_values=floor)
             return window
-
-        def harvest(i, out, row, seek):
-            """Fold one decoded window of example ``i`` into its transcript;
-            returns the seek advance in mel frames."""
-            time_offset = seek * 0.01
-            segs = out.segments[row]
-            for s in segs:
-                all_segments[i].append({
-                    "start": s["start"] + time_offset,
-                    "end": None if s["end"] is None else s["end"] + time_offset,
-                    "tokens": s["tokens"],
-                })
-            complete_ends = [s["end"] for s in segs if s["end"] is not None]
-            if complete_ends and seek + win < total_frames:
-                advance = int(round(complete_ends[-1] / 0.01))
-                advance = advance if advance > 0 else win
-            else:
-                advance = win
-            return min(advance, win)
 
         if b > 1 and not condition_on_prev_tokens:
             seeks = [0] * b
@@ -809,6 +845,7 @@ class WhisperMedusaModel:
                     logprob_threshold=logprob_threshold,
                     no_speech_threshold=no_speech_threshold,
                     return_timestamps=True, time_precision=time_precision,
+                    num_beams=num_beams, length_penalty=length_penalty,
                     **cap_kwargs)
                 steps_total += out.steps
                 # Finished 'rider' rows decode too (static shapes) but their
@@ -818,8 +855,8 @@ class WhisperMedusaModel:
                 for i in range(b):
                     if not active[i]:
                         continue
-                    fold_window(i, out, i, prompt_len, seeks[i])
-                    seeks[i] += harvest(i, out, i, seeks[i])
+                    adv, _ = fold_window(i, out, i, prompt_len, seeks[i])
+                    seeks[i] += adv
                     if seeks[i] >= total_frames:
                         active[i] = False
             if any(active):
@@ -828,7 +865,8 @@ class WhisperMedusaModel:
             return self._longform_output(
                 all_tokens, all_segments, steps_total, accepted_total,
                 return_timestamps, all_words=all_words, all_caps=all_caps,
-                all_score_rows=all_score_rows, all_lp_rows=all_lp_rows,
+                all_score_rows=all_score_rows,
+                all_lp_rows=all_lp_rows if num_beams == 1 else None,
                 return_scores=return_scores, word_timestamps=word_timestamps,
                 want_caps=want_caps)
 
@@ -864,23 +902,24 @@ class WhisperMedusaModel:
                     no_speech_threshold=no_speech_threshold,
                     return_timestamps=True,
                     time_precision=time_precision,
+                    num_beams=num_beams, length_penalty=length_penalty,
                     prompt_ids=prompt_ids, **cap_kwargs)
                 steps_total += out.steps
                 accepted_total += int(out.accepted.sum())
                 p_len = prompt_len + (len(prompt_ids) if prompt_ids else 0)
-                toks = out.sequences[0, p_len: out.lengths[0]].tolist()
-                toks = [t for t in toks if t != st.eos]
-                prev_text = [t for t in toks if t < st.eos]
-                fold_window(i, out, 0, p_len, seek)
-                # Advance to the end of the last *complete* segment when possible.
-                seek += harvest(i, out, 0, seek)
+                # Advance to the end of the last *complete* segment when
+                # possible; conditioning context is the KEPT (cut) text only.
+                adv, kept = fold_window(i, out, 0, p_len, seek)
+                prev_text = [t for t in kept if t < st.eos]
+                seek += adv
             if seek < total_frames:
                 _warn_longform_truncation([(i, seek, total_frames)])
 
         return self._longform_output(
             all_tokens, all_segments, steps_total, accepted_total,
             return_timestamps, all_words=all_words, all_caps=all_caps,
-            all_score_rows=all_score_rows, all_lp_rows=all_lp_rows,
+            all_score_rows=all_score_rows,
+            all_lp_rows=all_lp_rows if num_beams == 1 else None,
             return_scores=return_scores, word_timestamps=word_timestamps,
             want_caps=want_caps)
 
@@ -1024,10 +1063,13 @@ class WhisperMedusaModel:
         b = feats.shape[0]
         n_frames = feats.shape[-1]
         if n_frames > cfg.dims.num_frames:
-            raise NotImplementedError(
-                f"beam search is shortform-only: got {n_frames} mel frames > "
-                f"{cfg.dims.num_frames}; use num_beams=1 for longform audio "
-                "(the greedy path runs a seek loop)")
+            # generate() routes longform beam requests through the seek loop
+            # (_generate_longform(num_beams=...)); this direct entry point is
+            # per-window only.
+            raise ValueError(
+                f"_generate_beam is per-window: got {n_frames} mel frames > "
+                f"{cfg.dims.num_frames}; call generate(num_beams=...) which "
+                "runs the longform seek loop with beam-decoded windows")
         if n_frames < cfg.dims.num_frames:
             feats = jnp.pad(feats, ((0, 0), (0, 0),
                                     (0, cfg.dims.num_frames - n_frames)))
@@ -1230,6 +1272,26 @@ def _extract_segments(tokens: np.ndarray, length: int, prompt_len: int,
             "tokens": text,
         })
     return segments
+
+
+def _cut_after_last_complete(raw: np.ndarray, ts_begin: int,
+                             eos: int) -> Optional[int]:
+    """Index one past the closing timestamp of the last complete segment.
+
+    Mirrors ``_extract_segments``'s alternating open/close timestamp pairing;
+    returns None when no segment closes before EOS (emit everything)."""
+    cut = None
+    start_seen = False
+    for j, tok in enumerate(raw.tolist()):
+        if tok == eos:
+            break
+        if tok >= ts_begin:
+            if start_seen:
+                cut = j + 1
+                start_seen = False
+            else:
+                start_seen = True
+    return cut
 
 
 def _attach_words_to_segments(segments: List[List[dict]],
