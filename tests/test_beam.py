@@ -220,18 +220,25 @@ def test_length_penalty_changes_nbest_ordering(setup, monkeypatch):
                               np.asarray(res[10.0].nbest_tokens))
 
 
+def _longform_feats2(cfg, windows=2.5, seed=7):
+    rng = np.random.default_rng(seed)
+    frames = int(cfg.dims.num_frames * windows)
+    return rng.normal(
+        size=(1, cfg.dims.num_mel_bins, frames)).astype(np.float32)
+
+
 def test_beam_longform():
     """Beam x longform: >30 s input + num_beams>1 runs the seek loop with
     beam-decoded windows (the former NotImplementedError surface; the
     reference supports neither side, model.py:1153-1156, 1214)."""
     from whisper_medusa_tpu.models.api import WhisperMedusaModel
-    from whisper_medusa_tpu.ops.mel import log_mel_spectrogram_np
 
     cfg = tiny_test_config(vocab_size=51865, medusa_num_heads=2)
     model = WhisperMedusaModel.from_random(cfg, seed=3)
     rng = np.random.default_rng(3)
-    wav = (0.1 * rng.normal(size=(1, 16000 * 75))).astype(np.float32)
-    feats = log_mel_spectrogram_np(wav, n_mels=cfg.dims.num_mel_bins)
+    frames = int(cfg.dims.num_frames * 2.5)  # ~3 seek windows
+    feats = rng.normal(
+        size=(1, cfg.dims.num_mel_bins, frames)).astype(np.float32)
     assert feats.shape[-1] > cfg.dims.num_frames
 
     out = model.generate(feats, language="en", max_length=20, num_beams=3)
@@ -239,6 +246,14 @@ def test_beam_longform():
     assert out.lengths[0] > 0
     assert (out.sequences[0, : out.lengths[0]] < 50364).all()  # ts stripped
     assert out.token_logprobs is None  # beams report n-best scores, not per-token
+
+    # Batched: both examples' windows beam-decode in one call per round.
+    feats2 = np.concatenate([feats, _longform_feats2(cfg)], axis=0)
+    out2 = model.generate(feats2, language="en", max_length=20, num_beams=3)
+    assert out2.sequences.shape[0] == 2
+    np.testing.assert_array_equal(
+        out2.sequences[0, : out2.lengths[0]],
+        out.sequences[0, : out.lengths[0]])
 
     out_ts = model.generate(feats, language="en", max_length=20, num_beams=3,
                             return_timestamps=True)
