@@ -227,6 +227,63 @@ def test_single_choice_medusa_equals_vanilla_cost_path(tiny_model):
     assert out.sequences.shape[0] == 2 and (out.accepted == 0).all()
 
 
+def test_longform_prompt_condition_types(tiny_model, monkeypatch):
+    """prompt_ids across longform windows (HF ``prompt_condition_type``
+    semantics; the reference inherits both kwargs but raises on ANY longform
+    input, model.py:1214): 'first-segment' conditions the first window only,
+    'all-segments' keeps the prompt at the front of every window's
+    previous-context block."""
+    from whisper_medusa_tpu.ops.mel import log_mel_spectrogram_np
+
+    rng = np.random.default_rng(23)
+    wav = (0.1 * rng.normal(size=(1, 16000 * 65))).astype(np.float32)
+    feats = log_mel_spectrogram_np(
+        wav, n_mels=tiny_model.config.dims.num_mel_bins)
+    st = tiny_model.special
+    pids = [st.start_of_prev, 11, 12, 13]
+
+    captured = []
+    real = WhisperMedusaModel.generate
+
+    def spy(self, input_features, **kw):
+        if np.asarray(input_features).shape[-1] == self.config.dims.num_frames:
+            captured.append(kw.get("prompt_ids"))
+        return real(self, input_features, **kw)
+
+    monkeypatch.setattr(WhisperMedusaModel, "generate", spy)
+
+    # first-segment (default): prompt reaches exactly the first window.
+    tiny_model.generate(feats, language="en", max_length=24, prompt_ids=pids)
+    assert len(captured) >= 2 and list(captured[0]) == pids
+    assert all(c is None for c in captured[1:])
+
+    # all-segments: every window's context starts [<|startofprev|>, *prompt].
+    captured.clear()
+    tiny_model.generate(feats, language="en", max_length=24, prompt_ids=pids,
+                        condition_on_prev_tokens=True,
+                        prompt_condition_type="all-segments")
+    assert len(captured) >= 2
+    assert all(list(c[:4]) == pids for c in captured)
+
+    # batched longform (b>1, unconditioned): shared prompt on round 1 only.
+    captured.clear()
+    feats2 = np.concatenate([feats, feats], axis=0)
+    tiny_model.generate(feats2, language="en", max_length=24,
+                        prompt_ids=pids)
+    assert list(captured[0]) == pids
+    assert all(c is None for c in captured[1:])
+
+
+def test_prompt_condition_type_validation(tiny_model):
+    f = _feats(tiny_model.config)
+    with pytest.raises(ValueError, match="all-segments"):
+        tiny_model.generate(f, language="en", prompt_ids=[50361, 1],
+                            prompt_condition_type="all-segments")
+    with pytest.raises(ValueError, match="prompt_condition_type"):
+        tiny_model.generate(f, language="en",
+                            prompt_condition_type="per-window")
+
+
 def test_longform_condition_on_prev(tiny_model):
     """condition_on_prev_tokens threads previous-window text into the next
     window's prompt (bucketed lengths — bounded recompiles)."""

@@ -290,6 +290,7 @@ class WhisperMedusaModel:
         return_decoder_attentions: Union[bool, Sequence[Tuple[int, int]]] = False,
         return_hidden_states: bool = False,
         length_penalty: float = 1.0,
+        prompt_condition_type: Optional[str] = None,
     ) -> GenerateOutput:
         """Transcribe a batch of 30 s mel segments.
 
@@ -323,6 +324,24 @@ class WhisperMedusaModel:
         if return_scores not in (False, True, "full"):
             raise ValueError(f"return_scores must be False/True/'full', "
                              f"got {return_scores!r}")
+        # Prompt conditioning across longform windows (HF kwarg semantics,
+        # generation_whisper.py::_set_prompt_condition_type — the reference
+        # inherits the kwarg but raises on any longform input):
+        # "first-segment" conditions only the first window on ``prompt_ids``;
+        # "all-segments" keeps the prompt at the front of EVERY window's
+        # previous-context block and requires condition_on_prev_tokens=True.
+        if prompt_condition_type is None:
+            prompt_condition_type = "first-segment"
+        if prompt_condition_type not in ("first-segment", "all-segments"):
+            raise ValueError(
+                f"prompt_condition_type must be 'first-segment' or "
+                f"'all-segments', got {prompt_condition_type!r}")
+        if (prompt_condition_type == "all-segments"
+                and not condition_on_prev_tokens):
+            raise ValueError(
+                "prompt_condition_type='all-segments' requires "
+                "condition_on_prev_tokens=True (HF raises the same, "
+                "generation_whisper.py::_set_prompt_condition_type)")
         if word_timestamps:
             if not return_timestamps:
                 raise ValueError("word_timestamps=True requires "
@@ -377,7 +396,9 @@ class WhisperMedusaModel:
                     return_timestamps=return_timestamps,
                     time_precision=time_precision,
                     condition_on_prev_tokens=condition_on_prev_tokens,
-                    num_beams=num_beams, length_penalty=length_penalty)
+                    num_beams=num_beams, length_penalty=length_penalty,
+                    prompt_ids=prompt_ids,
+                    prompt_condition_type=prompt_condition_type)
             return self._generate_beam(
                 input_features, language=language, task=task,
                 max_length=max_length, num_beams=num_beams,
@@ -418,7 +439,9 @@ class WhisperMedusaModel:
                 word_timestamps=word_timestamps,
                 alignment_heads=alignment_heads, tokenizer=tokenizer,
                 return_decoder_attentions=return_decoder_attentions,
-                return_hidden_states=return_hidden_states)
+                return_hidden_states=return_hidden_states,
+                prompt_ids=prompt_ids,
+                prompt_condition_type=prompt_condition_type)
         if n_frames < cfg.dims.num_frames:
             feats = jnp.pad(feats, ((0, 0), (0, 0),
                                     (0, cfg.dims.num_frames - n_frames)))
@@ -698,6 +721,8 @@ class WhisperMedusaModel:
         word_timestamps=False, alignment_heads=None, tokenizer=None,
         return_decoder_attentions=False, return_hidden_states=False,
         num_beams: int = 1, length_penalty: float = 1.0,
+        prompt_ids: Optional[Sequence[int]] = None,
+        prompt_condition_type: str = "first-segment",
     ) -> GenerateOutput:
         """Sequential seek loop over 30 s windows (reference scaffolding:
         model.py:1591-1703, unreachable there for >30 s inputs).
@@ -733,12 +758,33 @@ class WhisperMedusaModel:
         (one row per emitted token); attention maps / hidden states are
         returned as per-example lists of per-window dicts keyed by
         ``time_offset`` (no common positional layout exists to stack over).
+
+        Prompt conditioning (HF kwargs; the reference inherits them but
+        raises on longform): ``prompt_condition_type="first-segment"``
+        prepends ``prompt_ids`` to the FIRST window only — with
+        ``condition_on_prev_tokens`` the prompt then ages out of the rolling
+        context like any earlier window's text (HF keeps it while it fits the
+        cut-off window; same spirit, simpler bound).  ``"all-segments"``
+        (requires ``condition_on_prev_tokens=True``) keeps the prompt text at
+        the FRONT of every window's previous-context block, ahead of the
+        bucketed rolling text (HF ``_prepare_decoder_input_ids``:
+        ``prev_ids = prompt_ids`` before the padded active segments).
         """
         cfg = self.config
         st = self.special
         b, _, total_frames = feats.shape
         win = cfg.dims.num_frames
         prompt_len = 3  # [sot, lang, task] — timestamp mode
+        user_prompt = (list(np.asarray(prompt_ids, np.int32).reshape(-1))
+                       if prompt_ids is not None else None)
+        # Prompt text without a leading <|startofprev|> (HF strips it the same
+        # way before composing it with rolling context,
+        # generation_whisper.py::_prepare_segments).
+        user_prompt_text = None
+        if user_prompt:
+            user_prompt_text = (user_prompt[1:]
+                                if user_prompt[0] == st.start_of_prev
+                                else list(user_prompt))
         all_tokens: List[List[int]] = [[] for _ in range(b)]
         all_segments: List[List[dict]] = [[] for _ in range(b)]
         steps_total, accepted_total = 0, 0
@@ -833,6 +879,10 @@ class WhisperMedusaModel:
                 windows = [pad_window(np.asarray(
                     feats[i: i + 1, :, seeks[i]: seeks[i] + win]))
                     for i in range(b)]
+                # first-segment prompt conditioning: round 1 is every
+                # example's first window (all seeks start at 0), so the
+                # shared prompt tensor applies exactly there.
+                round_prompt = user_prompt if guard == 1 else None
                 out = self.generate(
                     np.concatenate(windows, axis=0), language=language,
                     task=task, max_length=max_length,
@@ -846,8 +896,10 @@ class WhisperMedusaModel:
                     no_speech_threshold=no_speech_threshold,
                     return_timestamps=True, time_precision=time_precision,
                     num_beams=num_beams, length_penalty=length_penalty,
-                    **cap_kwargs)
+                    prompt_ids=round_prompt, **cap_kwargs)
                 steps_total += out.steps
+                p_len_round = prompt_len + (len(round_prompt)
+                                            if round_prompt else 0)
                 # Finished 'rider' rows decode too (static shapes) but their
                 # accepted counts must not inflate the speedup metric.
                 accepted_total += int(sum(
@@ -855,7 +907,7 @@ class WhisperMedusaModel:
                 for i in range(b):
                     if not active[i]:
                         continue
-                    adv, _ = fold_window(i, out, i, prompt_len, seeks[i])
+                    adv, _ = fold_window(i, out, i, p_len_round, seeks[i])
                     seeks[i] += adv
                     if seeks[i] >= total_frames:
                         active[i] = False
@@ -881,17 +933,30 @@ class WhisperMedusaModel:
                 window = pad_window(
                     np.asarray(feats[i: i + 1, :, seek: seek + win]))
                 # Previous-context conditioning (reference plumbing:
-                # do_condition_on_prev_tokens; HF semantics).  Prompt lengths are
-                # bucketed so at most 4 decode shapes ever compile.
-                prompt_ids = None
+                # do_condition_on_prev_tokens; HF semantics).  Rolling-context
+                # lengths are bucketed so at most 4 decode shapes ever compile
+                # (the user prompt's fixed length adds at most one more).
+                bucket = 0
                 if condition_on_prev_tokens and prev_text:
-                    bucket = 0
                     for cand in (64, 32, 16):
                         if len(prev_text) >= cand:
                             bucket = cand
                             break
-                    if bucket:
-                        prompt_ids = [st.start_of_prev] + prev_text[-bucket:]
+                rolling = prev_text[-bucket:] if bucket else []
+                window_prompt = None
+                if (user_prompt and seek == 0
+                        and prompt_condition_type == "first-segment"):
+                    # First window: the user prompt conditions it directly
+                    # (same prepend as the shortform path).
+                    window_prompt = list(user_prompt)
+                elif (user_prompt_text
+                      and prompt_condition_type == "all-segments"):
+                    # Every window: prompt text rides at the FRONT of the
+                    # previous-context block, rolling text after it.
+                    window_prompt = ([st.start_of_prev] + user_prompt_text
+                                     + rolling)
+                elif rolling:
+                    window_prompt = [st.start_of_prev] + rolling
                 out = self.generate(
                     window, language=lang_i, task=task, max_length=max_length,
                     medusa_choices=medusa_choices, disable_medusa=disable_medusa,
@@ -903,10 +968,10 @@ class WhisperMedusaModel:
                     return_timestamps=True,
                     time_precision=time_precision,
                     num_beams=num_beams, length_penalty=length_penalty,
-                    prompt_ids=prompt_ids, **cap_kwargs)
+                    prompt_ids=window_prompt, **cap_kwargs)
                 steps_total += out.steps
                 accepted_total += int(out.accepted.sum())
-                p_len = prompt_len + (len(prompt_ids) if prompt_ids else 0)
+                p_len = prompt_len + (len(window_prompt) if window_prompt else 0)
                 # Advance to the end of the last *complete* segment when
                 # possible; conditioning context is the KEPT (cut) text only.
                 adv, kept = fold_window(i, out, 0, p_len, seek)
