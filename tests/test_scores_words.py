@@ -322,6 +322,46 @@ def test_longform_word_timestamps_monotonic(tiny_model):
     assert any("words" in seg for segs in out.segments for seg in segs)
 
 
+def test_token_timestamps_shortform(tiny_model):
+    """return_token_timestamps: per-token DTW (start, end) seconds for the
+    generated region, no tokenizer needed (HF's return_token_timestamps
+    surface; the reference consumes it only in its unreachable shortform
+    tail, model.py:1781-1840)."""
+    cfg = tiny_model.config
+    st = tiny_model.special
+    f = _feats(cfg, b=2, seed=9)
+    out = tiny_model.generate(f, language="en", max_length=20,
+                              return_token_timestamps=True)
+    prompt_len = 4
+    assert out.token_timestamps is not None and len(out.token_timestamps) == 2
+    for i in range(2):
+        tt = out.token_timestamps[i]
+        gen = out.sequences[i, prompt_len:int(out.lengths[i])]
+        assert tt.shape == (len(gen), 2)
+        text = np.asarray(gen) < st.eos
+        # Text rows: finite, ordered spans inside the live window.
+        assert np.isfinite(tt[text]).all()
+        starts = tt[text, 0]
+        assert (np.diff(starts) >= -1e-9).all()
+        assert (tt[text, 1] >= tt[text, 0]).all()
+        # Non-text rows (EOS/timestamps) are NaN.
+        assert np.isnan(tt[~text]).all()
+
+
+def test_token_timestamps_longform_monotonic(tiny_model):
+    """Longform composition: times carry each window's absolute offset."""
+    cfg = tiny_model.config
+    f = _longform_feats(cfg, b=1, windows=2.5, seed=13)
+    out = tiny_model.generate(f, language="en", max_length=24,
+                              return_token_timestamps=True)
+    tt = out.token_timestamps[0]
+    assert tt.shape[0] == int(out.lengths[0])
+    starts = tt[np.isfinite(tt[:, 0]), 0]
+    assert len(starts) > 0 and (np.diff(starts) >= -1e-9).all()
+    win_seconds = cfg.dims.max_source_positions * wt.SECONDS_PER_ENC_FRAME
+    assert starts[-1] > win_seconds - 1e-6
+
+
 def test_longform_scores_and_attention_capture(tiny_model):
     cfg = tiny_model.config
     f = _longform_feats(cfg, b=2, windows=2.2, seed=5)

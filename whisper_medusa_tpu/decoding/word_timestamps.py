@@ -251,6 +251,32 @@ def words_with_times(
     return out
 
 
+def per_token_times(
+    gen_tokens: Sequence[int],       # generated tokens (text + ts + EOS)
+    maps: np.ndarray,                # (N_heads, T_gen, S) — row i = gen token i
+    num_frames: int,
+    eos_id: int,
+    time_offset: float = 0.0,
+    filter_width: int = 7,
+) -> np.ndarray:
+    """(T_gen, 2) DTW start/end seconds per generated token.
+
+    The per-token surface behind HF's ``return_token_timestamps`` (consumed by
+    the reference only in its unreachable shortform tail, model.py:1781-1840);
+    same recipe as :func:`words_with_times` — only text-token rows enter the
+    DTW, timestamp/EOS rows come back NaN."""
+    gen_tokens = [int(t) for t in gen_tokens]
+    out = np.full((len(gen_tokens), 2), np.nan, np.float64)
+    text_rows = np.array(
+        [i for i, t in enumerate(gen_tokens) if t < eos_id], np.int64)
+    if text_rows.size == 0:
+        return out
+    starts, ends = token_times(maps[:, text_rows], num_frames, filter_width)
+    out[text_rows, 0] = time_offset + starts
+    out[text_rows, 1] = time_offset + ends
+    return out
+
+
 def default_alignment_heads(decoder_layers: int, decoder_heads: int
                             ) -> Tuple[Tuple[int, int], ...]:
     """Fallback when a checkpoint ships no ``alignment_heads``: every head of

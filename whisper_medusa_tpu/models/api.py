@@ -74,6 +74,12 @@ class GenerateOutput:
     # via cross-attention DTW (decoding/word_timestamps.py) — the reference
     # raises NotImplementedError for all timestamp modes (model.py:1171-1175).
     words: Optional[List[List[dict]]] = None
+    # ``return_token_timestamps=True``: per-example (T_gen_i, 2) float64
+    # arrays of DTW (start, end) seconds per GENERATED token (prompt rows
+    # excluded; timestamp/EOS rows NaN) — HF's ``return_token_timestamps``
+    # surface, which the reference consumes only in its unreachable shortform
+    # tail (model.py:1781-1840).  Unlike ``words`` this needs no tokenizer.
+    token_timestamps: Optional[List[np.ndarray]] = None
     # ``return_decoder_attentions``: decoder SELF-attention maps —
     # (L, B, H, T, T) for ``True`` or (N_sel, B, T, T) for a (layer, head)
     # selection (the reference's ``decoder_attentions``, model.py:317-377).
@@ -291,6 +297,7 @@ class WhisperMedusaModel:
         return_hidden_states: bool = False,
         length_penalty: float = 1.0,
         prompt_condition_type: Optional[str] = None,
+        return_token_timestamps: bool = False,
     ) -> GenerateOutput:
         """Transcribe a batch of 30 s mel segments.
 
@@ -316,7 +323,10 @@ class WhisperMedusaModel:
         reference's ``decoder_attentions`` / ``decoder_hidden_states``
         surfaces, model.py:317-377); ``word_timestamps=True`` adds DTW
         word-level timestamps (requires ``return_timestamps=True`` and a
-        ``tokenizer``).  All are served by post-hoc teacher-forced passes —
+        ``tokenizer``); ``return_token_timestamps=True`` the per-token
+        (start, end) DTW surface, no tokenizer needed (HF kwarg; dead code
+        in the reference, model.py:1781-1840).  All are served by post-hoc
+        teacher-forced passes —
         see decoding/scores.py and decoding/word_timestamps.py.  On longform
         input the surfaces compose per window — see the GenerateOutput field
         docs for the longform layouts.
@@ -369,7 +379,7 @@ class WhisperMedusaModel:
                     unsupported.append(name)
             if return_scores == "full" or return_cross_attentions or \
                     word_timestamps or return_decoder_attentions or \
-                    return_hidden_states:
+                    return_hidden_states or return_token_timestamps:
                 unsupported.append(
                     "full scores/attentions/hidden states/word timestamps")
             if unsupported:
@@ -441,7 +451,8 @@ class WhisperMedusaModel:
                 return_decoder_attentions=return_decoder_attentions,
                 return_hidden_states=return_hidden_states,
                 prompt_ids=prompt_ids,
-                prompt_condition_type=prompt_condition_type)
+                prompt_condition_type=prompt_condition_type,
+                return_token_timestamps=return_token_timestamps)
         if n_frames < cfg.dims.num_frames:
             feats = jnp.pad(feats, ((0, 0), (0, 0),
                                     (0, cfg.dims.num_frames - n_frames)))
@@ -623,9 +634,11 @@ class WhisperMedusaModel:
                 enc_out, pcfg, max_length)
         cross_attns = None
         words = None
+        token_tts = None
         dec_attns = None
         dec_hidden = None
-        if (return_cross_attentions or word_timestamps
+        want_align = word_timestamps or return_token_timestamps
+        if (return_cross_attentions or want_align
                 or return_decoder_attentions or return_hidden_states):
             # ONE teacher-forced capture pass serves every surface: full
             # capture when asked for every head, else the union of the user's
@@ -635,7 +648,7 @@ class WhisperMedusaModel:
                 select = tuple((int(l), int(h))
                                for l, h in return_cross_attentions)
             align_sel = ()
-            if word_timestamps:
+            if want_align:
                 from whisper_medusa_tpu.decoding import word_timestamps as wt
 
                 align_sel = tuple(
@@ -646,7 +659,7 @@ class WhisperMedusaModel:
                             cfg.dims.decoder_layers,
                             cfg.dims.decoder_attention_heads)))
             full_capture = return_cross_attentions is True
-            need_cross = bool(return_cross_attentions) or word_timestamps
+            need_cross = bool(return_cross_attentions) or want_align
             want = (None if full_capture
                     else tuple(dict.fromkeys((select or ()) + align_sel)))
             cross_arg = (None if not need_cross
@@ -672,24 +685,30 @@ class WhisperMedusaModel:
                 cross_attns = maps                      # (L, B, H, T, S)
             elif select:
                 cross_attns = maps[[want.index(p) for p in select]]
-            if word_timestamps:
+            if want_align:
                 if full_capture:                        # (L, B, H, T, S)
                     amaps = np.stack([maps[l][:, h] for l, h in align_sel])
                 else:
                     amaps = maps[[want.index(p) for p in align_sel]]
                 live_frames = min(n_frames, cfg.dims.num_frames) // 2
-                words = []
+                words = [] if word_timestamps else None
+                token_tts = [] if return_token_timestamps else None
                 for i in range(final_tokens.shape[0]):
                     li = int(lengths[i])
                     # Attention row for a generated token = the query at the
                     # token's own position (it is input at that position in
                     # the teacher-forced replay).
                     rows = np.arange(prompt.shape[1], li)
-                    words.append(wt.words_with_times(
-                        final_tokens[i, prompt.shape[1]:li],
-                        amaps[:, i][:, rows], tokenizer,
-                        live_frames, st.eos, st.timestamp_begin))
-                if segments is not None:
+                    if word_timestamps:
+                        words.append(wt.words_with_times(
+                            final_tokens[i, prompt.shape[1]:li],
+                            amaps[:, i][:, rows], tokenizer,
+                            live_frames, st.eos, st.timestamp_begin))
+                    if return_token_timestamps:
+                        token_tts.append(wt.per_token_times(
+                            final_tokens[i, prompt.shape[1]:li],
+                            amaps[:, i][:, rows], live_frames, st.eos))
+                if word_timestamps and segments is not None:
                     _attach_words_to_segments(segments, words)
 
         return GenerateOutput(
@@ -707,6 +726,7 @@ class WhisperMedusaModel:
             scores=full_score_stack,
             cross_attentions=cross_attns,
             words=words,
+            token_timestamps=token_tts,
             decoder_attentions=dec_attns,
             decoder_hidden_states=dec_hidden,
         )
@@ -723,6 +743,7 @@ class WhisperMedusaModel:
         num_beams: int = 1, length_penalty: float = 1.0,
         prompt_ids: Optional[Sequence[int]] = None,
         prompt_condition_type: str = "first-segment",
+        return_token_timestamps: bool = False,
     ) -> GenerateOutput:
         """Sequential seek loop over 30 s windows (reference scaffolding:
         model.py:1591-1703, unreachable there for >30 s inputs).
@@ -794,13 +815,15 @@ class WhisperMedusaModel:
         all_caps: List[List[dict]] = [[] for _ in range(b)]
         all_score_rows: List[List[np.ndarray]] = [[] for _ in range(b)]
         all_lp_rows: List[List[np.ndarray]] = [[] for _ in range(b)]
+        all_tt_rows: List[List[np.ndarray]] = [[] for _ in range(b)]
         cap_kwargs = dict(
             return_scores=return_scores,
             return_cross_attentions=return_cross_attentions,
             word_timestamps=word_timestamps,
             alignment_heads=alignment_heads, tokenizer=tokenizer,
             return_decoder_attentions=return_decoder_attentions,
-            return_hidden_states=return_hidden_states)
+            return_hidden_states=return_hidden_states,
+            return_token_timestamps=return_token_timestamps)
 
         def fold_window(i, out, row, p_len, seek):
             """Fold example ``i``'s kept tokens, segments and capture surfaces
@@ -839,6 +862,11 @@ class WhisperMedusaModel:
                 all_lp_rows[i].append(lp[keep])
             if out.scores is not None:
                 all_score_rows[i].append(out.scores[row, : len(raw)][keep])
+            if out.token_timestamps is not None:
+                # Rows align 1:1 with the generated region (same cut as raw);
+                # the window offset shifts real times, NaN rows stay NaN.
+                tt = out.token_timestamps[row][: len(raw)][keep]
+                all_tt_rows[i].append(tt + t_off)
             for s in segs:
                 all_segments[i].append({
                     "start": s["start"] + t_off,
@@ -919,6 +947,7 @@ class WhisperMedusaModel:
                 return_timestamps, all_words=all_words, all_caps=all_caps,
                 all_score_rows=all_score_rows,
                 all_lp_rows=all_lp_rows if num_beams == 1 else None,
+                all_tt_rows=all_tt_rows if return_token_timestamps else None,
                 return_scores=return_scores, word_timestamps=word_timestamps,
                 want_caps=want_caps)
 
@@ -985,14 +1014,15 @@ class WhisperMedusaModel:
             return_timestamps, all_words=all_words, all_caps=all_caps,
             all_score_rows=all_score_rows,
             all_lp_rows=all_lp_rows if num_beams == 1 else None,
+            all_tt_rows=all_tt_rows if return_token_timestamps else None,
             return_scores=return_scores, word_timestamps=word_timestamps,
             want_caps=want_caps)
 
     def _longform_output(self, all_tokens, all_segments, steps_total,
                          accepted_total, return_timestamps, *,
                          all_words=None, all_caps=None, all_score_rows=None,
-                         all_lp_rows=None, return_scores=False,
-                         word_timestamps=False,
+                         all_lp_rows=None, all_tt_rows=None,
+                         return_scores=False, word_timestamps=False,
                          want_caps=False) -> GenerateOutput:
         st = self.special
         b = len(all_tokens)
@@ -1025,13 +1055,19 @@ class WhisperMedusaModel:
         words = all_words if word_timestamps else None
         if words is not None and return_timestamps and all_segments:
             _attach_words_to_segments(all_segments, words)
+        token_tts = None
+        if all_tt_rows is not None:
+            token_tts = [
+                (np.concatenate(rows, axis=0) if rows
+                 else np.zeros((0, 2), np.float64))
+                for rows in all_tt_rows]
         return GenerateOutput(
             sequences=sequences, lengths=lengths, steps=steps_total,
             accepted=np.asarray([accepted_total]),
             mean_accept_length=accepted_total / max(steps_total, 1),
             segments=all_segments if return_timestamps else None,
             token_logprobs=token_logprobs, avg_logprobs=avg_logprobs,
-            scores=scores, words=words,
+            scores=scores, words=words, token_timestamps=token_tts,
             cross_attentions=all_caps if want_caps else None,
         )
 
