@@ -227,6 +227,22 @@ def test_single_choice_medusa_equals_vanilla_cost_path(tiny_model):
     assert out.sequences.shape[0] == 2 and (out.accepted == 0).all()
 
 
+def test_max_new_tokens(tiny_model):
+    """max_new_tokens bounds GENERATED tokens and takes precedence over
+    max_length (HF semantics; the reference resolves it through
+    GenerationConfig, model.py:1014-1084)."""
+    f = _feats(tiny_model.config)
+    prompt_len = 4  # [sot, lang, task, notimestamps]
+    out = tiny_model.generate(f, language="en", max_new_tokens=5)
+    assert (out.lengths <= prompt_len + 5).all()
+    out2 = tiny_model.generate(f, language="en", max_length=40,
+                               max_new_tokens=3)
+    assert (out2.lengths <= prompt_len + 3).all()
+    out3 = tiny_model.generate(f, language="en", num_beams=2,
+                               max_new_tokens=4)
+    assert (out3.lengths <= prompt_len + 4).all()
+
+
 def test_longform_prompt_condition_types(tiny_model, monkeypatch):
     """prompt_ids across longform windows (HF ``prompt_condition_type``
     semantics; the reference inherits both kwargs but raises on ANY longform

@@ -298,6 +298,7 @@ class WhisperMedusaModel:
         length_penalty: float = 1.0,
         prompt_condition_type: Optional[str] = None,
         return_token_timestamps: bool = False,
+        max_new_tokens: Optional[int] = None,
     ) -> GenerateOutput:
         """Transcribe a batch of 30 s mel segments.
 
@@ -408,10 +409,12 @@ class WhisperMedusaModel:
                     condition_on_prev_tokens=condition_on_prev_tokens,
                     num_beams=num_beams, length_penalty=length_penalty,
                     prompt_ids=prompt_ids,
-                    prompt_condition_type=prompt_condition_type)
+                    prompt_condition_type=prompt_condition_type,
+                    max_new_tokens=max_new_tokens)
             return self._generate_beam(
                 input_features, language=language, task=task,
-                max_length=max_length, num_beams=num_beams,
+                max_length=max_length, max_new_tokens=max_new_tokens,
+                num_beams=num_beams,
                 suppress_tokens=suppress_tokens,
                 begin_suppress_tokens=begin_suppress_tokens,
                 length_penalty=length_penalty,
@@ -452,7 +455,8 @@ class WhisperMedusaModel:
                 return_hidden_states=return_hidden_states,
                 prompt_ids=prompt_ids,
                 prompt_condition_type=prompt_condition_type,
-                return_token_timestamps=return_token_timestamps)
+                return_token_timestamps=return_token_timestamps,
+                max_new_tokens=max_new_tokens)
         if n_frames < cfg.dims.num_frames:
             feats = jnp.pad(feats, ((0, 0), (0, 0),
                                     (0, cfg.dims.num_frames - n_frames)))
@@ -486,6 +490,14 @@ class WhisperMedusaModel:
 
         # --- configs ---
         max_length = max_length or cfg.dims.max_target_positions
+        if max_new_tokens is not None:
+            # HF precedence: max_new_tokens wins over max_length (the
+            # reference resolves the same way through GenerationConfig,
+            # model.py:1014-1084).  Clamped to the positional ceiling so a
+            # longform window with a longer conditioning prompt shrinks its
+            # budget instead of raising mid-seek-loop.
+            max_length = min(prompt.shape[1] + int(max_new_tokens),
+                             cfg.dims.max_target_positions)
         if prompt.shape[1] >= max_length:
             raise ValueError(
                 f"prompt length {prompt.shape[1]} exceeds max_length {max_length} "
@@ -744,6 +756,7 @@ class WhisperMedusaModel:
         prompt_ids: Optional[Sequence[int]] = None,
         prompt_condition_type: str = "first-segment",
         return_token_timestamps: bool = False,
+        max_new_tokens: Optional[int] = None,
     ) -> GenerateOutput:
         """Sequential seek loop over 30 s windows (reference scaffolding:
         model.py:1591-1703, unreachable there for >30 s inputs).
@@ -924,6 +937,7 @@ class WhisperMedusaModel:
                     no_speech_threshold=no_speech_threshold,
                     return_timestamps=True, time_precision=time_precision,
                     num_beams=num_beams, length_penalty=length_penalty,
+                    max_new_tokens=max_new_tokens,
                     prompt_ids=round_prompt, **cap_kwargs)
                 steps_total += out.steps
                 p_len_round = prompt_len + (len(round_prompt)
@@ -997,6 +1011,7 @@ class WhisperMedusaModel:
                     return_timestamps=True,
                     time_precision=time_precision,
                     num_beams=num_beams, length_penalty=length_penalty,
+                    max_new_tokens=max_new_tokens,
                     prompt_ids=window_prompt, **cap_kwargs)
                 steps_total += out.steps
                 accepted_total += int(out.accepted.sum())
@@ -1153,7 +1168,8 @@ class WhisperMedusaModel:
                        exponential_decay_length_penalty=None,
                        prompt_ids: Optional[Sequence[int]] = None,
                        return_timestamps: bool = False,
-                       time_precision: float = 0.02) -> GenerateOutput:
+                       time_precision: float = 0.02,
+                       max_new_tokens: Optional[int] = None) -> GenerateOutput:
         from whisper_medusa_tpu.decoding.beam import beam_search
 
         cfg = self.config
@@ -1193,6 +1209,10 @@ class WhisperMedusaModel:
             pids = np.asarray(prompt_ids, np.int32).reshape(1, -1)
             prompt = np.concatenate([np.tile(pids, (b, 1)), prompt], axis=1)
         max_length = max_length or cfg.dims.max_target_positions
+        if max_new_tokens is not None:
+            # Same HF precedence + clamp as the greedy path above.
+            max_length = min(prompt.shape[1] + int(max_new_tokens),
+                             cfg.dims.max_target_positions)
         gd = self.generation_config
         sup = tuple(suppress_tokens) if suppress_tokens not in (None, "default") \
             else (gd.suppress_tokens if suppress_tokens == "default" else None)
