@@ -243,6 +243,40 @@ def test_max_new_tokens(tiny_model):
     assert (out3.lengths <= prompt_len + 4).all()
 
 
+def test_max_new_tokens_and_prompt_guards(tiny_model):
+    """Input-validation edges: max_new_tokens must be positive; an oversized
+    prompt raises the same clear ValueError on the beam path as on greedy
+    (not an opaque shape error)."""
+    f = _feats(tiny_model.config)
+    with pytest.raises(ValueError, match="max_new_tokens"):
+        tiny_model.generate(f, language="en", max_new_tokens=0)
+    long_prompt = [50361] + list(range(100, 110))
+    with pytest.raises(ValueError, match="prompt length"):
+        tiny_model.generate(f, language="en", max_length=5,
+                            prompt_ids=long_prompt)
+    with pytest.raises(ValueError, match="prompt length"):
+        tiny_model.generate(f, language="en", max_length=5, num_beams=2,
+                            prompt_ids=long_prompt)
+
+
+def test_longform_all_segments_fits_small_max_length(tiny_model):
+    """'all-segments' conditioning shrinks the rolling context (down to none)
+    so a later window's longer prompt can never exceed a user max_length and
+    raise mid-seek-loop, discarding decoded windows."""
+    from whisper_medusa_tpu.ops.mel import log_mel_spectrogram_np
+
+    rng = np.random.default_rng(41)
+    wav = (0.1 * rng.normal(size=(1, 16000 * 65))).astype(np.float32)
+    feats = log_mel_spectrogram_np(
+        wav, n_mels=tiny_model.config.dims.num_mel_bins)
+    pids = [tiny_model.special.start_of_prev, 11, 12, 13]
+    out = tiny_model.generate(feats, language="en", max_length=24,
+                              prompt_ids=pids,
+                              condition_on_prev_tokens=True,
+                              prompt_condition_type="all-segments")
+    assert out.sequences.shape[0] == 1 and out.lengths[0] > 0
+
+
 def test_longform_prompt_condition_types(tiny_model, monkeypatch):
     """prompt_ids across longform windows (HF ``prompt_condition_type``
     semantics; the reference inherits both kwargs but raises on ANY longform

@@ -348,6 +348,21 @@ def test_token_timestamps_shortform(tiny_model):
         assert np.isnan(tt[~text]).all()
 
 
+def test_words_identical_with_shared_token_spans(tiny_model):
+    """Requesting words + token timestamps together runs ONE DTW: the shared
+    token_spans path must produce the identical word list."""
+    f = _feats(tiny_model.config, b=1, seed=21)
+    kw = dict(language="en", max_length=24, return_timestamps=True,
+              word_timestamps=True, tokenizer=_StubTokenizer())
+    solo = tiny_model.generate(f, **kw)
+    both = tiny_model.generate(f, return_token_timestamps=True, **kw)
+    assert both.words == solo.words
+    # And the token spans cover the word spans.
+    tt = both.token_timestamps[0]
+    for w in both.words[0]:
+        assert np.nanmin(tt[:, 0]) <= w["start"] <= np.nanmax(tt[:, 1])
+
+
 def test_token_timestamps_longform_monotonic(tiny_model):
     """Longform composition: times carry each window's absolute offset."""
     cfg = tiny_model.config

@@ -221,12 +221,16 @@ def words_with_times(
     timestamp_begin: int,
     time_offset: float = 0.0,
     filter_width: int = 7,
+    token_spans: np.ndarray = None,
 ) -> List[dict]:
     """Word dicts [{"word", "start", "end"}] for one example.
 
     ``maps`` rows must correspond 1:1 with ``gen_tokens``.  Only text-token
     rows enter the DTW (OpenAI aligns the text rows of the teacher-forced
     pass; timestamp/EOS rows are dropped before building the cost matrix).
+    ``token_spans``: optional precomputed (T_gen, 2) per-token times from
+    :func:`per_token_times` on the same rows — reused instead of re-running
+    the DTW when the caller wants both surfaces.
     """
     gen_tokens = [int(t) for t in gen_tokens]
     is_text = [t < eos_id for t in gen_tokens]
@@ -234,7 +238,12 @@ def words_with_times(
     if not text_tokens:
         return []
     text_rows = np.array([i for i, keep in enumerate(is_text) if keep])
-    starts, ends = token_times(maps[:, text_rows], num_frames, filter_width)
+    if token_spans is not None:
+        starts = token_spans[text_rows, 0]
+        ends = token_spans[text_rows, 1]
+    else:
+        starts, ends = token_times(maps[:, text_rows], num_frames,
+                                   filter_width)
     words, word_tokens = split_tokens_on_spaces(text_tokens, tokenizer)
     out: List[dict] = []
     row = 0

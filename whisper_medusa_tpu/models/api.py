@@ -341,6 +341,9 @@ class WhisperMedusaModel:
         # "first-segment" conditions only the first window on ``prompt_ids``;
         # "all-segments" keeps the prompt at the front of EVERY window's
         # previous-context block and requires condition_on_prev_tokens=True.
+        if max_new_tokens is not None and int(max_new_tokens) < 1:
+            raise ValueError(
+                f"max_new_tokens must be >= 1, got {max_new_tokens}")
         if prompt_condition_type is None:
             prompt_condition_type = "first-segment"
         if prompt_condition_type not in ("first-segment", "all-segments"):
@@ -711,15 +714,18 @@ class WhisperMedusaModel:
                     # token's own position (it is input at that position in
                     # the teacher-forced replay).
                     rows = np.arange(prompt.shape[1], li)
-                    if word_timestamps:
-                        words.append(wt.words_with_times(
-                            final_tokens[i, prompt.shape[1]:li],
-                            amaps[:, i][:, rows], tokenizer,
-                            live_frames, st.eos, st.timestamp_begin))
+                    gen_i = final_tokens[i, prompt.shape[1]:li]
+                    maps_i = amaps[:, i][:, rows]
+                    spans = None
                     if return_token_timestamps:
-                        token_tts.append(wt.per_token_times(
-                            final_tokens[i, prompt.shape[1]:li],
-                            amaps[:, i][:, rows], live_frames, st.eos))
+                        spans = wt.per_token_times(gen_i, maps_i,
+                                                   live_frames, st.eos)
+                        token_tts.append(spans)
+                    if word_timestamps:
+                        # One DTW serves both surfaces (token_spans reuse).
+                        words.append(wt.words_with_times(
+                            gen_i, maps_i, tokenizer, live_frames, st.eos,
+                            st.timestamp_begin, token_spans=spans))
                 if word_timestamps and segments is not None:
                     _attach_words_to_segments(segments, words)
 
@@ -979,10 +985,20 @@ class WhisperMedusaModel:
                 # do_condition_on_prev_tokens; HF semantics).  Rolling-context
                 # lengths are bucketed so at most 4 decode shapes ever compile
                 # (the user prompt's fixed length adds at most one more).
+                # The bucket must also FIT a user-supplied max_length: the
+                # context is best-effort, so it shrinks (down to none) rather
+                # than letting a later window's longer prompt raise mid-loop
+                # and discard the windows already decoded.
+                fixed = 1 + (len(user_prompt_text)
+                             if (user_prompt_text
+                                 and prompt_condition_type == "all-segments")
+                             else 0)
+                room = ((max_length or cfg.dims.max_target_positions)
+                        - prompt_len - 1)
                 bucket = 0
                 if condition_on_prev_tokens and prev_text:
                     for cand in (64, 32, 16):
-                        if len(prev_text) >= cand:
+                        if len(prev_text) >= cand and fixed + cand <= room:
                             bucket = cand
                             break
                 rolling = prev_text[-bucket:] if bucket else []
@@ -1213,6 +1229,11 @@ class WhisperMedusaModel:
             # Same HF precedence + clamp as the greedy path above.
             max_length = min(prompt.shape[1] + int(max_new_tokens),
                              cfg.dims.max_target_positions)
+        if prompt.shape[1] >= max_length:
+            raise ValueError(
+                f"prompt length {prompt.shape[1]} exceeds max_length "
+                f"{max_length} (reference raises the analogous error, "
+                f"model.py:1803-1815)")
         gd = self.generation_config
         sup = tuple(suppress_tokens) if suppress_tokens not in (None, "default") \
             else (gd.suppress_tokens if suppress_tokens == "default" else None)
