@@ -259,6 +259,36 @@ def test_max_new_tokens_and_prompt_guards(tiny_model):
                             prompt_ids=long_prompt)
 
 
+def test_longform_attention_mask_bounds_each_example(tiny_model):
+    """attention_mask (HF kwarg) carries per-example REAL audio lengths in a
+    right-padded batch: each example's seek loop stops at its own length, so
+    a short example in a long batch emits no segments for padding audio."""
+    from whisper_medusa_tpu.ops.mel import log_mel_spectrogram_np
+
+    cfg = tiny_model.config
+    rng = np.random.default_rng(51)
+    wav = (0.1 * rng.normal(size=(2, 16000 * 20))).astype(np.float32)
+    feats = log_mel_spectrogram_np(wav, n_mels=cfg.dims.num_mel_bins)
+    tl = feats.shape[-1]
+    ts = int(tl * 0.45)                    # example 1 "really" ends here
+    mask = np.ones((2, tl), np.int32)
+    mask[1, ts:] = 0
+    # The capture surface records each decoded window's time_offset — the
+    # direct observable for where each example's seek loop stopped.
+    out = tiny_model.generate(feats, language="en", max_length=20,
+                              attention_mask=mask, return_timestamps=True,
+                              return_hidden_states=True)
+    offs = [[c["time_offset"] for c in caps]
+            for caps in out.cross_attentions]  # capture entries ride this field
+    # Example 1 decodes no window at/after its cutoff; example 0 does.
+    assert max(offs[1]) < ts * 0.01
+    assert max(offs[0]) >= ts * 0.01
+    # Shape validation.
+    with pytest.raises(ValueError, match="attention_mask"):
+        tiny_model.generate(feats, language="en",
+                            attention_mask=np.ones((2, 7)))
+
+
 def test_longform_all_segments_fits_small_max_length(tiny_model):
     """'all-segments' conditioning shrinks the rolling context (down to none)
     so a later window's longer prompt can never exceed a user max_length and

@@ -299,6 +299,7 @@ class WhisperMedusaModel:
         prompt_condition_type: Optional[str] = None,
         return_token_timestamps: bool = False,
         max_new_tokens: Optional[int] = None,
+        attention_mask: Optional[np.ndarray] = None,
     ) -> GenerateOutput:
         """Transcribe a batch of 30 s mel segments.
 
@@ -413,7 +414,8 @@ class WhisperMedusaModel:
                     num_beams=num_beams, length_penalty=length_penalty,
                     prompt_ids=prompt_ids,
                     prompt_condition_type=prompt_condition_type,
-                    max_new_tokens=max_new_tokens)
+                    max_new_tokens=max_new_tokens,
+                    attention_mask=attention_mask)
             return self._generate_beam(
                 input_features, language=language, task=task,
                 max_length=max_length, max_new_tokens=max_new_tokens,
@@ -432,6 +434,17 @@ class WhisperMedusaModel:
         b, n_mels, n_frames = feats.shape
         if n_mels != cfg.dims.num_mel_bins:
             raise ValueError(f"expected {cfg.dims.num_mel_bins} mel bins, got {n_mels}")
+        frame_counts = None
+        if attention_mask is not None:
+            # HF kwarg: per-example REAL frame counts inside a right-padded
+            # batch.  Shortform uses it to bound each example's live audio
+            # for the DTW surfaces; longform bounds each example's seek loop.
+            am = np.asarray(attention_mask).reshape(b, -1)
+            if am.shape[1] != n_frames:
+                raise ValueError(
+                    f"attention_mask shape {np.asarray(attention_mask).shape}"
+                    f" does not match features (B={b}, frames={n_frames})")
+            frame_counts = am.astype(bool).sum(axis=1)
         if n_frames > cfg.dims.num_frames:
             # Longform: sequential 30 s seek loop with timestamp-based advancement
             # (the reference raises NotImplementedError here, model.py:1214, 1840).
@@ -459,7 +472,8 @@ class WhisperMedusaModel:
                 prompt_ids=prompt_ids,
                 prompt_condition_type=prompt_condition_type,
                 return_token_timestamps=return_token_timestamps,
-                max_new_tokens=max_new_tokens)
+                max_new_tokens=max_new_tokens,
+                attention_mask=attention_mask)
         if n_frames < cfg.dims.num_frames:
             feats = jnp.pad(feats, ((0, 0), (0, 0),
                                     (0, cfg.dims.num_frames - n_frames)))
@@ -716,15 +730,21 @@ class WhisperMedusaModel:
                     rows = np.arange(prompt.shape[1], li)
                     gen_i = final_tokens[i, prompt.shape[1]:li]
                     maps_i = amaps[:, i][:, rows]
+                    # attention_mask narrows the live audio per example
+                    # (right-padded batches): the DTW must not align tokens
+                    # onto padding frames.
+                    lf_i = (live_frames if frame_counts is None else
+                            max(min(int(frame_counts[i]),
+                                    cfg.dims.num_frames) // 2, 1))
                     spans = None
                     if return_token_timestamps:
                         spans = wt.per_token_times(gen_i, maps_i,
-                                                   live_frames, st.eos)
+                                                   lf_i, st.eos)
                         token_tts.append(spans)
                     if word_timestamps:
                         # One DTW serves both surfaces (token_spans reuse).
                         words.append(wt.words_with_times(
-                            gen_i, maps_i, tokenizer, live_frames, st.eos,
+                            gen_i, maps_i, tokenizer, lf_i, st.eos,
                             st.timestamp_begin, token_spans=spans))
                 if word_timestamps and segments is not None:
                     _attach_words_to_segments(segments, words)
@@ -763,6 +783,7 @@ class WhisperMedusaModel:
         prompt_condition_type: str = "first-segment",
         return_token_timestamps: bool = False,
         max_new_tokens: Optional[int] = None,
+        attention_mask: Optional[np.ndarray] = None,
     ) -> GenerateOutput:
         """Sequential seek loop over 30 s windows (reference scaffolding:
         model.py:1591-1703, unreachable there for >30 s inputs).
@@ -813,6 +834,15 @@ class WhisperMedusaModel:
         cfg = self.config
         st = self.special
         b, _, total_frames = feats.shape
+        if attention_mask is not None:
+            am = np.asarray(attention_mask).reshape(b, -1)
+            if am.shape[1] != total_frames:
+                raise ValueError(
+                    f"attention_mask shape {np.asarray(attention_mask).shape}"
+                    f" does not match features (B={b}, frames={total_frames})")
+            totals = [int(c) for c in am.astype(bool).sum(axis=1)]
+        else:
+            totals = [total_frames] * b
         win = cfg.dims.num_frames
         prompt_len = 3  # [sot, lang, task] — timestamp mode
         user_prompt = (list(np.asarray(prompt_ids, np.int32).reshape(-1))
@@ -861,7 +891,7 @@ class WhisperMedusaModel:
             segs = out.segments[row]
             complete_ends = [s["end"] for s in segs if s["end"] is not None]
             advance, cut_time = win, None
-            if complete_ends and seek + win < total_frames:
+            if complete_ends and seek + win < totals[i]:
                 adv = int(round(complete_ends[-1] / 0.01))
                 if adv > 0:
                     advance = min(adv, win)
@@ -926,6 +956,13 @@ class WhisperMedusaModel:
                 windows = [pad_window(np.asarray(
                     feats[i: i + 1, :, seeks[i]: seeks[i] + win]))
                     for i in range(b)]
+                win_mask = None
+                if attention_mask is not None:
+                    # Each row's live frames inside its own current window.
+                    live = [min(max(totals[i] - seeks[i], 0), win)
+                            for i in range(b)]
+                    win_mask = (np.arange(win)[None, :]
+                                < np.asarray(live)[:, None]).astype(np.int32)
                 # first-segment prompt conditioning: round 1 is every
                 # example's first window (all seeks start at 0), so the
                 # shared prompt tensor applies exactly there.
@@ -944,6 +981,7 @@ class WhisperMedusaModel:
                     return_timestamps=True, time_precision=time_precision,
                     num_beams=num_beams, length_penalty=length_penalty,
                     max_new_tokens=max_new_tokens,
+                    attention_mask=win_mask,
                     prompt_ids=round_prompt, **cap_kwargs)
                 steps_total += out.steps
                 p_len_round = prompt_len + (len(round_prompt)
@@ -957,11 +995,11 @@ class WhisperMedusaModel:
                         continue
                     adv, _ = fold_window(i, out, i, p_len_round, seeks[i])
                     seeks[i] += adv
-                    if seeks[i] >= total_frames:
+                    if seeks[i] >= totals[i]:
                         active[i] = False
             if any(active):
                 _warn_longform_truncation(
-                    [(i, seeks[i], total_frames) for i in range(b) if active[i]])
+                    [(i, seeks[i], totals[i]) for i in range(b) if active[i]])
             return self._longform_output(
                 all_tokens, all_segments, steps_total, accepted_total,
                 return_timestamps, all_words=all_words, all_caps=all_caps,
@@ -977,7 +1015,7 @@ class WhisperMedusaModel:
             seek = 0
             guard, guard_max = 0, 4 * (total_frames // win + 2)
             prev_text: List[int] = []
-            while seek < total_frames and guard < guard_max:
+            while seek < totals[i] and guard < guard_max:
                 guard += 1
                 window = pad_window(
                     np.asarray(feats[i: i + 1, :, seek: seek + win]))
@@ -1028,6 +1066,11 @@ class WhisperMedusaModel:
                     time_precision=time_precision,
                     num_beams=num_beams, length_penalty=length_penalty,
                     max_new_tokens=max_new_tokens,
+                    attention_mask=(
+                        None if attention_mask is None
+                        else (np.arange(win)
+                              < min(max(totals[i] - seek, 0), win)
+                              )[None, :].astype(np.int32)),
                     prompt_ids=window_prompt, **cap_kwargs)
                 steps_total += out.steps
                 accepted_total += int(out.accepted.sum())
@@ -1037,8 +1080,8 @@ class WhisperMedusaModel:
                 adv, kept = fold_window(i, out, 0, p_len, seek)
                 prev_text = [t for t in kept if t < st.eos]
                 seek += adv
-            if seek < total_frames:
-                _warn_longform_truncation([(i, seek, total_frames)])
+            if seek < totals[i]:
+                _warn_longform_truncation([(i, seek, totals[i])])
 
         return self._longform_output(
             all_tokens, all_segments, steps_total, accepted_total,
