@@ -243,6 +243,34 @@ def test_max_new_tokens(tiny_model):
     assert (out3.lengths <= prompt_len + 4).all()
 
 
+def test_custom_logits_processor(tiny_model):
+    """logits_processor (the reference's HF kwarg in TPU-native form): a PURE
+    (logits, pred_pos) -> logits jax function compiled into the decode loop,
+    applied after the built-ins at every scored position — greedy (it also
+    routes verification off the fused kernel) and beams."""
+    import jax.numpy as jnp
+
+    TOK = 1234
+
+    def force_tok(logits, pred_pos):
+        mask = jnp.arange(logits.shape[-1]) == TOK
+        return jnp.where(mask, jnp.zeros_like(logits),
+                         jnp.full_like(logits, -1e9))
+
+    f = _feats(tiny_model.config)
+    prompt_len = 4
+    out = tiny_model.generate(f, language="en", max_length=12,
+                              logits_processor=force_tok)
+    for i in range(2):
+        gen = np.asarray(out.sequences[i, prompt_len:int(out.lengths[i])])
+        assert len(gen) > 0 and (gen == TOK).all()
+    outb = tiny_model.generate(f, language="en", max_length=10, num_beams=2,
+                               logits_processor=force_tok)
+    for i in range(2):
+        gen = np.asarray(outb.sequences[i, prompt_len:int(outb.lengths[i])])
+        assert len(gen) > 0 and (gen == TOK).all()
+
+
 def test_max_new_tokens_and_prompt_guards(tiny_model):
     """Input-validation edges: max_new_tokens must be positive; an oversized
     prompt raises the same clear ValueError on the beam path as on greedy

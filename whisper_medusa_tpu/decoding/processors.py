@@ -26,7 +26,7 @@ medusa_utils.py:21-302).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -53,6 +53,14 @@ class ProcessorConfig:
     timestamp_begin: int = 50364          # <|0.00|>
     no_timestamps_id: int = 50363
     max_initial_timestamp_index: Optional[int] = 50  # == 1.0s default in whisper
+    # User extension point (the reference's ``logits_processor`` kwarg, in
+    # TPU-native form): a PURE jax function ``(logits (..., V) f32,
+    # pred_pos (...,) i32) -> logits`` compiled into the decode loop and
+    # applied AFTER the built-ins at every scored position (draft heads,
+    # verification rows, beams, the scoring pass).  Host callbacks are
+    # impossible inside the on-device while_loop; purity is the contract.
+    # Routes verification off the fused kernel (speculative.py gate).
+    custom: Optional[Callable] = None
 
     def suppress_mask(self) -> Optional[np.ndarray]:
         if not self.suppress_tokens:
@@ -101,6 +109,9 @@ def apply_processors(
         penalty = jnp.abs(eos) * (jnp.power(jnp.float32(factor), idx) - 1.0)
         new_eos = jnp.where(active, eos + penalty, eos)
         logits = logits.at[..., cfg.eos_token_id].set(new_eos)
+
+    if cfg.custom is not None:
+        logits = cfg.custom(logits, pred_pos).astype(jnp.float32)
 
     return logits
 

@@ -349,6 +349,7 @@ def speculative_generate(
                     else 1) * n_nodes * b
     use_fused_verify = (
         greedy and not sample and buffers.is_chain and b <= 8
+        and pcfg.custom is None  # user processors can't ride the fused rules
         and verify_mod.available(
             n_score_rows, dims.vocab_size, dims.d_model))
     sup_masks = verify_mod.masks_for(pcfg) if use_fused_verify else None

@@ -23,7 +23,7 @@ import json
 import os
 import zlib
 from functools import partial
-from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -300,6 +300,7 @@ class WhisperMedusaModel:
         return_token_timestamps: bool = False,
         max_new_tokens: Optional[int] = None,
         attention_mask: Optional[np.ndarray] = None,
+        logits_processor: Optional[Callable] = None,
     ) -> GenerateOutput:
         """Transcribe a batch of 30 s mel segments.
 
@@ -415,7 +416,8 @@ class WhisperMedusaModel:
                     prompt_ids=prompt_ids,
                     prompt_condition_type=prompt_condition_type,
                     max_new_tokens=max_new_tokens,
-                    attention_mask=attention_mask)
+                    attention_mask=attention_mask,
+                    logits_processor=logits_processor)
             return self._generate_beam(
                 input_features, language=language, task=task,
                 max_length=max_length, max_new_tokens=max_new_tokens,
@@ -426,7 +428,8 @@ class WhisperMedusaModel:
                 exponential_decay_length_penalty=exponential_decay_length_penalty,
                 prompt_ids=prompt_ids,
                 return_timestamps=return_timestamps,
-                time_precision=time_precision)
+                time_precision=time_precision,
+                logits_processor=logits_processor)
         cfg = self.config
         feats = jnp.asarray(input_features)
         if feats.ndim == 2:
@@ -473,7 +476,8 @@ class WhisperMedusaModel:
                 prompt_condition_type=prompt_condition_type,
                 return_token_timestamps=return_token_timestamps,
                 max_new_tokens=max_new_tokens,
-                attention_mask=attention_mask)
+                attention_mask=attention_mask,
+                logits_processor=logits_processor)
         if n_frames < cfg.dims.num_frames:
             feats = jnp.pad(feats, ((0, 0), (0, 0),
                                     (0, cfg.dims.num_frames - n_frames)))
@@ -544,6 +548,7 @@ class WhisperMedusaModel:
             timestamp_begin=st.timestamp_begin,
             no_timestamps_id=st.no_timestamps,
             max_initial_timestamp_index=max_initial_timestamp_index,
+            custom=logits_processor,
         )
         if disable_medusa:
             choices: Tuple[int, ...] = (1,)
@@ -784,6 +789,7 @@ class WhisperMedusaModel:
         return_token_timestamps: bool = False,
         max_new_tokens: Optional[int] = None,
         attention_mask: Optional[np.ndarray] = None,
+        logits_processor: Optional[Callable] = None,
     ) -> GenerateOutput:
         """Sequential seek loop over 30 s windows (reference scaffolding:
         model.py:1591-1703, unreachable there for >30 s inputs).
@@ -982,6 +988,7 @@ class WhisperMedusaModel:
                     num_beams=num_beams, length_penalty=length_penalty,
                     max_new_tokens=max_new_tokens,
                     attention_mask=win_mask,
+                    logits_processor=logits_processor,
                     prompt_ids=round_prompt, **cap_kwargs)
                 steps_total += out.steps
                 p_len_round = prompt_len + (len(round_prompt)
@@ -1071,6 +1078,7 @@ class WhisperMedusaModel:
                         else (np.arange(win)
                               < min(max(totals[i] - seek, 0), win)
                               )[None, :].astype(np.int32)),
+                    logits_processor=logits_processor,
                     prompt_ids=window_prompt, **cap_kwargs)
                 steps_total += out.steps
                 accepted_total += int(out.accepted.sum())
@@ -1228,7 +1236,9 @@ class WhisperMedusaModel:
                        prompt_ids: Optional[Sequence[int]] = None,
                        return_timestamps: bool = False,
                        time_precision: float = 0.02,
-                       max_new_tokens: Optional[int] = None) -> GenerateOutput:
+                       max_new_tokens: Optional[int] = None,
+                       logits_processor: Optional[Callable] = None
+                       ) -> GenerateOutput:
         from whisper_medusa_tpu.decoding.beam import beam_search
 
         cfg = self.config
@@ -1296,7 +1306,8 @@ class WhisperMedusaModel:
             eos_token_id=st.eos, timestamp_rules=return_timestamps,
             timestamp_begin=st.timestamp_begin,
             no_timestamps_id=st.no_timestamps,
-            max_initial_timestamp_index=gd.max_initial_timestamp_index)
+            max_initial_timestamp_index=gd.max_initial_timestamp_index,
+            custom=logits_processor)
         gen = GenerationConfig(max_length=max_length, eos_token_id=st.eos,
                                pad_token_id=gd.pad_token_id,
                                decoder_start_token_id=st.sot)
