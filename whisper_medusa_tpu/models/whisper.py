@@ -784,7 +784,9 @@ def init_cache(
     # full-staging-buffer DMA (Mosaic requires sublane-aligned VMEM slices),
     # so a chunk written at offset may touch up to 15 rows past its last real
     # token.  Slots past the requested max_len are never read (masked).
-    max_len = max_len + 16
+    # Rounded up to a sublane multiple: the kernel's prefetch path slices the
+    # slab out of HBM manually, and Mosaic requires 8-aligned slice extents.
+    max_len = -(-(max_len + 16) // 8) * 8
 
     layers = params["decoder"]["layers"]
     s_pad = _cross_pad_len(s)
@@ -871,12 +873,19 @@ def quantize_v_flat(v: jnp.ndarray, num_heads: int):
 
 
 def _cross_pad_len(s: int) -> int:
-    """Cross-cache sequence length — deliberately UNpadded.
+    """Cross-cache sequence length — deliberately UNpadded by default.
 
     The whole-stack megastep kernel handles the raw 1500-key length directly;
     padding to 1536 was measured slightly *slower* on v5e (the extra 2.4% of
     cross-cache bytes cost more than the lane alignment saved).  Kept as a
-    function so the choice is documented at the one place a pad would go."""
+    function so the choice is documented at the one place a pad would go.
+    Exception: the kernel's cross-prefetch mode slices the cross cache out of
+    HBM manually, and Mosaic requires 128-aligned lane extents there — both
+    attention paths mask padded keys (cross_len), so the pad is inert."""
+    from whisper_medusa_tpu.ops import megastep
+
+    if megastep._prefetch_cross():
+        return -(-s // 128) * 128
     return s
 
 

@@ -94,6 +94,42 @@ def _blkdiag() -> bool:
     return os.environ.get("WM_MEGASTEP_BLKDIAG", "1") == "1"
 
 
+def _prefetch() -> bool:
+    """Deep-lookahead self-slab prefetch (WM_MEGASTEP_PREFETCH=1).
+
+    The phase pipeline's lookahead is one window deep, so a phase whose
+    compute exceeds the NEXT window's DMA exposes the excess (DESIGN.md §10:
+    1.65 ms/step exposed at int8 b=8).  With prefetch on, the self K/V (and
+    int8 scale) slabs leave the BlockSpec pipeline: layer l+1's slab copies
+    are issued manually at layer l's FIRST phase into a 2-slot VMEM ring, so
+    they ride the DMA engine under the whole layer's compute (~9 phases of
+    slack vs ~7 us of transfer) and the self phase never waits on them.
+    blkdiag-path only; default off until measured per (dtype, batch)."""
+    return os.environ.get("WM_MEGASTEP_PREFETCH", "0") == "1"
+
+
+def _prefetch_cross() -> bool:
+    """Deep-lookahead cross-K/V prefetch (WM_MEGASTEP_PREFETCH_CROSS=1).
+
+    The cross K/V stream is the kernel's largest (50% of all bytes at int8
+    b=8) and its phases are DMA-bound, while the self phases expose compute
+    the one-window BlockSpec lookahead cannot use.  With this flag the cross
+    K/V group windows become a manually-copied ring with
+    WM_MEGASTEP_PFS (default 3) slots: unit u = layer*nc + group is issued
+    ``slots - 1`` units ahead of its consuming phase, so the copies queue up
+    under the self/earlier-cross compute shadows instead of being waited on
+    one window at a time.  The per-group scale rows (int8 mode) stay in the
+    BlockSpec pipeline — they are tiny and their head-dim slices are not
+    sublane-aligned.  The lookahead group index (g + slots - 1) % nc is
+    python-static per phase, so every slice offset stays static except the
+    untiled layer index."""
+    return os.environ.get("WM_MEGASTEP_PREFETCH_CROSS", "0") == "1"
+
+
+def _pf_slots() -> int:
+    return max(2, int(os.environ.get("WM_MEGASTEP_PFS", "3")))
+
+
 _MAX_T = 16
 NEG_SELF = -1e30   # matches models/whisper.py::attention
 NEG_CROSS = -0.7 * float(jnp.finfo(jnp.float32).max)  # matches decode_ops.NEG_BIG
@@ -169,13 +205,25 @@ def _estimate_vmem(b: int, t16: int, d: int, h: int, dh: int, s_len: int,
     tot += 4 * d * sgd * wbytes * 2             # self q/k/v/o group slices
     tot += 2 * d * gd * wbytes * 2              # cross q/o group columns/rows
     skv_b = 1 if skv_quant else 2
-    tot += 2 * b * s_len * sgd * skv_b * 2      # self-cache slab group slices
-    if skv_quant:
-        tot += b * s_len * 128 * 2 * 2          # scale slab (SHp<=128 lanes)
-        if not _blkdiag():
-            tot += 128 * 2 * sgd * 2 * 2        # per-group expansion matrix
-    tot += b * (h // nc) * dh * sp_len * kvbytes * 2   # cross K group
-    tot += b * sp_len * gd * kvbytes * 2        # cross V group (head-flat)
+    if _prefetch() and _blkdiag():
+        # Prefetch rings hold BOTH slots of the full-width slabs (see
+        # _prefetch) instead of double-buffered group windows.
+        tot += 2 * ns * b * s_len * sgd * skv_b * 2
+        if skv_quant:
+            tot += 2 * b * s_len * 128 * 2      # scale-slab ring (bf16)
+    else:
+        tot += 2 * b * s_len * sgd * skv_b * 2  # self-cache slab group slices
+        if skv_quant:
+            tot += b * s_len * 128 * 2 * 2      # scale slab (SHp<=128 lanes)
+    if skv_quant and not _blkdiag():
+        tot += 128 * 2 * sgd * 2 * 2            # per-group expansion matrix
+    if _prefetch_cross():
+        # Ring slots replace the double-buffered cross K/V windows.
+        tot += _pf_slots() * b * (h // nc) * dh * sp_len * kvbytes
+        tot += _pf_slots() * b * sp_len * gd * kvbytes
+    else:
+        tot += b * (h // nc) * dh * sp_len * kvbytes * 2   # cross K group
+        tot += b * sp_len * gd * kvbytes * 2    # cross V group (head-flat)
     if kv_quant:
         tot += 2 * b * (h // nc) * sp_len * 4 * 2      # k/v scales
     tot += (d * f2 + f2 * d) * wbytes * 2       # fc1/fc2 chunk
@@ -344,11 +392,18 @@ def _kernel(
                   # self sub-phases (scale-slab commit runs at the last one)
     sems,         # (3, B) DMA semaphores — one triple per example, so every
                   # wait matches exactly the copy it calibrates against
+    skb,          # prefetch: (2, NS, B, S, SGd) self-K slab ring (else dummy)
+    svb,          # prefetch: (2, NS, B, S, SGd) self-V slab ring
+    ssr,          # prefetch: (2, B, S, SHp) bf16 scale-slab ring
+    psem,         # prefetch: (3, 2, NS) DMA semaphores (tensor, slot, group)
+    ckr,          # prefetch_cross: (PFS, B, Hg, dh, Sp) cross-K ring
+    cvr,          # prefetch_cross: (PFS, B, Sp, Gd) cross-V ring
+    csem,         # prefetch_cross: (2, PFS) DMA semaphores
     *,
     num_layers: int, num_heads: int, t16: int, t_real: int, cross_len: int,
     n_self: int, n_cross: int, n_chunks: int, scale: float, quant: bool,
     kv_quant: bool, skv_quant: bool, batch: int, has_block: bool, w8a8: bool,
-    blkdiag: bool,
+    blkdiag: bool, prefetch: bool, prefetch_cross: bool, pf_slots: int,
 ):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -404,6 +459,105 @@ def _kernel(
     @pl.when((l == 0) & (p == 0))
     def _():
         xs[:] = x_ref[:]
+
+    # Deep-lookahead slab prefetch (see _prefetch): the self K/V (+ int8
+    # scale) slabs are read from the ALIASED HBM outputs with manual copies
+    # issued one full layer ahead, instead of from one-phase-lookahead
+    # BlockSpec windows.  Reading layer l+1's HBM slab before layer l+1's
+    # own commit is safe: the commit only writes rows >= off, which the
+    # attention masks out and the staging merge overwrites.
+    pf_slot = l % 2
+    pf_g = jnp.minimum(p, n_self - 1)
+    if prefetch:
+        def pf_issue(lay, slot):
+            for g in range(n_self):
+                pltpu.make_async_copy(
+                    sko_ref.at[lay, :, :, pl.ds(g * sgd, sgd)],
+                    skb.at[slot, g], psem.at[0, slot, g]).start()
+                pltpu.make_async_copy(
+                    svo_ref.at[lay, :, :, pl.ds(g * sgd, sgd)],
+                    svb.at[slot, g], psem.at[1, slot, g]).start()
+            if skv_quant:
+                pltpu.make_async_copy(
+                    sso_ref.at[lay], ssr.at[slot],
+                    psem.at[2, slot, 0]).start()
+
+        def pf_wait(slot):
+            # Reconstructed same-shape descriptors calibrate the waits (the
+            # cache-commit waits below use the same pattern).
+            for g in range(n_self):
+                pltpu.make_async_copy(
+                    sko_ref.at[0, :, :, pl.ds(0, sgd)],
+                    skb.at[slot, g], psem.at[0, slot, g]).wait()
+                pltpu.make_async_copy(
+                    svo_ref.at[0, :, :, pl.ds(0, sgd)],
+                    svb.at[slot, g], psem.at[1, slot, g]).wait()
+            if skv_quant:
+                pltpu.make_async_copy(
+                    sso_ref.at[0], ssr.at[slot], psem.at[2, slot, 0]).wait()
+
+        @pl.when((l == 0) & (p == 0))
+        def _():
+            pf_issue(0, 0)
+            pf_wait(0)
+            if num_layers > 1:
+                pf_issue(1, 1)
+
+        @pl.when((l > 0) & (p == 0))
+        def _():
+            pf_wait(pf_slot)
+
+        if num_layers > 1:
+            @pl.when((l > 0) & (l + 1 < num_layers) & (p == 0))
+            def _():
+                pf_issue(l + 1, (l + 1) % 2)
+
+    # Cross-K/V ring prefetch (see _prefetch_cross): unit u = l*nc + g is
+    # waited at its consuming phase (l, ns + g) and unit u + LA is issued
+    # there — LA = pf_slots - 1 units of copies queue under the compute
+    # shadows of the intervening phases.  g and (g + LA) % nc are python
+    # ints per phase, so every slice offset except the untiled layer index
+    # is static.  Runs outside the _SKIP guards so the DMA-only stub keeps
+    # the full byte stream.
+    hg_c = num_heads // n_cross
+    gd_c = hg_c * dh
+    if prefetch_cross:
+        LA = pf_slots - 1
+        CU = num_layers * n_cross
+
+        def cx_issue(l2, g2, slot):
+            pltpu.make_async_copy(
+                ck_ref.at[l2, :, pl.ds(g2 * hg_c, hg_c)],
+                ckr.at[slot], csem.at[0, slot]).start()
+            pltpu.make_async_copy(
+                cv_ref.at[l2, :, :, pl.ds(g2 * gd_c, gd_c)],
+                cvr.at[slot], csem.at[1, slot]).start()
+
+        def cx_wait(slot):
+            pltpu.make_async_copy(
+                ck_ref.at[0, :, pl.ds(0, hg_c)],
+                ckr.at[slot], csem.at[0, slot]).wait()
+            pltpu.make_async_copy(
+                cv_ref.at[0, :, :, pl.ds(0, gd_c)],
+                cvr.at[slot], csem.at[1, slot]).wait()
+
+        @pl.when((l == 0) & (p == 0))
+        def _():
+            for uu in range(min(LA, CU)):
+                cx_issue(uu // n_cross, uu % n_cross, uu % pf_slots)
+
+        for g in range(n_cross):
+            l_off = (g + LA) // n_cross
+            g2 = (g + LA) % n_cross
+
+            @pl.when(p == n_self + g)
+            def _(g=g, l_off=l_off, g2=g2):
+                u = l * n_cross + g
+                cx_wait(u % pf_slots)
+
+                @pl.when(l + l_off < num_layers)
+                def _():
+                    cx_issue(l + l_off, g2, (u + LA) % pf_slots)
 
     if has_block:
         # Entering the medusa-block grid layer: the main stack is done — save
@@ -502,8 +656,13 @@ def _kernel(
             r = off - off_al
             rows_b = slice(bb * t16, bb * t16 + t16)
             stage = slice(bb * w_rows, bb * w_rows + w_rows)
-            old_k = sk_ref[0, bb, pl.ds(off_al, w_rows)]   # (w_rows, SGd)
-            old_v = sv_ref[0, bb, pl.ds(off_al, w_rows)]
+            if prefetch:
+                old_k = skb[pf_slot, pf_g, bb,
+                            pl.ds(off_al, w_rows)]       # (w_rows, SGd)
+                old_v = svb[pf_slot, pf_g, bb, pl.ds(off_al, w_rows)]
+            else:
+                old_k = sk_ref[0, bb, pl.ds(off_al, w_rows)]  # (w_rows, SGd)
+                old_v = sv_ref[0, bb, pl.ds(off_al, w_rows)]
             ksrc = kq_all if skv_quant else k
             vsrc = vq_all if skv_quant else v
             # The previous sub-phase's commit DMAs read from the staging
@@ -563,7 +722,9 @@ def _kernel(
                     r = off - off_al
                     rows_b = slice(bb * t16, bb * t16 + t16)
                     stage = slice(bb * w_rows, bb * w_rows + w_rows)
-                    old_sc = ss_ref[0, bb, pl.ds(off_al, w_rows)]
+                    old_sc = (ssr[pf_slot, bb, pl.ds(off_al, w_rows)]
+                              if prefetch
+                              else ss_ref[0, bb, pl.ds(off_al, w_rows)])
 
                     @pl.when(l > 0)
                     def _(bb=bb, stage=stage):
@@ -649,8 +810,12 @@ def _kernel(
                 qt = jnp.transpose(q[rows_b], (1, 0))    # (SGd, T16)
                 qblk = jnp.where(qmask, jnp.tile(qt, (1, nsh)),
                                  jnp.zeros((), x.dtype))
-                slab_k = sk_ref[0, bb]                   # (S, SGd) bf16|int8
-                slab_v = sv_ref[0, bb]
+                if prefetch:
+                    slab_k = skb[pf_slot, pf_g, bb]      # (S, SGd) bf16|int8
+                    slab_v = svb[pf_slot, pf_g, bb]
+                else:
+                    slab_k = sk_ref[0, bb]               # (S, SGd) bf16|int8
+                    slab_v = sv_ref[0, bb]
                 # (An s8 x s8 form — qblk quantized per column, the int8 slab
                 # feeding the MXU natively — measured 5.8 vs 5.0 ms/step at
                 # int8 b=8: the quantize chain costs more than the slab
@@ -662,7 +827,8 @@ def _kernel(
                     if "sdq" in _SKIP:                   # debug stub
                         ks_e = vs_e = jnp.ones((), jnp.float32)
                     else:
-                        ssb = ss_ref[0, bb]
+                        ssb = (ssr[pf_slot, bb] if prefetch
+                               else ss_ref[0, bb])
                         sl_k = ssb[:, 0:nsh]
                         sl_v = ssb[:, num_heads:num_heads + nsh]
                         for g in range(1, n_self):
@@ -859,11 +1025,22 @@ def _kernel(
         col = jax.lax.broadcasted_iota(jnp.int32, (t16, sp_len), 1)
         cross_bias = jnp.where(col < cross_len, jnp.float32(0),
                                jnp.float32(NEG_CROSS))
+        cslot = (l * n_cross
+                 + jnp.clip(p - n_self, 0, n_cross - 1)) % pf_slots
         outs = []
         for bb in range(batch):
             rows_b = slice(bb * t16, bb * t16 + t16)
-            ck = ck_ref[0, bb]                           # (Hg, dh, Sp)
-            cv = cv_ref[0, bb]                           # (Sp, Gd) head-flat
+            if prefetch_cross:
+                import os as _os
+                if _os.environ.get("WM_PF_STATIC_READ_HACK") == "1":
+                    ck = ckr[0, bb]
+                    cv = cvr[0, bb]
+                else:
+                    ck = ckr[cslot, bb]                  # (Hg, dh, Sp)
+                    cv = cvr[cslot, bb]                  # (Sp, Gd) head-flat
+            else:
+                ck = ck_ref[0, bb]                       # (Hg, dh, Sp)
+                cv = cv_ref[0, bb]                       # (Sp, Gd) head-flat
             outs_h = []
             for hh in range(hg):
                 # (An s8 x s8 form — q/p quantized per row, int8 K/V straight
@@ -1209,7 +1386,9 @@ def fused_decoder_layers(
         cross_len=cross_len, n_self=ns, n_cross=nc, n_chunks=nch,
         scale=dh ** -0.5, quant=quant, kv_quant=kv_quant,
         skv_quant=skv_quant, batch=b, has_block=has_block,
-        w8a8=quant and _w8a8(), blkdiag=_blkdiag())
+        w8a8=quant and _w8a8(), blkdiag=_blkdiag(),
+        prefetch=_prefetch() and _blkdiag(),
+        prefetch_cross=_prefetch_cross(), pf_slots=_pf_slots())
     sp_rows = sp.shape[1]
 
     y, y2, sk_new, sv_new, ss_new = pl.pallas_call(
@@ -1237,16 +1416,24 @@ def fused_decoder_layers(
                          lambda l, p: (cross_l(l, p), 0, cross_g(l, p))),
             pl.BlockSpec((1, gd, d),                                    # co
                          lambda l, p: (cross_l(l, p), cross_g(l, p), 0)),
-            pl.BlockSpec((1, b, s_len, sgd),
-                         lambda l, p: (self_l(l, p), 0, 0, self_g(l, p))),
-            pl.BlockSpec((1, b, s_len, sgd),
-                         lambda l, p: (self_l(l, p), 0, 0, self_g(l, p))),
-            ss_spec,
+            *([pl.BlockSpec(memory_space=pl.ANY)] * 3
+              if (_prefetch() and _blkdiag()) else [
+                  pl.BlockSpec((1, b, s_len, sgd),
+                               lambda l, p: (self_l(l, p), 0, 0,
+                                             self_g(l, p))),
+                  pl.BlockSpec((1, b, s_len, sgd),
+                               lambda l, p: (self_l(l, p), 0, 0,
+                                             self_g(l, p))),
+                  ss_spec]),
             se_spec,
-            pl.BlockSpec((1, b, hg, dh, sp_len),
-                         lambda l, p: (cross_l(l, p), 0, cross_g(l, p), 0, 0)),
-            pl.BlockSpec((1, b, sp_len, gd),
-                         lambda l, p: (cross_l(l, p), 0, 0, cross_g(l, p))),
+            *([pl.BlockSpec(memory_space=pl.ANY)] * 2
+              if _prefetch_cross() else [
+                  pl.BlockSpec((1, b, hg, dh, sp_len),
+                               lambda l, p: (cross_l(l, p), 0,
+                                             cross_g(l, p), 0, 0)),
+                  pl.BlockSpec((1, b, sp_len, gd),
+                               lambda l, p: (cross_l(l, p), 0, 0,
+                                             cross_g(l, p)))]),
             s_spec,
             s_spec,
             pl.BlockSpec((1, d, f2),
@@ -1283,6 +1470,21 @@ def fused_decoder_layers(
             pltpu.VMEM((b * (t16 + 8), shp), jnp.bfloat16),
             pltpu.VMEM((b * t16, shp), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((3, b)),
+            # Prefetch slab rings (dummies when the flag is off).
+            pltpu.VMEM((2, ns, b, s_len, sgd) if (_prefetch() and _blkdiag())
+                       else (1, 1, 1, 8, 128), self_k.dtype),
+            pltpu.VMEM((2, ns, b, s_len, sgd) if (_prefetch() and _blkdiag())
+                       else (1, 1, 1, 8, 128), self_v.dtype),
+            pltpu.VMEM((2, b, s_len, shp)
+                       if (_prefetch() and _blkdiag() and skv_quant)
+                       else (1, 1, 8, 128), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((3, 2, ns)),
+            # Cross-K/V prefetch rings (dummies when the flag is off).
+            pltpu.VMEM((_pf_slots(), b, hg, dh, sp_len) if _prefetch_cross()
+                       else (1, 1, 1, 8, 128), cross_k.dtype),
+            pltpu.VMEM((_pf_slots(), b, sp_len, gd) if _prefetch_cross()
+                       else (1, 1, 8, 128), cross_v.dtype),
+            pltpu.SemaphoreType.DMA((2, _pf_slots())),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
